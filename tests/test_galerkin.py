@@ -1,0 +1,84 @@
+"""Galerkin coarse-operator construction: the 9-comb probing trick must
+reproduce the dense R A P matrix exactly (BASELINE config 4 machinery)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_multigrid.core import ops
+from tpu_multigrid.core.operators import diffusion_op, galerkin_coarsen
+
+
+def _dense_operator(apply_fn, n, S):
+    """Dense interior matrix of a grid operator by probing unit vectors."""
+    m = (n - 1) ** 2
+    cols = []
+    for k in range(m):
+        e = np.zeros((n - 1) * (n - 1))
+        e[k] = 1.0
+        g = jnp.zeros((S, S), jnp.float64).at[1:n, 1:n].set(
+            jnp.asarray(e.reshape(n - 1, n - 1)))
+        cols.append(np.asarray(apply_fn(g))[1:n, 1:n].reshape(-1))
+    return np.stack(cols, axis=1)
+
+
+def test_galerkin_coarsen_equals_dense_rap(rng):
+    nf, Sf, nc, Sc = 8, 9, 4, 5
+    cells = jnp.asarray(1.0 + rng.random((nf, nf)), jnp.float64)
+    fine = diffusion_op(cells, nf, Sf)
+    coarse = galerkin_coarsen(fine, Sc)
+
+    a_f = _dense_operator(fine.apply, nf, Sf)
+    # Dense P: coarse interior -> fine interior
+    mc = (nc - 1) ** 2
+    p_cols = []
+    for k in range(mc):
+        e = np.zeros(mc)
+        e[k] = 1.0
+        g = jnp.zeros((Sc, Sc), jnp.float64).at[1:nc, 1:nc].set(
+            jnp.asarray(e.reshape(nc - 1, nc - 1)))
+        p_cols.append(np.asarray(ops.prolong(g, nc, Sf))[1:nf, 1:nf].reshape(-1))
+    p = np.stack(p_cols, axis=1)
+    rap = p.T @ a_f @ p  # R = P^T in FEM scaling
+
+    a_c = _dense_operator(coarse.apply, nc, Sc)
+    np.testing.assert_allclose(a_c, rap, rtol=1e-12, atol=1e-13)
+
+
+def test_galerkin_preserves_symmetry(rng):
+    nf, Sf, nc, Sc = 16, 17, 8, 9
+    cells = jnp.asarray(0.5 + rng.random((nf, nf)), jnp.float64)
+    coarse = galerkin_coarsen(diffusion_op(cells, nf, Sf), Sc)
+    a_c = _dense_operator(coarse.apply, nc, Sc)
+    np.testing.assert_allclose(a_c, a_c.T, rtol=1e-12, atol=1e-13)
+    # SPD: all eigenvalues positive
+    w = np.linalg.eigvalsh(a_c)
+    assert w.min() > 0
+
+
+def test_two_level_galerkin_chain(rng):
+    """Coarsening twice == dense (P^T A P) applied twice."""
+    nf, Sf = 16, 17
+    cells = jnp.asarray(1.0 + rng.random((nf, nf)), jnp.float64)
+    lvl0 = diffusion_op(cells, nf, Sf)
+    lvl1 = galerkin_coarsen(lvl0, 9)
+    lvl2 = galerkin_coarsen(lvl1, 5)
+    a2 = _dense_operator(lvl2.apply, 4, 5)
+    # independent dense chain
+    def dense_p(nc, Sc, nf_, Sf_):
+        mc = (nc - 1) ** 2
+        cols = []
+        for k in range(mc):
+            e = np.zeros(mc)
+            e[k] = 1.0
+            g = jnp.zeros((Sc, Sc), jnp.float64).at[1:nc, 1:nc].set(
+                jnp.asarray(e.reshape(nc - 1, nc - 1)))
+            cols.append(np.asarray(ops.prolong(g, nc, Sf_))[1:nf_, 1:nf_].reshape(-1))
+        return np.stack(cols, axis=1)
+
+    a0 = _dense_operator(lvl0.apply, nf, Sf)
+    p0 = dense_p(8, 9, 16, 17)
+    a1d = p0.T @ a0 @ p0
+    p1 = dense_p(4, 5, 8, 9)
+    a2d = p1.T @ a1d @ p1
+    np.testing.assert_allclose(a2, a2d, rtol=1e-12, atol=1e-12)

@@ -1,0 +1,28 @@
+"""tpu-multigrid: TPU-native geometric multigrid for 2D structured grids.
+
+A from-scratch JAX/XLA/Pallas framework with the capabilities of the
+reference SYCL/oneMKL solver ``nikhilTkur/Multigrid_Nikhil_C-`` (see
+SURVEY.md): 2D Poisson / variable-coefficient diffusion on the unit square,
+weighted-Jacobi and red-black Gauss-Seidel smoothers, V/W/F cycles and full
+multigrid, full-weighting restriction and bilinear prolongation — matrix-free
+over HBM-resident grids, with fused Pallas stencil kernels and 2D
+``shard_map`` domain decomposition.
+"""
+
+from .api import extract_solution, solve_diffusion, solve_poisson
+from .config import REFERENCE_CONFIG, MultigridConfig
+from .core import (ConstStencilOp, Hierarchy, VarStencilOp,
+                   build_galerkin_hierarchy, build_poisson_hierarchy, ops)
+from .cycles import SolveResult, cycle, fmg, solve_fixed, solve_until_tol
+from .problems import DiffusionProblem, PoissonProblem, poisson_rhs
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "MultigridConfig", "REFERENCE_CONFIG",
+    "solve_poisson", "solve_diffusion", "extract_solution",
+    "SolveResult", "cycle", "fmg", "solve_fixed", "solve_until_tol",
+    "PoissonProblem", "DiffusionProblem", "poisson_rhs",
+    "Hierarchy", "ConstStencilOp", "VarStencilOp",
+    "build_poisson_hierarchy", "build_galerkin_hierarchy", "ops",
+]

@@ -1,0 +1,88 @@
+"""Front-door solve API (SURVEY.md §7 stage 7).
+
+The reference's only entry points are a compiled ``main()``
+(``Poissons_SYCL.cpp:658-731``) and a never-finished pybind hook
+(``Multigrid_functions.cpp:2,193-197``).  This module is the library entry
+point those stood in for.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional, Union
+
+import jax
+import jax.numpy as jnp
+
+from .config import MultigridConfig
+from .core import ops
+from .cycles import SolveResult, fmg, solve_fixed, solve_until_tol
+from .problems import DiffusionProblem, PoissonProblem
+
+
+def solve_poisson(
+    finest_level: int = 10,
+    *,
+    config: Optional[MultigridConfig] = None,
+    forcing: Union[float, Callable] = 4.0,
+    tol: Optional[float] = 1e-8,
+    max_cycles: int = 100,
+    num_cycles: Optional[int] = None,
+    use_fmg: bool = False,
+    jit: bool = True,
+) -> SolveResult:
+    """Solve -lap(u) = forcing on the unit square, homogeneous Dirichlet.
+
+    Returns a :class:`SolveResult`; ``result.u`` is the (S, S) node grid
+    (physical nodes at ``[0:n+1, 0:n+1]``).  ``num_cycles`` forces a fixed
+    cycle count; otherwise cycles run until ``tol`` relative residual
+    reduction.  ``use_fmg=True`` runs one full-multigrid pass first.
+    """
+    if config is None:
+        config = MultigridConfig(finest_level=finest_level)
+    elif config.finest_level != finest_level:
+        config = dataclasses.replace(config, finest_level=finest_level)
+    problem = PoissonProblem(config, forcing=forcing)
+    return _run(problem, config, tol, max_cycles, num_cycles, use_fmg, jit)
+
+
+def solve_diffusion(
+    finest_level: int = 10,
+    *,
+    coefficient: Union[float, Callable] = 1.0,
+    config: Optional[MultigridConfig] = None,
+    forcing: Union[float, Callable] = 4.0,
+    tol: Optional[float] = 1e-8,
+    max_cycles: int = 100,
+    num_cycles: Optional[int] = None,
+    use_fmg: bool = False,
+    jit: bool = True,
+) -> SolveResult:
+    """Solve -div(a grad u) = forcing with per-cell coefficients a."""
+    if config is None:
+        config = MultigridConfig(finest_level=finest_level)
+    elif config.finest_level != finest_level:
+        config = dataclasses.replace(config, finest_level=finest_level)
+    problem = DiffusionProblem(config, coefficient=coefficient, forcing=forcing)
+    return _run(problem, config, tol, max_cycles, num_cycles, use_fmg, jit)
+
+
+def _run(problem, config, tol, max_cycles, num_cycles, use_fmg, use_jit):
+    hier = problem.hierarchy
+    b = problem.rhs()
+
+    def go(b):
+        u0 = fmg(hier, config, b) if use_fmg else None
+        if num_cycles is not None:
+            return solve_fixed(hier, config, b, num_cycles, u0=u0)
+        return solve_until_tol(hier, config, b, tol=tol,
+                               max_cycles=max_cycles, u0=u0)
+
+    if use_jit:
+        go = jax.jit(go)
+    return go(b)
+
+
+def extract_solution(result_u: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Crop the padded solve grid to the physical (n+1, n+1) node grid."""
+    return result_u[: n + 1, : n + 1]

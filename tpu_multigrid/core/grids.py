@@ -1,0 +1,156 @@
+"""Grid hierarchy construction.
+
+Replaces the reference's per-level global matrix tables
+(``Poissons_SYCL.cpp:24-52``) and its host-side assembly loop
+(``main``, ``Poissons_SYCL.cpp:661-690``): on a structured grid the operator
+is a stencil, so "assembly" is closed-form and the hierarchy is a static
+tuple of levels that jit unrolls into one compiled program.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import MultigridConfig
+from . import ops
+from .operators import ConstStencilOp, VarStencilOp, galerkin_coarsen, poisson_op
+
+
+def round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def level_sizes(
+    config: MultigridConfig,
+    *,
+    align: int = 1,
+    min_pad_level: int = 99,
+) -> Tuple[Tuple[int, int], ...]:
+    """(n, S) per level, finest first.
+
+    ``S`` is the padded array side: ``n + 1`` rounded up to ``align`` for
+    levels >= ``min_pad_level`` (TPU tile / shard alignment).  The hierarchy
+    invariant ``S_f >= 2 * S_c - 1`` required by the strided transfers always
+    holds because ``S_c <= (S_f + 1) // 2`` is enforced here.
+    """
+    sizes = []
+    prev_S = None
+    for lvl in range(config.finest_level, config.coarsest_level - 1, -1):
+        n = 2 ** lvl
+        S = n + 1
+        if lvl >= min_pad_level and align > 1:
+            S = round_up(S, align)
+        if prev_S is not None:
+            S = min(S, (prev_S + 1) // 2)
+            S = max(S, n + 1)
+            if 2 * S - 1 > prev_S:
+                raise ValueError(
+                    f"padding conflict at level {lvl}: S={S} needs finer "
+                    f"S >= {2 * S - 1}, got {prev_S}; increase align padding "
+                    "on the finer level"
+                )
+        sizes.append((n, S))
+        prev_S = S
+    return tuple(sizes)
+
+
+@jax.tree_util.register_pytree_node_class
+class Hierarchy:
+    """Static multigrid level stack: operators finest->coarsest + coarse factor.
+
+    ``coarse_inv`` is the dense inverse of the coarsest-level interior
+    operator, precomputed at setup (the TPU-native stand-in for the WIP
+    variant's Eigen SparseLU, ``Multigrid_functions.cpp:63-72``): the
+    coarsest grid has at most a few hundred unknowns, so the "solve" inside
+    the jitted cycle is one tiny matvec.
+    """
+
+    def __init__(self, levels: Tuple[Any, ...], coarse_inv: Optional[jnp.ndarray]):
+        self.levels = tuple(levels)
+        self.coarse_inv = coarse_inv
+
+    def tree_flatten(self):
+        return (self.levels, self.coarse_inv), ()
+
+    @classmethod
+    def tree_unflatten(cls, _aux, children):
+        return cls(children[0], children[1])
+
+    @property
+    def num_levels(self) -> int:
+        return len(self.levels)
+
+    def __repr__(self):
+        return f"Hierarchy({[l for l in self.levels]!r})"
+
+
+def coarse_dense_inverse(op, dtype=None) -> jnp.ndarray:
+    """Dense inverse of the interior operator, built by probing unit grids.
+
+    Generic over operator type (works for Poisson and Galerkin-coarsened
+    variable-coefficient stencils alike).  Computed once at setup in f64 on
+    the host for accuracy, stored in the solve dtype.
+    """
+    n, S = op.n, op.S
+    m = (n - 1) ** 2
+    eye = jnp.eye(m, dtype=jnp.float32).reshape(m, n - 1, n - 1)
+    grids = jnp.zeros((m, S, S), jnp.float32).at[:, 1:n, 1:n].set(eye)
+    cols = jax.vmap(op.apply)(grids)[:, 1:n, 1:n].reshape(m, m)
+    a = np.asarray(cols).astype(np.float64).T  # apply(e_k) is column k
+    inv = np.linalg.inv(a)
+    out_dtype = dtype if dtype is not None else jnp.float32
+    return jnp.asarray(inv, out_dtype)
+
+
+def coarse_solve(op, coarse_inv: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Direct coarsest-grid solve via the precomputed dense inverse."""
+    n, S = op.n, op.S
+    rhs = b[1:n, 1:n].reshape(-1).astype(coarse_inv.dtype)
+    sol = (coarse_inv @ rhs).reshape(n - 1, n - 1).astype(b.dtype)
+    return jnp.zeros((S, S), b.dtype).at[1:n, 1:n].set(sol)
+
+
+def build_poisson_hierarchy(
+    config: MultigridConfig, *, align: int = 1, min_pad_level: int = 99
+) -> Hierarchy:
+    """Constant-coefficient Poisson hierarchy (re-discretized every level).
+
+    For nested P1 elements the re-discretized stencil equals the Galerkin
+    operator R A P, so this is variational for free.
+    """
+    sizes = level_sizes(config, align=align, min_pad_level=min_pad_level)
+    levels = tuple(poisson_op(n, S) for n, S in sizes)
+    coarse_inv = None
+    if config.coarse_solver == "direct":
+        coarse_inv = coarse_dense_inverse(levels[-1])
+    return Hierarchy(levels, coarse_inv)
+
+
+def build_galerkin_hierarchy(
+    fine_op: VarStencilOp, config: MultigridConfig, *, align: int = 1,
+    min_pad_level: int = 99,
+) -> Hierarchy:
+    """Variable-coefficient hierarchy: coarse operators via R A P (setup-time)."""
+    sizes = level_sizes(config, align=align, min_pad_level=min_pad_level)
+    assert sizes[0][0] == fine_op.n, (sizes[0], fine_op.n)
+    levels = [fine_op]
+    for (_, Sc) in sizes[1:]:
+        levels.append(galerkin_coarsen(levels[-1], Sc))
+    coarse_inv = None
+    if config.coarse_solver == "direct":
+        coarse_inv = coarse_dense_inverse(levels[-1])
+    return Hierarchy(tuple(levels), coarse_inv)
+
+
+def node_coordinates(n: int, S: int, dtype=jnp.float32):
+    """(x, y) coordinate grids of the (S, S) padded node array; h = 1/n."""
+    h = 1.0 / n
+    idx = jnp.arange(S, dtype=dtype) * h
+    x = jnp.broadcast_to(idx[None, :], (S, S))
+    y = jnp.broadcast_to(idx[:, None], (S, S))
+    return x, y

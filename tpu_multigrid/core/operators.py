@@ -1,0 +1,248 @@
+"""Level operators as jit-transparent pytrees.
+
+Two operator families cover the framework's problem classes:
+
+* :class:`ConstStencilOp` — the constant-coefficient FEM Poisson stencil
+  (diagonal 4, off-diagonals -1).  Carries *no* array state: applying it
+  reads only the solution/RHS grids, so the smoother is purely
+  bandwidth-bound on u and b.  This replaces the reference's CSR matrix +
+  oneMKL gemv per level (``Poissons_SYCL.cpp:24-52,138,604-605``).
+
+* :class:`VarStencilOp` — a spatially varying 9-point stencil, stored as a
+  ``(3, 3, S, S)`` coefficient array.  Used for variable-coefficient
+  diffusion and for Galerkin coarse operators ``R A P`` (BASELINE config 4;
+  the reference has no variable-coefficient support).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from . import ops
+
+
+@jax.tree_util.register_pytree_node_class
+class ConstStencilOp:
+    """FEM-scaled 5-point Poisson operator on an (S, S) padded node grid."""
+
+    def __init__(self, n: int, S: int):
+        self.n = int(n)
+        self.S = int(S)
+
+    # -- pytree protocol (no leaves; n/S are static) --
+    def tree_flatten(self):
+        return (), (self.n, self.S)
+
+    @classmethod
+    def tree_unflatten(cls, aux, _children):
+        return cls(*aux)
+
+    # -- operator interface --
+    def apply(self, u):
+        return ops.apply_poisson(u, self.n)
+
+    def residual(self, u, b):
+        return ops.residual(u, b, self.n)
+
+    def smooth(self, u, b, *, smoother: str, omega: float, sweeps: int):
+        if smoother == "jacobi":
+            return ops.jacobi_sweeps(u, b, self.n, omega, sweeps)
+        elif smoother == "rbgs":
+            return ops.redblack_gs_sweeps(u, b, self.n, sweeps)
+        raise ValueError(f"unknown smoother {smoother!r}")
+
+    def __repr__(self):
+        return f"ConstStencilOp(n={self.n}, S={self.S})"
+
+
+def _shift(u, di, dj):
+    """u[i+di, j+dj] with zero-invariant wrap (callers mask non-interior)."""
+    out = u
+    if di:
+        out = jnp.roll(out, -di, axis=-2)
+    if dj:
+        out = jnp.roll(out, -dj, axis=-1)
+    return out
+
+
+@jax.tree_util.register_pytree_node_class
+class VarStencilOp:
+    """Spatially varying 9-point stencil operator.
+
+    ``coef[di+1, dj+1, i, j]`` multiplies ``u[i+di, j+dj]`` in ``(A u)[i, j]``.
+    ``inv_diag`` is the precomputed reciprocal of ``coef[1, 1]`` on the
+    interior (zero elsewhere).
+    """
+
+    def __init__(self, coef, inv_diag, n: int, S: int):
+        self.coef = coef
+        self.inv_diag = inv_diag
+        self.n = int(n)
+        self.S = int(S)
+
+    def tree_flatten(self):
+        return (self.coef, self.inv_diag), (self.n, self.S)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], *aux)
+
+    def apply(self, u):
+        acc = self.coef[1, 1] * u
+        for di in (-1, 0, 1):
+            for dj in (-1, 0, 1):
+                if di == 0 and dj == 0:
+                    continue
+                acc = acc + self.coef[di + 1, dj + 1] * _shift(u, di, dj)
+        return ops.mask_interior(acc.astype(u.dtype), self.n)
+
+    def residual(self, u, b):
+        return ops.mask_interior((b - self.apply(u)).astype(u.dtype), self.n)
+
+    def smooth(self, u, b, *, smoother: str, omega: float, sweeps: int):
+        if sweeps <= 0:
+            return u
+        if smoother == "jacobi":
+            return self._jacobi(u, b, omega, sweeps)
+        elif smoother == "rbgs":
+            return self._rbgs(u, b, sweeps)
+        raise ValueError(f"unknown smoother {smoother!r}")
+
+    def _off_diag_apply(self, u):
+        acc = jnp.zeros_like(u)
+        for di in (-1, 0, 1):
+            for dj in (-1, 0, 1):
+                if di == 0 and dj == 0:
+                    continue
+                acc = acc + self.coef[di + 1, dj + 1] * _shift(u, di, dj)
+        return acc
+
+    def _jacobi(self, u, b, omega, sweeps):
+        m = ops.interior_mask(self.S, self.n)
+        w = jnp.asarray(omega, u.dtype)
+        one_minus = jnp.asarray(1.0 - omega, u.dtype)
+        inv_d = self.inv_diag.astype(u.dtype)
+
+        def body(_, v):
+            vn = one_minus * v + w * inv_d * (b - self._off_diag_apply(v))
+            return jnp.where(m, vn, jnp.zeros((), u.dtype))
+
+        return jax.lax.fori_loop(0, sweeps, body, u, unroll=min(sweeps, 4))
+
+    def _rbgs(self, u, b, sweeps):
+        S, n = self.S, self.n
+        i = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
+        j = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
+        inter = (i >= 1) & (i <= n - 1) & (j >= 1) & (j <= n - 1)
+        red = inter & ((i + j) % 2 == 0)
+        black = inter & ((i + j) % 2 == 1)
+        inv_d = self.inv_diag.astype(u.dtype)
+
+        def half(v, color):
+            vn = v + inv_d * (b - self.apply(v))
+            return jnp.where(color, vn, v)
+
+        def body(_, v):
+            v = half(v, red)
+            v = half(v, black)
+            return v
+
+        return jax.lax.fori_loop(0, sweeps, body, u, unroll=min(sweeps, 4))
+
+    def __repr__(self):
+        return f"VarStencilOp(n={self.n}, S={self.S})"
+
+
+def poisson_op(n: int, S: int) -> ConstStencilOp:
+    return ConstStencilOp(n, S)
+
+
+def diffusion_op(cell_coeff: jnp.ndarray, n: int, S: int) -> VarStencilOp:
+    """Variable-coefficient diffusion -div(a grad u) as a 5-point flux stencil.
+
+    ``cell_coeff`` has shape (n, n): one coefficient per grid cell.  Face
+    transmissibilities are arithmetic means of the two adjacent cells (in the
+    FEM/h-independent scaling, so ``a == 1`` reduces exactly to the Poisson
+    stencil).  Extension over the reference, which supports constant
+    coefficients only (BASELINE config 4).
+    """
+    if cell_coeff.shape != (n, n):
+        raise ValueError(f"cell_coeff must be ({n},{n}), got {cell_coeff.shape}")
+    dt = cell_coeff.dtype
+    # Pad cells into an (S+1, S+1)-independent frame: cell (i, j) spans nodes
+    # (i..i+1, j..j+1).  Face coefficient between node (i,j) and (i,j+1)
+    # (horizontal neighbor): mean of cells (i-1, j) and (i, j) — the two
+    # cells sharing that edge; zero outside the domain.
+    # Build node-indexed cell views: c[di,dj][i,j] = coeff of cell (i+di, j+dj)
+    cpad = jnp.zeros((S + 2, S + 2), dt).at[1 : n + 1, 1 : n + 1].set(cell_coeff)
+    c_mm = cpad[0:S, 0:S]      # cell (i-1, j-1)
+    c_mp = cpad[0:S, 1 : S + 1]  # cell (i-1, j)
+    c_pm = cpad[1 : S + 1, 0:S]  # cell (i, j-1)
+    c_pp = cpad[1 : S + 1, 1 : S + 1]  # cell (i, j)
+
+    # Face transmissibilities at node (i, j):
+    t_e = 0.5 * (c_mp + c_pp)   # face to (i, j+1): cells (i-1,j) and (i,j)
+    t_w = 0.5 * (c_mm + c_pm)   # face to (i, j-1)
+    t_s = 0.5 * (c_pm + c_pp)   # face to (i+1, j): cells (i,j-1) and (i,j)
+    t_n = 0.5 * (c_mm + c_mp)   # face to (i-1, j)
+
+    coef = jnp.zeros((3, 3, S, S), dt)
+    coef = coef.at[1, 2].set(-t_e)
+    coef = coef.at[1, 0].set(-t_w)
+    coef = coef.at[2, 1].set(-t_s)
+    coef = coef.at[0, 1].set(-t_n)
+    coef = coef.at[1, 1].set(t_e + t_w + t_s + t_n)
+
+    m = ops.interior_mask(S, n)
+    coef = jnp.where(m[None, None], coef, jnp.zeros((), dt))
+    diag = coef[1, 1]
+    inv_diag = jnp.where(m, 1.0 / jnp.where(m, diag, jnp.ones((), dt)), 0.0).astype(dt)
+    return VarStencilOp(coef, inv_diag, n, S)
+
+
+def galerkin_coarsen(fine: VarStencilOp, Sc: int) -> VarStencilOp:
+    """Coarse operator A_2h = R A_h P via the 9-comb probing trick.
+
+    Applies ``R ∘ A ∘ P`` to nine coarse comb grids (ones on coarse nodes
+    congruent to (p, q) mod 3) — each coarse node's 3x3 neighborhood contains
+    exactly one comb node, so the nine responses separate all stencil
+    entries exactly.  Runs once at setup, entirely on device.
+    """
+    nf, Sf = fine.n, fine.S
+    nc = nf // 2
+    dt = fine.coef.dtype
+
+    i = jax.lax.broadcasted_iota(jnp.int32, (Sc, Sc), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (Sc, Sc), 1)
+
+    responses = []
+    for p in range(3):
+        row = []
+        for q in range(3):
+            comb = ((i % 3 == p) & (j % 3 == q)).astype(dt)
+            # Combs are NOT masked to the interior: stencil rows of interior
+            # nodes adjacent to the boundary still probe boundary columns,
+            # which the masked apply() zeroes anyway.
+            y = ops.restrict_fw(fine.apply(ops.prolong(comb, nc, Sf)), nf, Sc)
+            row.append(y)
+        responses.append(row)
+    resp = jnp.stack([jnp.stack(r) for r in responses])  # (3, 3, Sc, Sc)
+
+    coef = jnp.zeros((3, 3, Sc, Sc), dt)
+    for di in (-1, 0, 1):
+        for dj in (-1, 0, 1):
+            p = (i + di) % 3
+            q = (j + dj) % 3
+            # coef[di+1,dj+1][i,j] = resp[p,q][i,j] for that node's (p,q)
+            val = jnp.zeros((Sc, Sc), dt)
+            for pp in range(3):
+                for qq in range(3):
+                    val = jnp.where((p == pp) & (q == qq), resp[pp, qq], val)
+            coef = coef.at[di + 1, dj + 1].set(val)
+
+    m = ops.interior_mask(Sc, nc)
+    coef = jnp.where(m[None, None], coef, jnp.zeros((), dt))
+    diag = coef[1, 1]
+    inv_diag = jnp.where(m, 1.0 / jnp.where(m, diag, jnp.ones((), dt)), 0.0).astype(dt)
+    return VarStencilOp(coef, inv_diag, nc, Sc)

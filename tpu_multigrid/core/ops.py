@@ -1,0 +1,221 @@
+"""Pure-jnp (XLA) reference operators for structured-grid 2D multigrid.
+
+Design (see SURVEY.md §7): the reference stores the P1-FEM stiffness matrix in
+CSR and applies it with oneMKL sparse gemv (``Poissons_SYCL.cpp:138,604-605``).
+On the structured unit-square mesh that matrix *is* the 5-point stencil
+``[[0,-1,0],[-1,4,-1],[0,-1,0]]`` (h-independent in FEM scaling; the RHS
+carries ``f*h^2``), so this framework is matrix-free: every level is a dense
+``(S, S)`` node grid living in HBM, with the physical grid occupying indices
+``0..n`` (``n = 2**level`` cells) and homogeneous-Dirichlet boundary plus any
+alignment padding held at zero.
+
+Conventions used throughout:
+
+* Arrays may be padded (``S >= n+1``) so fine grids can be tiled/sharded on
+  TPU; the *interior* (unknowns) is indices ``1..n-1`` in each axis.
+* Interior masks are generated inline from ``broadcasted_iota`` — they cost
+  no HBM traffic, unlike a stored mask array.
+* Neighbor access uses ``jnp.roll``; wrap-around values only ever land on
+  non-interior rows/cols, which the mask zeroes, and padding is maintained at
+  zero so interior nodes always read true neighbor values.
+
+Inter-grid transfers use the *variational* pair for nested P1 elements:
+bilinear prolongation ``P`` (reference ``interpolation2d``,
+``Poissons_SYCL.cpp:337-425``) and its exact adjoint ``R = P^T`` — the
+full-weighting stencil ``[[1,2,1],[2,4,2],[1,2,1]]/4`` in FEM scaling.  (The
+reference intended full weighting but its ``(1/16)`` integer division zeroed
+the operator, ``Poissons_SYCL.cpp:539``; and in FD scaling the textbook
+factor is /16.  With the FEM-scaled h-independent stencil, R = P^T needs /4,
+which makes Galerkin coarsening R A P *equal* the re-discretized stiffness.)
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# Masks
+# ---------------------------------------------------------------------------
+
+def interior_mask(S: int, n: int) -> jnp.ndarray:
+    """Boolean (S, S) mask of interior (unknown) nodes: 1 <= i,j <= n-1."""
+    i = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
+    return (i >= 1) & (i <= n - 1) & (j >= 1) & (j <= n - 1)
+
+
+def mask_interior(u: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Zero out everything but the interior."""
+    m = interior_mask(u.shape[-1], n)
+    return jnp.where(m, u, jnp.zeros((), u.dtype))
+
+
+# ---------------------------------------------------------------------------
+# 5-point stencil primitives
+# ---------------------------------------------------------------------------
+
+def neighbor_sum(u: jnp.ndarray) -> jnp.ndarray:
+    """u[i-1,j] + u[i+1,j] + u[i,j-1] + u[i,j+1] via rolls.
+
+    Wrapped values only affect rows/cols outside the interior (masked by
+    callers); padding is zero by invariant.
+    """
+    return (
+        jnp.roll(u, 1, axis=-2)
+        + jnp.roll(u, -1, axis=-2)
+        + jnp.roll(u, 1, axis=-1)
+        + jnp.roll(u, -1, axis=-1)
+    )
+
+
+def apply_poisson(u: jnp.ndarray, n: int) -> jnp.ndarray:
+    """A u with the FEM-scaled 5-point stencil (diagonal 4), interior only.
+
+    Reference equivalent: CSR gemv of the assembled stiffness
+    (``Poissons_SYCL.cpp:604-605``).
+    """
+    out = 4.0 * u - neighbor_sum(u)
+    return mask_interior(out.astype(u.dtype), n)
+
+
+def residual(u: jnp.ndarray, b: jnp.ndarray, n: int) -> jnp.ndarray:
+    """r = b - A u on the interior (``Poissons_SYCL.cpp:604-608``)."""
+    r = b - 4.0 * u + neighbor_sum(u)
+    return mask_interior(r.astype(u.dtype), n)
+
+
+def jacobi_sweeps(
+    u: jnp.ndarray,
+    b: jnp.ndarray,
+    n: int,
+    omega: float,
+    sweeps: int,
+) -> jnp.ndarray:
+    """`sweeps` sweeps of weighted Jacobi, fixed D = 4I.
+
+    v <- (1-w) v + (w/4)(b + sum of neighbors), the same update the reference
+    builds from gemv/scal/add with a host sync per sweep
+    (``Poissons_SYCL.cpp:125-147``); here the sweep loop is a single fused
+    XLA computation with no host round-trips.
+    """
+    if sweeps <= 0:
+        return u
+    m = interior_mask(u.shape[-1], n)
+    w = jnp.asarray(omega, u.dtype)
+    quarter = jnp.asarray(0.25 * omega, u.dtype)
+    one_minus = jnp.asarray(1.0 - omega, u.dtype)
+
+    def body(_, v):
+        vn = one_minus * v + quarter * (b + neighbor_sum(v))
+        return jnp.where(m, vn, jnp.zeros((), u.dtype))
+
+    return jax.lax.fori_loop(0, sweeps, body, u, unroll=min(sweeps, 4))
+
+
+def redblack_gs_sweeps(
+    u: jnp.ndarray,
+    b: jnp.ndarray,
+    n: int,
+    sweeps: int,
+) -> jnp.ndarray:
+    """Red-black Gauss-Seidel: two masked half-sweeps per sweep.
+
+    Not present in the reference (its only smoother is weighted Jacobi);
+    provided per the framework's smoother registry (BASELINE config 2).  On
+    TPU the sequential dependence is resolved by checkerboard coloring: all
+    same-color updates are independent, so each half-sweep is a full
+    vectorized update under a parity mask.
+    """
+    if sweeps <= 0:
+        return u
+    S = u.shape[-1]
+    i = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
+    inter = (i >= 1) & (i <= n - 1) & (j >= 1) & (j <= n - 1)
+    parity = (i + j) % 2
+    red = inter & (parity == 0)
+    black = inter & (parity == 1)
+    quarter = jnp.asarray(0.25, u.dtype)
+
+    def half(v, color):
+        vn = quarter * (b + neighbor_sum(v))
+        return jnp.where(color, vn, v)
+
+    def body(_, v):
+        v = half(v, red)
+        v = half(v, black)
+        return v
+
+    return jax.lax.fori_loop(0, sweeps, body, u, unroll=min(sweeps, 4))
+
+
+# ---------------------------------------------------------------------------
+# Inter-grid transfers
+# ---------------------------------------------------------------------------
+
+def restrict_fw(rf: jnp.ndarray, nf: int, Sc: int) -> jnp.ndarray:
+    """Full-weighting restriction, FEM scaling R = P^T (stencil /4).
+
+    Fine grid ``(Sf, Sf)`` with ``nf`` cells -> coarse grid ``(Sc, Sc)`` with
+    ``nf//2`` cells.  Requires ``Sf >= 2*Sc - 1`` (hierarchy construction
+    guarantees this).  Reference: ``restriction2d``
+    (``Poissons_SYCL.cpp:531-546``), with its integer-division bug fixed and
+    the FEM /4 scaling so that R A P equals the coarse FEM stiffness.
+    """
+    nc = nf // 2
+    # Aggregate the 3x3 weighting onto every fine node, then take the
+    # even-index (coarse-coincident) subsample.
+    up = jnp.roll(rf, 1, axis=-2)
+    dn = jnp.roll(rf, -1, axis=-2)
+    row3 = up + 2.0 * rf + dn                      # vertical [1,2,1]
+    g = (
+        jnp.roll(row3, 1, axis=-1)
+        + 2.0 * row3
+        + jnp.roll(row3, -1, axis=-1)
+    )                                               # horizontal [1,2,1]
+    coarse = g[..., 0 : 2 * Sc - 1 : 2, 0 : 2 * Sc - 1 : 2]
+    if coarse.shape[-1] < Sc:  # pad if the subsample came up short
+        pad = Sc - coarse.shape[-1]
+        coarse = jnp.pad(coarse, [(0, 0)] * (coarse.ndim - 2) + [(0, pad), (0, pad)])
+    coarse = (0.25 * coarse).astype(rf.dtype)
+    return mask_interior(coarse, nc)
+
+
+def prolong(ec: jnp.ndarray, nc: int, Sf: int) -> jnp.ndarray:
+    """Bilinear prolongation, coarse ``(Sc, Sc)`` -> fine ``(Sf, Sf)``.
+
+    fine[2i,2j] = c[i,j]; odd rows/cols average 2 neighbors; odd-odd averages
+    4.  Reference: ``interpolation2d`` (``Poissons_SYCL.cpp:337-425``), whose
+    89 lines of even/odd case analysis collapse to four strided writes here.
+    """
+    Sc = ec.shape[-1]
+    nf = 2 * nc
+    batch = ec.shape[:-2]
+    f = jnp.zeros(batch + (Sf, Sf), ec.dtype)
+    # Even-even: direct injection of all Sc coarse rows/cols that fit.
+    f = f.at[..., 0 : 2 * Sc - 1 : 2, 0 : 2 * Sc - 1 : 2].set(ec)
+    # Odd-even rows: vertical 2-point average.
+    va = 0.5 * (ec[..., :-1, :] + ec[..., 1:, :])
+    f = f.at[..., 1 : 2 * Sc - 2 : 2, 0 : 2 * Sc - 1 : 2].set(va.astype(ec.dtype))
+    # Even-odd cols: horizontal 2-point average.
+    ha = 0.5 * (ec[..., :, :-1] + ec[..., :, 1:])
+    f = f.at[..., 0 : 2 * Sc - 1 : 2, 1 : 2 * Sc - 2 : 2].set(ha.astype(ec.dtype))
+    # Odd-odd: 4-point average.
+    qa = 0.25 * (
+        ec[..., :-1, :-1] + ec[..., :-1, 1:] + ec[..., 1:, :-1] + ec[..., 1:, 1:]
+    )
+    f = f.at[..., 1 : 2 * Sc - 2 : 2, 1 : 2 * Sc - 2 : 2].set(qa.astype(ec.dtype))
+    return mask_interior(f, nf)
+
+
+def norm2(r: jnp.ndarray) -> jnp.ndarray:
+    """Global L2 norm of a residual grid, returned as f32 (history dtype).
+
+    Accumulates in the input precision (>= f32; bf16 inputs are upcast).
+    """
+    racc = r.astype(jnp.float32) if r.dtype == jnp.bfloat16 else r
+    return jnp.sqrt(jnp.sum(racc * racc)).astype(jnp.float32)
