@@ -1,0 +1,156 @@
+#!/usr/bin/env python
+"""Benchmark harness: V-cycle time / DOF-per-sec / roofline fraction.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+The reference publishes no numbers (BASELINE.md), so ``vs_baseline``
+compares achieved DOF/s against the driver-defined north-star target:
+80% of the HBM-bandwidth roofline for an unfused textbook V-cycle at
+8193^2 on one v5e chip (819 GB/s HBM).  vs_baseline > 1.0 beats the target.
+"""
+
+import argparse
+import json
+import math
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+V5E_HBM_GBPS = 819.0  # v5e HBM bandwidth, GB/s
+
+
+def vcycle_traffic_bytes(sizes, nu1, nu2, itemsize):
+    """Minimal HBM traffic (bytes) of one textbook *unfused* V-cycle.
+
+    Per level: each smoother sweep reads u and b and writes u (3 passes);
+    the residual reads u, b and writes r (3); restriction reads r and writes
+    the coarse RHS (1 + 1/4); prolongation+correction reads e_c, reads u,
+    writes u (1/4 + 2).  The coarsest-level direct solve is negligible.
+    """
+    total = 0.0
+    for (n, S) in sizes[:-1]:
+        a = S * S * itemsize
+        total += a * (3.0 * (nu1 + nu2) + 3.0 + 1.25 + 2.25)
+    return total
+
+
+def run_bench(level, cycles, nu1, nu2, smoother, use_pallas, dtype, repeats):
+    from tpu_multigrid import MultigridConfig, PoissonProblem, cycle
+    from tpu_multigrid.core.grids import level_sizes
+
+    cfg = MultigridConfig(
+        finest_level=level, coarsest_level=min(3, level - 1) if level <= 3 else 3,
+        nu1=nu1, nu2=nu2, smoother=smoother, dtype=dtype,
+        use_pallas=use_pallas)
+    align = 128 if (use_pallas or level >= 10) else 1
+    prob = PoissonProblem(cfg, align=align, min_pad_level=10)
+    hier = prob.hierarchy
+    b = prob.rhs()
+    op = hier.levels[0]
+    u0 = jnp.zeros((op.S, op.S), cfg.dtype)
+
+    # Timing is tunnel-proof: on this environment's relayed TPU,
+    # block_until_ready does not synchronize — only a scalar readback does
+    # (~25-30 ms).  So run the cycle loop at two iteration counts inside jit
+    # and report the slope, which cancels both the readback constant and any
+    # per-call dispatch overhead.
+    def make(k):
+        @jax.jit
+        def run(u, b):
+            def body(_, v):
+                return cycle(hier, cfg, v, b)
+            out = jax.lax.fori_loop(0, k, body, u)
+            return out[1, 1] + out[2, 2]
+        return run
+
+    c1, c2 = max(cycles // 4, 1), cycles
+    r1, r2 = make(c1), make(c2)
+    t0 = time.perf_counter()
+    float(r1(u0, b)); float(r2(u0, b))
+    compile_s = time.perf_counter() - t0
+
+    def t(f):
+        t0 = time.perf_counter()
+        float(f(u0, b))
+        return time.perf_counter() - t0
+
+    best = math.inf
+    for _ in range(repeats):
+        best = min(best, (t(r2) - t(r1)) / (c2 - c1))
+
+    n = op.n
+    dofs = (n - 1) ** 2
+    dof_per_sec = dofs / best
+    sizes = level_sizes(cfg, align=align, min_pad_level=10)
+    traffic = vcycle_traffic_bytes(sizes, nu1, nu2,
+                                   jnp.dtype(cfg.dtype).itemsize)
+    eff_gbps = traffic / best / 1e9
+    bw_frac = eff_gbps / V5E_HBM_GBPS
+    target_dof_per_sec = 0.80 * V5E_HBM_GBPS * 1e9 / (traffic / dofs)
+    return {
+        "level": level,
+        "grid": f"{n + 1}x{n + 1}",
+        "vcycle_ms": best * 1e3,
+        "dof_per_sec": dof_per_sec,
+        "effective_gbps": eff_gbps,
+        "bandwidth_fraction": bw_frac,
+        "target_dof_per_sec": target_dof_per_sec,
+        "compile_s": compile_s,
+        "platform": jax.devices()[0].platform,
+        "device": str(jax.devices()[0]),
+    }
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--level", type=int, default=13,
+                   help="finest level (13 -> 8193^2, the BASELINE config)")
+    p.add_argument("--cycles", type=int, default=10)
+    p.add_argument("--repeats", type=int, default=3)
+    p.add_argument("--nu1", type=int, default=2)
+    p.add_argument("--nu2", type=int, default=2)
+    p.add_argument("--smoother", default="jacobi")
+    p.add_argument("--pallas", action="store_true", default=None,
+                   help="use fused Pallas kernels")
+    p.add_argument("--no-pallas", dest="pallas", action="store_false")
+    p.add_argument("--quick", action="store_true",
+                   help="small grid sanity run (level 8)")
+    args = p.parse_args()
+
+    if args.quick:
+        args.level = min(args.level, 8)
+        args.cycles = min(args.cycles, 4)
+        args.repeats = 1
+
+    on_tpu = jax.devices()[0].platform != "cpu"
+    use_pallas = args.pallas if args.pallas is not None else on_tpu
+
+    try:
+        stats = run_bench(args.level, args.cycles, args.nu1, args.nu2,
+                          args.smoother, use_pallas, jnp.float32,
+                          args.repeats)
+    except Exception:
+        if use_pallas:
+            # Fall back to the pure-XLA path rather than report nothing.
+            stats = run_bench(args.level, args.cycles, args.nu1, args.nu2,
+                              args.smoother, False, jnp.float32, args.repeats)
+            stats["pallas_fallback"] = True
+        else:
+            raise
+
+    result = {
+        "metric": f"poisson_vcycle_dof_per_sec_{stats['grid']}",
+        "value": round(stats["dof_per_sec"], 1),
+        "unit": "DOF/s",
+        "vs_baseline": round(stats["dof_per_sec"] / stats["target_dof_per_sec"], 4),
+        "detail": {k: (round(v, 4) if isinstance(v, float) else v)
+                   for k, v in stats.items()},
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

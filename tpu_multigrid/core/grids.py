@@ -34,28 +34,17 @@ def level_sizes(
     """(n, S) per level, finest first.
 
     ``S`` is the padded array side: ``n + 1`` rounded up to ``align`` for
-    levels >= ``min_pad_level`` (TPU tile / shard alignment).  The hierarchy
-    invariant ``S_f >= 2 * S_c - 1`` required by the strided transfers always
-    holds because ``S_c <= (S_f + 1) // 2`` is enforced here.
+    levels >= ``min_pad_level`` (TPU tile / shard alignment).  Padding is
+    per-level independent: the transfer operators crop/pad so only the
+    physical ``0..n`` region couples across levels.
     """
     sizes = []
-    prev_S = None
     for lvl in range(config.finest_level, config.coarsest_level - 1, -1):
         n = 2 ** lvl
         S = n + 1
         if lvl >= min_pad_level and align > 1:
             S = round_up(S, align)
-        if prev_S is not None:
-            S = min(S, (prev_S + 1) // 2)
-            S = max(S, n + 1)
-            if 2 * S - 1 > prev_S:
-                raise ValueError(
-                    f"padding conflict at level {lvl}: S={S} needs finer "
-                    f"S >= {2 * S - 1}, got {prev_S}; increase align padding "
-                    "on the finer level"
-                )
         sizes.append((n, S))
-        prev_S = S
     return tuple(sizes)
 
 

@@ -157,31 +157,54 @@ def redblack_gs_sweeps(
 # Inter-grid transfers
 # ---------------------------------------------------------------------------
 
+def _conv2d(x: jnp.ndarray, w: jnp.ndarray, *, stride=1, lhs_dilation=1):
+    """Single-channel 2D convolution over the trailing two axes.
+
+    Strided slicing / scattered strided writes are pathological on TPU
+    (lane-dimension gathers: ~400 ms per 8193^2 transfer measured), whereas
+    stride-2 and input-dilated convolutions lower to native XLA:TPU conv
+    kernels — so both inter-grid transfers are expressed as convs.
+    """
+    batch = x.shape[:-2]
+    xb = x.reshape((-1,) + x.shape[-2:])[:, None]          # N, C=1, H, W
+    out = jax.lax.conv_general_dilated(
+        xb, w[None, None].astype(x.dtype),
+        window_strides=(stride, stride),
+        padding=((1, 1), (1, 1)),
+        lhs_dilation=(lhs_dilation, lhs_dilation),
+        preferred_element_type=x.dtype if x.dtype != jnp.bfloat16 else jnp.float32,
+    )
+    out = out[:, 0].astype(x.dtype)
+    return out.reshape(batch + out.shape[-2:])
+
+
+_FW_STENCIL = [[0.25, 0.5, 0.25], [0.5, 1.0, 0.5], [0.25, 0.5, 0.25]]
+
+
 def restrict_fw(rf: jnp.ndarray, nf: int, Sc: int) -> jnp.ndarray:
     """Full-weighting restriction, FEM scaling R = P^T (stencil /4).
 
     Fine grid ``(Sf, Sf)`` with ``nf`` cells -> coarse grid ``(Sc, Sc)`` with
-    ``nf//2`` cells.  Requires ``Sf >= 2*Sc - 1`` (hierarchy construction
+    ``nf//2`` cells: a stride-2 convolution with the [[1,2,1],[2,4,2],
+    [1,2,1]]/4 kernel.  Requires ``Sf >= 2*Sc - 1`` (hierarchy construction
     guarantees this).  Reference: ``restriction2d``
     (``Poissons_SYCL.cpp:531-546``), with its integer-division bug fixed and
     the FEM /4 scaling so that R A P equals the coarse FEM stiffness.
     """
     nc = nf // 2
-    # Aggregate the 3x3 weighting onto every fine node, then take the
-    # even-index (coarse-coincident) subsample.
-    up = jnp.roll(rf, 1, axis=-2)
-    dn = jnp.roll(rf, -1, axis=-2)
-    row3 = up + 2.0 * rf + dn                      # vertical [1,2,1]
-    g = (
-        jnp.roll(row3, 1, axis=-1)
-        + 2.0 * row3
-        + jnp.roll(row3, -1, axis=-1)
-    )                                               # horizontal [1,2,1]
-    coarse = g[..., 0 : 2 * Sc - 1 : 2, 0 : 2 * Sc - 1 : 2]
-    if coarse.shape[-1] < Sc:  # pad if the subsample came up short
-        pad = Sc - coarse.shape[-1]
-        coarse = jnp.pad(coarse, [(0, 0)] * (coarse.ndim - 2) + [(0, pad), (0, pad)])
-    coarse = (0.25 * coarse).astype(rf.dtype)
+    Sf = rf.shape[-1]
+    w = jnp.asarray(_FW_STENCIL, jnp.float32)
+    coarse = _conv2d(rf, w, stride=2)              # side = (Sf+1)//2
+    side = coarse.shape[-1]
+    if side >= Sc:
+        coarse = coarse[..., :Sc, :Sc]
+    else:
+        # Coarse array is padded beyond the fine array's even rows; the
+        # extra rows/cols are non-physical (side > nc always since
+        # Sf >= nf+1) and stay zero.
+        pad = Sc - side
+        coarse = jnp.pad(coarse,
+                         [(0, 0)] * (coarse.ndim - 2) + [(0, pad), (0, pad)])
     return mask_interior(coarse, nc)
 
 
@@ -190,25 +213,34 @@ def prolong(ec: jnp.ndarray, nc: int, Sf: int) -> jnp.ndarray:
 
     fine[2i,2j] = c[i,j]; odd rows/cols average 2 neighbors; odd-odd averages
     4.  Reference: ``interpolation2d`` (``Poissons_SYCL.cpp:337-425``), whose
-    89 lines of even/odd case analysis collapse to four strided writes here.
+    89 lines of even/odd case analysis collapse to four phase averages here.
+
+    Fallback (CPU / coarse-level) implementation: phase averages via rolls +
+    four strided scatters.  (An lhs-dilated conv formulation materializes a
+    multi-GB intermediate on XLA:TPU, and strided lane scatters are slow
+    there — the TPU hot path uses the Pallas transfer kernels instead.)
     """
     Sc = ec.shape[-1]
     nf = 2 * nc
     batch = ec.shape[:-2]
+    # Only the coarse rows/cols that land inside the fine array matter;
+    # everything past nc is non-physical padding (zero) anyway.
+    m = min(Sc, (Sf + 1) // 2)
+    e = ec[..., :m, :m]
     f = jnp.zeros(batch + (Sf, Sf), ec.dtype)
-    # Even-even: direct injection of all Sc coarse rows/cols that fit.
-    f = f.at[..., 0 : 2 * Sc - 1 : 2, 0 : 2 * Sc - 1 : 2].set(ec)
-    # Odd-even rows: vertical 2-point average.
-    va = 0.5 * (ec[..., :-1, :] + ec[..., 1:, :])
-    f = f.at[..., 1 : 2 * Sc - 2 : 2, 0 : 2 * Sc - 1 : 2].set(va.astype(ec.dtype))
-    # Even-odd cols: horizontal 2-point average.
-    ha = 0.5 * (ec[..., :, :-1] + ec[..., :, 1:])
-    f = f.at[..., 0 : 2 * Sc - 1 : 2, 1 : 2 * Sc - 2 : 2].set(ha.astype(ec.dtype))
+    lim = 2 * m - 1
+    # Even-even: direct injection.
+    f = f.at[..., 0:lim:2, 0:lim:2].set(e)
+    # Odd rows: vertical 2-point average (contiguous slices).
+    va = 0.5 * (e[..., :-1, :] + e[..., 1:, :])
+    f = f.at[..., 1 : lim - 1 : 2, 0:lim:2].set(va.astype(ec.dtype))
+    # Odd cols: horizontal 2-point average.
+    ha = 0.5 * (e[..., :, :-1] + e[..., :, 1:])
+    f = f.at[..., 0:lim:2, 1 : lim - 1 : 2].set(ha.astype(ec.dtype))
     # Odd-odd: 4-point average.
-    qa = 0.25 * (
-        ec[..., :-1, :-1] + ec[..., :-1, 1:] + ec[..., 1:, :-1] + ec[..., 1:, 1:]
-    )
-    f = f.at[..., 1 : 2 * Sc - 2 : 2, 1 : 2 * Sc - 2 : 2].set(qa.astype(ec.dtype))
+    qa = 0.25 * (e[..., :-1, :-1] + e[..., :-1, 1:]
+                 + e[..., 1:, :-1] + e[..., 1:, 1:])
+    f = f.at[..., 1 : lim - 1 : 2, 1 : lim - 1 : 2].set(qa.astype(ec.dtype))
     return mask_interior(f, nf)
 
 
