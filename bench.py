@@ -45,8 +45,11 @@ def run_bench(level, cycles, nu1, nu2, smoother, use_pallas, dtype, repeats):
         finest_level=level, coarsest_level=min(3, level - 1) if level <= 3 else 3,
         nu1=nu1, nu2=nu2, smoother=smoother, dtype=dtype,
         use_pallas=use_pallas)
-    align = 128 if (use_pallas or level >= 10) else 1
-    prob = PoissonProblem(cfg, align=align, min_pad_level=10)
+    # 256-alignment makes every Pallas super-kernel DMA statically tiled
+    # (see kernels/transfer.py); for n=2^l this is S = 2^l + 256.
+    align = 256 if (use_pallas or level >= 10) else 1
+    min_pad = 8
+    prob = PoissonProblem(cfg, align=align, min_pad_level=min_pad)
     hier = prob.hierarchy
     b = prob.rhs()
     op = hier.levels[0]
@@ -84,7 +87,7 @@ def run_bench(level, cycles, nu1, nu2, smoother, use_pallas, dtype, repeats):
     n = op.n
     dofs = (n - 1) ** 2
     dof_per_sec = dofs / best
-    sizes = level_sizes(cfg, align=align, min_pad_level=10)
+    sizes = level_sizes(cfg, align=align, min_pad_level=min_pad)
     traffic = vcycle_traffic_bytes(sizes, nu1, nu2,
                                    jnp.dtype(cfg.dtype).itemsize)
     eff_gbps = traffic / best / 1e9

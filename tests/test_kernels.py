@@ -87,3 +87,91 @@ def test_pallas_bf16_jacobi():
     np.testing.assert_allclose(np.asarray(got, np.float32),
                                np.asarray(want, np.float32),
                                rtol=0.05, atol=0.05)
+
+
+# ---------------------------------------------------------------------------
+# Fused V-cycle super-kernels (kernels/transfer.py)
+# ---------------------------------------------------------------------------
+
+from tpu_multigrid.kernels import transfer as T
+
+
+SUPER_CASES = [(768, 512, 512), (768, 512, 700), (1280, 768, 1024)]
+
+
+@pytest.mark.parametrize("S,Sc,n", SUPER_CASES)
+@pytest.mark.parametrize("smoother", ["jacobi", "rbgs"])
+def test_smooth_restrict_matches_composition(S, Sc, n, smoother):
+    u, b = _grids(S, n)
+    with pltpu.force_tpu_interpret_mode():
+        gu, grc = T.smooth_restrict(u, b, n, Sc, 2, smoother=smoother)
+    if smoother == "jacobi":
+        wu = ops.jacobi_sweeps(u, b, n, 2 / 3, 2)
+    else:
+        wu = ops.redblack_gs_sweeps(u, b, n, 2)
+    wrc = ops.restrict_fw(ops.residual(wu, b, n), n, Sc)
+    np.testing.assert_allclose(np.asarray(gu), np.asarray(wu),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(grc), np.asarray(wrc),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("S,Sc,n", SUPER_CASES)
+@pytest.mark.parametrize("smoother", ["jacobi", "rbgs"])
+def test_prolong_smooth_matches_composition(S, Sc, n, smoother):
+    u, b = _grids(S, n)
+    nc = n // 2
+    rng = np.random.default_rng(7)
+    e = np.zeros((Sc, Sc), np.float32)
+    e[1:nc, 1:nc] = rng.standard_normal((nc - 1, nc - 1))
+    e = jnp.asarray(e)
+    with pltpu.force_tpu_interpret_mode():
+        gu = T.prolong_smooth(u, b, e, n, 2, smoother=smoother)
+    corrected = u + ops.prolong(e, nc, S)
+    if smoother == "jacobi":
+        wu = ops.jacobi_sweeps(corrected, b, n, 2 / 3, 2)
+    else:
+        wu = ops.redblack_gs_sweeps(corrected, b, n, 2)
+    np.testing.assert_allclose(np.asarray(gu), np.asarray(wu),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_smooth_restrict_zero_sweeps_is_pure_restrict():
+    S, Sc, n = 768, 512, 512
+    u, b = _grids(S, n)
+    with pltpu.force_tpu_interpret_mode():
+        gu, grc = T.smooth_restrict(u, b, n, Sc, 0)
+    wrc = ops.restrict_fw(ops.residual(u, b, n), n, Sc)
+    np.testing.assert_allclose(np.asarray(gu), np.asarray(u),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(grc), np.asarray(wrc),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_transfer_supported_gates():
+    assert T.supported(768, 512, 4, jnp.float32)
+    assert not T.supported(768, 512, 4, jnp.float64)
+    assert not T.supported(768, 512, 4, jnp.bfloat16)
+    assert not T.supported(640, 512, 4, jnp.float32)   # Sf not mult 256
+    assert not T.supported(768, 256, 4, jnp.float32)   # coarse too small
+    assert not T.supported(256, 256, 4, jnp.float32)   # below min size
+    assert not T.supported(8448, 4352, 15, jnp.float32)  # halo too shallow
+
+
+def test_full_pallas_vcycle_matches_jnp_cycle_interpret():
+    """Whole-cycle equivalence: use_pallas=True vs False on one V-cycle."""
+    import jax
+    from tpu_multigrid import MultigridConfig, PoissonProblem, cycle
+
+    cfgs = [MultigridConfig(finest_level=9, coarsest_level=3,
+                            dtype=jnp.float32, use_pallas=p)
+            for p in (False, True)]
+    prob = PoissonProblem(cfgs[0], align=256, min_pad_level=8)
+    b = prob.rhs()
+    u0 = jnp.zeros_like(b)
+    outs = []
+    for cfg in cfgs:
+        with pltpu.force_tpu_interpret_mode():
+            outs.append(cycle(prob.hierarchy, cfg, u0, b))
+    np.testing.assert_allclose(np.asarray(outs[1]), np.asarray(outs[0]),
+                               rtol=1e-5, atol=1e-7)

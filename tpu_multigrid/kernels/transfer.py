@@ -1,0 +1,418 @@
+"""Fused V-cycle super-kernels: smooth+residual+restrict and
+prolong+correct+smooth.
+
+These two kernels cover an entire V-cycle level visit in ~6.5 HBM passes of
+the fine grid (vs ~18.5 unfused — SURVEY.md §3.4 cost model), and eliminate
+XLA:TPU's pathological strided-transfer lowering entirely (measured ~470 ms
+per 8193^2 restrict+prolong round trip on a v5e chip vs ~3 ms here).
+
+Grid-parity machinery (Mosaic supplies no strided vector ops):
+
+* **row (sublane) deinterleave/interleave** — reshape the major dim:
+  ``x.reshape(R//2, 2, C)[:, 0]`` and ``stack([a, b], 1).reshape(2R, C)``.
+* **column (lane) parity** — transpose, do the row trick, transpose back.
+
+Alignment: with ``S = round_up(n+1, 256)`` at every Pallas level (which for
+``n = 2^l`` gives ``S_l = 2^l + 256``, so ``S_coarse = S_fine/2 + 128``
+exactly), every DMA offset below is statically a multiple of the (8, 128)
+tiling for f32 — including all edge clamps.  See kernels/stencil.py for the
+streaming/double-buffering structure, shared here.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .stencil import _jacobi_step, _rbgs_step, _residual_of
+
+# Fine-grid tile (TR, TC) with halos (HR, HC); all chosen so tile origins
+# are multiples of (16, 256) and halos keep window origins on the same grid.
+# When the grid is smaller than tile+halo along an axis, that axis falls
+# back to full extent with no halo (the window covers the whole axis).
+TR, TC = 256, 1024
+HR, HC = 16, 256
+
+
+def _geom(S: int):
+    """Per-axis (tile, halo) adapted to the grid size."""
+    tr, hr = (TR, HR) if S >= TR + 2 * HR else (S, 0)
+    tc, hc = (TC, HC) if S >= TC + 2 * HC else (S, 0)
+    return tr, tc, hr, hc
+
+
+def supported(Sf: int, Sc: int, steps: int, dtype) -> bool:
+    if jnp.dtype(dtype) != jnp.dtype(jnp.float32):
+        return False
+    if Sf % 256 or Sc % 128:
+        return False
+    tr, tc, hr, hc = _geom(Sf)
+    if hr and steps + 2 > hr:
+        return False
+    if hc and steps + 2 > hc:
+        return False
+    # Coarse array must cover half the fine array (K1 writes / K2 reads
+    # coarse indices up to Sf/2).
+    if 2 * Sc < Sf:
+        return False
+    return Sf >= 512
+
+
+def _row_deinterleave(x):
+    """(R, C) -> (R//2, C): keep even rows."""
+    r, c = x.shape
+    return x.reshape(r // 2, 2, c)[:, 0, :]
+
+
+def _row_interleave(a, b):
+    """(R, C), (R, C) -> (2R, C): rows a0 b0 a1 b1 ..."""
+    r, c = a.shape
+    return jnp.stack([a, b], axis=1).reshape(2 * r, c)
+
+
+def _even2(x):
+    """(R, C) -> (R//2, C//2): keep even rows and even cols."""
+    xr = _row_deinterleave(x)
+    return _row_deinterleave(xr.T).T
+
+
+def _interleave2(ee, oe, eo, oo):
+    """Four phase arrays (R, C) -> (2R, 2C) with out[2i+a, 2j+b]=phase[a][b]."""
+    even_cols = _row_interleave(ee, oe)        # (2R, C): rows interleaved
+    odd_cols = _row_interleave(eo, oo)         # (2R, C)
+    return _row_interleave(even_cols.T, odd_cols.T).T  # interleave columns
+
+
+def _fw_aggregate(r):
+    """Full-weighting aggregate (4r + 2*edges + corners)/4 at every node."""
+    R, C = r.shape
+    up = pltpu.roll(r, 1, 0)
+    dn = pltpu.roll(r, R - 1, 0)
+    row3 = up + 2.0 * r + dn
+    return 0.25 * (pltpu.roll(row3, 1, 1) + 2.0 * row3
+                   + pltpu.roll(row3, C - 1, 1))
+
+
+def _bilinear_prolong(c):
+    """(R, C) coarse -> (2R, 2C) fine bilinear interpolation.
+
+    fine[2i,2j]=c[i,j]; fine[2i+1,2j]=(c[i,j]+c[i+1,j])/2; etc.  Uses rolls
+    for the +1 neighbor (wrap rows land outside the valid region, which the
+    caller's masks zero).
+    """
+    R, C = c.shape
+    cdn = pltpu.roll(c, R - 1, 0)              # c[i+1, j]
+    crt = pltpu.roll(c, C - 1, 1)              # c[i, j+1]
+    cdr = pltpu.roll(crt, R - 1, 0)            # c[i+1, j+1]
+    va = 0.5 * (c + cdn)
+    ha = 0.5 * (c + crt)
+    qa = 0.25 * (c + cdn + crt + cdr)
+    return _interleave2(c, va, ha, qa)
+
+
+def _step_fn(smoother, omega):
+    if smoother == "jacobi":
+        return _jacobi_step(float(omega))
+    elif smoother == "rbgs":
+        return _rbgs_step()
+    raise ValueError(smoother)
+
+
+def _masks(rf0, cf0, WR, WC, n):
+    gi = jax.lax.broadcasted_iota(jnp.int32, (WR, WC), 0) + rf0
+    gj = jax.lax.broadcasted_iota(jnp.int32, (WR, WC), 1) + cf0
+    interior = (gi >= 1) & (gi <= n - 1) & (gj >= 1) & (gj <= n - 1)
+    return interior, (gi + gj) % 2
+
+
+# ---------------------------------------------------------------------------
+# K1: pre-smooth + residual + full-weighting restrict
+# ---------------------------------------------------------------------------
+
+def _smooth_restrict(u, b, *, n, Sc, steps, smoother, omega):
+    """Returns (u', rc): u after ``steps`` smoothing steps, and the
+    restricted residual on the (Sc, Sc) coarse grid.  ~3.3 HBM passes.
+
+    Replaces the reference's smooth -> residual-gemv-chain -> host-loop
+    restriction sequence (``Poissons_SYCL.cpp:581,604-611``).
+    """
+    S = u.shape[-1]
+    dtype = u.dtype
+    tr, tc, hr, hc = _geom(S)
+    WFr, WFc = tr + 2 * hr, tc + 2 * hc
+    nr = pl.cdiv(S, tr)
+    ncols = pl.cdiv(S, tc)
+    nt = nr * ncols
+    nc_cells = n // 2
+    step = _step_fn(smoother, omega)
+
+    def kernel(u_hbm, b_hbm, out_u, out_rc, u_buf, b_buf, rc_buf,
+               in_sem, out_sem):
+        def coords(t):
+            ti = t // ncols
+            tj = t % ncols
+            ro = pl.multiple_of(jnp.clip(ti * tr, 0, S - tr), 16)
+            co = pl.multiple_of(jnp.clip(tj * tc, 0, S - tc), 256)
+            rf0 = pl.multiple_of(jnp.clip(ro - hr, 0, S - WFr), 16)
+            cf0 = pl.multiple_of(jnp.clip(co - hc, 0, S - WFc), 256)
+            return ro, co, rf0, cf0
+
+        def in_dmas(slot, t):
+            _, _, rf0, cf0 = coords(t)
+            return (
+                pltpu.make_async_copy(
+                    u_hbm.at[pl.ds(rf0, WFr), pl.ds(cf0, WFc)],
+                    u_buf.at[slot], in_sem.at[slot, 0]),
+                pltpu.make_async_copy(
+                    b_hbm.at[pl.ds(rf0, WFr), pl.ds(cf0, WFc)],
+                    b_buf.at[slot], in_sem.at[slot, 1]),
+            )
+
+        def out_dmas(slot, t):
+            ro, co, rf0, cf0 = coords(t)
+            off_r = pl.multiple_of(ro - rf0, 16)
+            off_c = pl.multiple_of(co - cf0, 256)
+            return (
+                pltpu.make_async_copy(
+                    u_buf.at[slot, pl.ds(off_r, tr), pl.ds(off_c, tc)],
+                    out_u.at[pl.ds(ro, tr), pl.ds(co, tc)],
+                    out_sem.at[slot, 0]),
+                pltpu.make_async_copy(
+                    rc_buf.at[slot,
+                              pl.ds(pl.multiple_of(off_r // 2, 8), tr // 2),
+                              pl.ds(pl.multiple_of(off_c // 2, 128), tc // 2)],
+                    out_rc.at[pl.ds(pl.multiple_of(ro // 2, 8), tr // 2),
+                              pl.ds(pl.multiple_of(co // 2, 128), tc // 2)],
+                    out_sem.at[slot, 1]),
+            )
+
+        for d in in_dmas(0, 0):
+            d.start()
+
+        def body(t, carry):
+            slot = t % 2
+            nxt = 1 - slot
+
+            @pl.when(t >= 1)
+            def _():
+                for d in out_dmas(nxt, t - 1):
+                    d.wait()
+
+            @pl.when(t + 1 < nt)
+            def _():
+                for d in in_dmas(nxt, t + 1):
+                    d.start()
+
+            for d in in_dmas(slot, t):
+                d.wait()
+
+            _, _, rf0, cf0 = coords(t)
+            interior, parity = _masks(rf0, cf0, WFr, WFc, n)
+            state = u_buf[slot]
+            bwin = b_buf[slot]
+            for j in range(steps):
+                state = step(state, bwin, interior, parity, j)
+            u_buf[slot] = state
+            r = _residual_of(state, bwin, interior)
+            # Full-weighting + even-even subsample; mask with coarse coords.
+            rc = _even2(_fw_aggregate(r))
+            gi = (jax.lax.broadcasted_iota(jnp.int32, (WFr // 2, WFc // 2), 0)
+                  + rf0 // 2)
+            gj = (jax.lax.broadcasted_iota(jnp.int32, (WFr // 2, WFc // 2), 1)
+                  + cf0 // 2)
+            cmask = ((gi >= 1) & (gi <= nc_cells - 1)
+                     & (gj >= 1) & (gj <= nc_cells - 1))
+            rc_buf[slot] = jnp.where(cmask, rc, jnp.zeros((), dtype))
+
+            for d in out_dmas(slot, t):
+                d.start()
+            return carry
+
+        jax.lax.fori_loop(0, nt, body, 0)
+        for d in out_dmas((nt - 1) % 2, nt - 1):
+            d.wait()
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((S, S), dtype),
+                   jax.ShapeDtypeStruct((Sc, Sc), dtype)),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+                  pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=(pl.BlockSpec(memory_space=pltpu.ANY),
+                   pl.BlockSpec(memory_space=pltpu.ANY)),
+        scratch_shapes=[
+            pltpu.VMEM((2, WFr, WFc), dtype),
+            pltpu.VMEM((2, WFr, WFc), dtype),
+            pltpu.VMEM((2, WFr // 2, WFc // 2), dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=int(nt * WFr * WFc * (8 * steps + 16)),
+            bytes_accessed=int(S * S * 4 * 3.3),
+            transcendentals=0,
+        ),
+    )(u, b)
+
+
+# ---------------------------------------------------------------------------
+# K2: prolong + add correction + post-smooth
+# ---------------------------------------------------------------------------
+
+def _prolong_smooth(u, b, ec, *, n, steps, smoother, omega):
+    """u <- smooth(u + P e_c, b, steps).  ~3.3 HBM passes.
+
+    Replaces the reference's host-loop ``interpolation2d`` + device
+    ``vm::add`` + post-smoothing chain (``Poissons_SYCL.cpp:620-625``).
+    """
+    S = u.shape[-1]
+    Sc = ec.shape[-1]
+    dtype = u.dtype
+    tr, tc, hr, hc = _geom(S)
+    # Coarse window: its 2x prolongation IS the fine working window.
+    Wrc, Wcc = tr // 2 + hr, tc // 2 + hc          # fine window = (2Wrc, 2Wcc)
+    WFr, WFc = 2 * Wrc, 2 * Wcc
+    nr = pl.cdiv(S, tr)
+    ncols = pl.cdiv(S, tc)
+    nt = nr * ncols
+    step = _step_fn(smoother, omega)
+
+    def kernel(u_hbm, b_hbm, ec_hbm, out_u, u_buf, b_buf, c_buf,
+               in_sem, out_sem):
+        def coords(t):
+            ti = t // ncols
+            tj = t % ncols
+            ro = pl.multiple_of(jnp.clip(ti * tr, 0, S - tr), 16)
+            co = pl.multiple_of(jnp.clip(tj * tc, 0, S - tc), 256)
+            # Coarse window origin; fine window origin is exactly 2x it and
+            # must stay inside [0, S] (the upper bound (S - WFr)//2 also
+            # keeps the coarse window inside Sc, since 2*Sc >= S).
+            r0c = pl.multiple_of(
+                jnp.clip(ro // 2 - hr // 2, 0, (S - WFr) // 2), 8)
+            c0c = pl.multiple_of(
+                jnp.clip(co // 2 - hc // 2, 0, (S - WFc) // 2), 128)
+            return ro, co, r0c, c0c
+
+        def in_dmas(slot, t):
+            _, _, r0c, c0c = coords(t)
+            rf0 = pl.multiple_of(2 * r0c, 16)
+            cf0 = pl.multiple_of(2 * c0c, 256)
+            return (
+                pltpu.make_async_copy(
+                    u_hbm.at[pl.ds(rf0, WFr), pl.ds(cf0, WFc)],
+                    u_buf.at[slot], in_sem.at[slot, 0]),
+                pltpu.make_async_copy(
+                    b_hbm.at[pl.ds(rf0, WFr), pl.ds(cf0, WFc)],
+                    b_buf.at[slot], in_sem.at[slot, 1]),
+                pltpu.make_async_copy(
+                    ec_hbm.at[pl.ds(r0c, Wrc), pl.ds(c0c, Wcc)],
+                    c_buf.at[slot], in_sem.at[slot, 2]),
+            )
+
+        def out_dma(slot, t):
+            ro, co, r0c, c0c = coords(t)
+            off_r = pl.multiple_of(ro - 2 * r0c, 16)
+            off_c = pl.multiple_of(co - 2 * c0c, 256)
+            return pltpu.make_async_copy(
+                u_buf.at[slot, pl.ds(off_r, tr), pl.ds(off_c, tc)],
+                out_u.at[pl.ds(ro, tr), pl.ds(co, tc)],
+                out_sem.at[slot])
+
+        for d in in_dmas(0, 0):
+            d.start()
+
+        def body(t, carry):
+            slot = t % 2
+            nxt = 1 - slot
+
+            @pl.when(t >= 1)
+            def _():
+                out_dma(nxt, t - 1).wait()
+
+            @pl.when(t + 1 < nt)
+            def _():
+                for d in in_dmas(nxt, t + 1):
+                    d.start()
+
+            for d in in_dmas(slot, t):
+                d.wait()
+
+            _, _, r0c, c0c = coords(t)
+            rf0, cf0 = 2 * r0c, 2 * c0c
+            interior, parity = _masks(rf0, cf0, WFr, WFc, n)
+            corr = _bilinear_prolong(c_buf[slot])
+            state = jnp.where(interior, u_buf[slot] + corr,
+                              jnp.zeros((), dtype))
+            bwin = b_buf[slot]
+            for j in range(steps):
+                state = step(state, bwin, interior, parity, j)
+            u_buf[slot] = state
+            out_dma(slot, t).start()
+            return carry
+
+        jax.lax.fori_loop(0, nt, body, 0)
+        out_dma((nt - 1) % 2, nt - 1).wait()
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((S, S), dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 3,
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, WFr, WFc), dtype),
+            pltpu.VMEM((2, WFr, WFc), dtype),
+            pltpu.VMEM((2, Wrc, Wcc), dtype),
+            pltpu.SemaphoreType.DMA((2, 3)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=int(nt * WFr * WFc * (8 * steps + 12)),
+            bytes_accessed=int(S * S * 4 * 3.3),
+            transcendentals=0,
+        ),
+    )(u, b, ec)
+
+
+# ---------------------------------------------------------------------------
+# Public jitted entry points
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit,
+                   static_argnames=("n", "Sc", "sweeps", "smoother", "omega"))
+def smooth_restrict(u, b, n: int, Sc: int, sweeps: int,
+                    smoother: str = "jacobi", omega: float = 2.0 / 3.0):
+    """sweeps pre-smoothing sweeps, then residual + FW restriction."""
+    steps = 2 * sweeps if smoother == "rbgs" else sweeps
+    un, rc = _smooth_restrict(u, b, n=n, Sc=Sc, steps=steps,
+                              smoother=smoother, omega=omega)
+    # The kernel's tile grid covers coarse indices [0, S/2); zero the
+    # remaining (non-physical) tail so the zero-outside-interior invariant
+    # holds for downstream ops.
+    S = u.shape[-1]
+    half = S // 2
+    if Sc > half:
+        zr = jnp.zeros((Sc - half, Sc), un.dtype)
+        zc = jnp.zeros((half, Sc - half), un.dtype)
+        rc = jax.lax.dynamic_update_slice(rc, zr, (half, 0))
+        rc = jax.lax.dynamic_update_slice(rc, zc, (0, half))
+    return un, rc
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n", "sweeps", "smoother", "omega"))
+def prolong_smooth(u, b, ec, n: int, sweeps: int,
+                   smoother: str = "jacobi", omega: float = 2.0 / 3.0):
+    """u <- smooth(u + P e_c, b) with `sweeps` post-smoothing sweeps."""
+    steps = 2 * sweeps if smoother == "rbgs" else sweeps
+    return _prolong_smooth(u, b, ec, n=n, steps=steps,
+                           smoother=smoother, omega=omega)
