@@ -1,0 +1,89 @@
+"""Native C++ host library vs scipy oracle and the matrix-free TPU ops."""
+
+import numpy as np
+import pytest
+
+from tpu_multigrid import native, oracle
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="native library unavailable")
+
+
+def test_native_poisson_assembly_matches_scipy():
+    import scipy.sparse as sp
+    n = 32
+    indptr, indices, data = native.assemble_csr(n)
+    a = sp.csr_matrix((data, indices, indptr),
+                      shape=((n - 1) ** 2, (n - 1) ** 2))
+    want = oracle.poisson_matrix(n)
+    assert (a != want).nnz == 0 or abs(a - want).max() < 1e-14
+
+
+def test_native_diffusion_assembly_matches_scipy(rng):
+    import scipy.sparse as sp
+    n = 16
+    cells = 1.0 + rng.random((n, n))
+    indptr, indices, data = native.assemble_csr(n, cells)
+    a = sp.csr_matrix((data, indices, indptr),
+                      shape=((n - 1) ** 2, (n - 1) ** 2))
+    want = oracle.diffusion_matrix(n, cells)
+    assert abs(a - want).max() < 1e-13
+
+
+def test_native_coo_to_csr_merges_duplicates():
+    # Duplicate entries must be SUMMED in double precision — the reference's
+    # merge truncated float values to int (Poissons_SYCL.cpp:93).
+    rows = 3
+    coo_i = [0, 0, 1, 2, 2, 2]
+    coo_j = [1, 1, 0, 2, 2, 0]
+    coo_v = [0.25, 0.5, 1.5, 0.1, 0.2, -1.0]
+    indptr, indices, data = native.coo_to_csr(rows, coo_i, coo_j, coo_v)
+    assert list(indptr) == [0, 1, 2, 4]
+    assert list(indices) == [1, 0, 0, 2]
+    np.testing.assert_allclose(data, [0.75, 1.5, -1.0, 0.30000000000000004])
+
+
+def test_native_rhs_matches_reference_semantics():
+    n = 16
+    b = native.assemble_rhs(n)
+    np.testing.assert_allclose(b, 4.0 / n**2)
+    f = np.arange((n - 1) ** 2, dtype=np.float64)
+    b2 = native.assemble_rhs(n, f)
+    np.testing.assert_allclose(b2, f / n**2)
+
+
+def test_native_spmv_and_residual(rng):
+    n = 16
+    m = (n - 1) ** 2
+    indptr, indices, data = native.assemble_csr(n)
+    x = rng.standard_normal(m)
+    y = native.spmv(indptr, indices, data, x)
+    want = oracle.poisson_matrix(n) @ x
+    np.testing.assert_allclose(y, want, rtol=1e-13)
+    b = rng.standard_normal(m)
+    rn = native.residual_norm(indptr, indices, data, x, b)
+    np.testing.assert_allclose(rn, np.linalg.norm(b - want), rtol=1e-13)
+
+
+def test_native_solve_matches_framework():
+    """End-to-end: CG-free sanity — direct-solve the native CSR system and
+    compare with the framework's multigrid solution."""
+    import jax.numpy as jnp
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as spla
+
+    from tpu_multigrid import MultigridConfig, solve_poisson
+    from tpu_multigrid.api import extract_solution
+
+    n = 32
+    indptr, indices, data = native.assemble_csr(n)
+    a = sp.csr_matrix((data, indices, indptr),
+                      shape=((n - 1) ** 2, (n - 1) ** 2))
+    b = native.assemble_rhs(n)
+    direct = spla.spsolve(a.tocsc(), b).reshape(n - 1, n - 1)
+
+    cfg = MultigridConfig(finest_level=5, coarsest_level=3, dtype=jnp.float64)
+    res = solve_poisson(5, config=cfg, tol=1e-12, max_cycles=50)
+    u = np.asarray(extract_solution(res.u, n))[1:n, 1:n]
+    rel = np.linalg.norm(u - direct) / np.linalg.norm(direct)
+    assert rel < 1e-10, rel

@@ -290,3 +290,58 @@ def test_diffusion_smoother_fixed_point(rng):
         v2 = op.smooth(v, b, smoother=smoother, omega=2 / 3, sweeps=3)
         np.testing.assert_allclose(np.asarray(v2), np.asarray(v),
                                    rtol=1e-12, atol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# Reference-v2 transfer variants (injection restriction, P1 prolongation)
+# ---------------------------------------------------------------------------
+
+def test_restrict_injection_matches_numpy(rng):
+    nf, Sf, nc, Sc = 16, 17, 8, 9
+    r = random_interior(nf, Sf, rng)
+    got = np.asarray(ops.restrict_injection(r, nf, Sc))
+    want = np.zeros((Sc, Sc))
+    rn = np.asarray(r)
+    for i in range(1, nc):
+        for j in range(1, nc):
+            want[i, j] = 4.0 * rn[2 * i, 2 * j]
+    np.testing.assert_allclose(got, want, rtol=1e-13, atol=1e-14)
+
+
+def test_prolong_p1_matches_numpy(rng):
+    nc, Sc, nf, Sf = 8, 9, 16, 17
+    e = random_interior(nc, Sc, rng)
+    got = np.asarray(ops.prolong_p1(e, nc, Sf))
+    en = np.asarray(e)
+    want = np.zeros((Sf, Sf))
+    for i in range(nc + 1):
+        for j in range(nc + 1):
+            want[2 * i, 2 * j] = en[i, j]
+    for i in range(nc):
+        for j in range(nc + 1):
+            want[2 * i + 1, 2 * j] = 0.5 * (en[i, j] + en[i + 1, j])
+    for i in range(nc + 1):
+        for j in range(nc):
+            want[2 * i, 2 * j + 1] = 0.5 * (en[i, j] + en[i, j + 1])
+    for i in range(nc):
+        for j in range(nc):
+            # diagonal edge midpoint: endpoints (i+1, j) and (i, j+1)
+            want[2 * i + 1, 2 * j + 1] = 0.5 * (en[i + 1, j] + en[i, j + 1])
+    want[0, :] = want[-1, :] = want[:, 0] = want[:, -1] = 0
+    np.testing.assert_allclose(got, want, rtol=1e-13, atol=1e-14)
+
+
+def test_v2_transfer_cycle_converges():
+    """The reference-v2 operator pair (injection + P1) still yields a
+    convergent (if slower) multigrid cycle."""
+    import jax
+    from tpu_multigrid import MultigridConfig, PoissonProblem, solve_fixed
+
+    cfg = MultigridConfig(finest_level=5, coarsest_level=3,
+                          restriction="injection", prolongation="p1",
+                          nu1=3, nu2=3, dtype=jnp.float64)
+    prob = PoissonProblem(cfg)
+    b = prob.rhs()
+    res = jax.jit(lambda b: solve_fixed(prob.hierarchy, cfg, b, 10))(b)
+    h = np.asarray(res.res_history)
+    assert h[10] < 1e-3 * h[0], h

@@ -55,6 +55,11 @@ class MultigridConfig:
     coarse_solver: str = "direct"     # "direct" | "smooth"
     coarse_smooth_sweeps: int = 10
     fmg_rhs: str = "restrict"         # "restrict" | "assemble"
+    # Transfer operators.  "fw" + "bilinear" are the textbook (and fused-
+    # kernel) pair; "injection" + "p1" reproduce the reference's WIP library
+    # semantics (Multigrid_functions.cpp:98-130).
+    restriction: str = "fw"           # "fw" | "injection"
+    prolongation: str = "bilinear"    # "bilinear" | "p1"
     dtype: Any = jnp.float32          # residual / correction / transfer dtype
     smooth_dtype: Optional[Any] = None  # e.g. jnp.bfloat16 for mixed precision
     use_pallas: bool = False          # fused Pallas smoother/residual kernels
@@ -78,6 +83,10 @@ class MultigridConfig:
             raise ValueError(f"unknown coarse_solver {self.coarse_solver!r}")
         if self.fmg_rhs not in ("restrict", "assemble"):
             raise ValueError(f"unknown fmg_rhs {self.fmg_rhs!r}")
+        if self.restriction not in ("fw", "injection"):
+            raise ValueError(f"unknown restriction {self.restriction!r}")
+        if self.prolongation not in ("bilinear", "p1"):
+            raise ValueError(f"unknown prolongation {self.prolongation!r}")
 
     @property
     def num_levels(self) -> int:

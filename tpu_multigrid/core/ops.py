@@ -244,6 +244,57 @@ def prolong(ec: jnp.ndarray, nc: int, Sf: int) -> jnp.ndarray:
     return mask_interior(f, nf)
 
 
+def restrict_injection(rf: jnp.ndarray, nf: int, Sc: int) -> jnp.ndarray:
+    """Injection restriction: coarse node takes the coinciding fine value.
+
+    Reference v2 semantics (``restriction2D``,
+    ``Multigrid_functions.cpp:122-130``): no weighting, coarse dof = fine
+    value at the same topological node.  Scaled by 4 to stay consistent with
+    the FEM (h-independent stencil) normalization, matching R = P^T's row
+    sum so constants transfer identically.
+    """
+    nc = nf // 2
+    w = jnp.zeros((3, 3), jnp.float32).at[1, 1].set(4.0)
+    coarse = _conv2d(rf, w, stride=2)
+    side = coarse.shape[-1]
+    if side >= Sc:
+        coarse = coarse[..., :Sc, :Sc]
+    else:
+        pad = Sc - side
+        coarse = jnp.pad(coarse,
+                         [(0, 0)] * (coarse.ndim - 2) + [(0, pad), (0, pad)])
+    return mask_interior(coarse, nc)
+
+
+def prolong_p1(ec: jnp.ndarray, nc: int, Sf: int) -> jnp.ndarray:
+    """P1 (triangular-element) prolongation: every fine node lies on a
+    coarse vertex or a coarse edge of the criss-cross triangulation.
+
+    Reference v2 semantics (``interpolation2D``,
+    ``Multigrid_functions.cpp:98-118``): vertex-coincident nodes inject;
+    edge-midpoint nodes average the edge's two endpoints — including the
+    odd-odd nodes, which sit on the *diagonal* edge and average its two
+    endpoints (c[i,j+1] and c[i+1,j] for the NE-SW diagonal), unlike
+    bilinear's 4-point average.
+    """
+    Sc = ec.shape[-1]
+    nf = 2 * nc
+    batch = ec.shape[:-2]
+    m = min(Sc, (Sf + 1) // 2)
+    e = ec[..., :m, :m]
+    f = jnp.zeros(batch + (Sf, Sf), ec.dtype)
+    lim = 2 * m - 1
+    f = f.at[..., 0:lim:2, 0:lim:2].set(e)
+    va = 0.5 * (e[..., :-1, :] + e[..., 1:, :])
+    f = f.at[..., 1 : lim - 1 : 2, 0:lim:2].set(va.astype(ec.dtype))
+    ha = 0.5 * (e[..., :, :-1] + e[..., :, 1:])
+    f = f.at[..., 0:lim:2, 1 : lim - 1 : 2].set(ha.astype(ec.dtype))
+    # Diagonal-edge midpoint: avg of the two diagonal endpoints.
+    da = 0.5 * (e[..., 1:, :-1] + e[..., :-1, 1:])
+    f = f.at[..., 1 : lim - 1 : 2, 1 : lim - 1 : 2].set(da.astype(ec.dtype))
+    return mask_interior(f, nf)
+
+
 def norm2(r: jnp.ndarray) -> jnp.ndarray:
     """Global L2 norm of a residual grid, returned as f32 (history dtype).
 

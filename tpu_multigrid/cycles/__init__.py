@@ -105,11 +105,25 @@ def _coarsest_solve(hier: Hierarchy, cfg: MultigridConfig, u, b):
     return _smooth(op, u, b, cfg, cfg.coarse_smooth_sweeps)
 
 
+def _restrict(r, nf, Sc, cfg: MultigridConfig):
+    if cfg.restriction == "injection":
+        return ops.restrict_injection(r, nf, Sc)
+    return ops.restrict_fw(r, nf, Sc)
+
+
+def _prolong(e, nc, Sf, cfg: MultigridConfig):
+    if cfg.prolongation == "p1":
+        return ops.prolong_p1(e, nc, Sf)
+    return ops.prolong(e, nc, Sf)
+
+
 def _use_super_kernels(op, opc, cfg: MultigridConfig, dtype) -> bool:
     """Whether the fused Pallas V-cycle super-kernels apply at this level."""
     if not (cfg.use_pallas and isinstance(op, ConstStencilOp)):
         return False
     if cfg.effective_smooth_dtype != dtype:
+        return False
+    if cfg.restriction != "fw" or cfg.prolongation != "bilinear":
         return False
     from ..kernels import transfer as _t
     mult = 2 if cfg.smoother == "rbgs" else 1
@@ -140,7 +154,7 @@ def cycle(hier: Hierarchy, cfg: MultigridConfig, u, b, k: int = 0):
                                    cfg.smoother, cfg.omega)
     else:
         u, r = _smooth_residual(op, u, b, cfg, cfg.nu1)
-        rc = ops.restrict_fw(r, op.n, opc.S)
+        rc = _restrict(r, op.n, opc.S, cfg)
     ec = jnp.zeros((opc.S, opc.S), u.dtype)
     if cfg.cycle == "V":
         ec = cycle(hier, cfg, ec, rc, k + 1)
@@ -155,7 +169,7 @@ def cycle(hier: Hierarchy, cfg: MultigridConfig, u, b, k: int = 0):
         u = _t.prolong_smooth(u, b, ec, op.n, cfg.nu2,
                               cfg.smoother, cfg.omega)
     else:
-        u = u + ops.prolong(ec, opc.n, op.S)
+        u = u + _prolong(ec, opc.n, op.S, cfg)
         u = _smooth(op, u, b, cfg, cfg.nu2)
     return u
 
@@ -184,7 +198,7 @@ def fmg_rhs_hierarchy(hier: Hierarchy, cfg: MultigridConfig, b_fine,
         return list(b_levels)
     bs = [b_fine]
     for k in range(hier.num_levels - 1):
-        bs.append(ops.restrict_fw(bs[-1], hier.levels[k].n, hier.levels[k + 1].S))
+        bs.append(_restrict(bs[-1], hier.levels[k].n, hier.levels[k + 1].S, cfg))
     return bs
 
 
@@ -203,7 +217,7 @@ def fmg(hier: Hierarchy, cfg: MultigridConfig, b_fine,
     for _ in range(max(cfg.nu0 - 1, 0) if cfg.coarse_solver == "smooth" else 0):
         u = _coarsest_solve(hier, cfg, u, bs[kc])
     for k in range(kc - 1, -1, -1):
-        u = ops.prolong(u, hier.levels[k + 1].n, hier.levels[k].S)
+        u = _prolong(u, hier.levels[k + 1].n, hier.levels[k].S, cfg)
         for _ in range(cfg.nu0):
             u = cycle(hier, cfg, u, bs[k], k)
     return u
@@ -253,7 +267,8 @@ def solve_fixed(hier: Hierarchy, cfg: MultigridConfig, b, num_cycles: int,
 
 def solve_until_tol(hier: Hierarchy, cfg: MultigridConfig, b, *, tol: float,
                     max_cycles: int = 100, relative: bool = True,
-                    u0=None, stall_factor: float = 0.9) -> SolveResult:
+                    u0=None, stall_factor: float = 0.9,
+                    r0_norm=None) -> SolveResult:
     """Cycle until the residual norm drops below ``tol`` (relative to the
     initial residual by default), stalls, or ``max_cycles`` is hit.
 
@@ -270,7 +285,11 @@ def solve_until_tol(hier: Hierarchy, cfg: MultigridConfig, b, *, tol: float,
     op = hier.levels[0]
     u = u0 if u0 is not None else jnp.zeros((op.S, op.S), b.dtype)
     r0 = ops.norm2(op.residual(u, b))
-    target = tol * r0 if relative else jnp.asarray(tol, jnp.float32)
+    # ``r0_norm`` overrides the reference norm for the relative target —
+    # e.g. when resuming from a checkpoint, the original solve's initial
+    # residual, so the tolerance doesn't rebaseline to the resumed iterate.
+    rbase = jnp.asarray(r0_norm, jnp.float32) if r0_norm is not None else r0
+    target = tol * rbase if relative else jnp.asarray(tol, jnp.float32)
     target = jnp.maximum(target, jnp.asarray(0.0, jnp.float32))
 
     hist = jnp.full((max_cycles + 1,), jnp.nan, jnp.float32)

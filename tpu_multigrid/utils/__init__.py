@@ -1,0 +1,9 @@
+from .checkpoint import load_state, restore_solve, save_state, SolveState
+from .logging import get_logger, log_solve
+from .profiling import CycleStats, profile_solve, trace_annotate
+
+__all__ = [
+    "SolveState", "save_state", "load_state", "restore_solve",
+    "get_logger", "log_solve",
+    "CycleStats", "profile_solve", "trace_annotate",
+]
