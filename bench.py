@@ -37,12 +37,18 @@ def vcycle_traffic_bytes(sizes, nu1, nu2, itemsize):
     return total
 
 
-def run_bench(level, cycles, nu1, nu2, smoother, use_pallas, dtype, repeats):
+def run_bench(level, cycles, nu1, nu2, smoother, use_pallas, dtype, repeats,
+              coarsest=None):
     from tpu_multigrid import MultigridConfig, PoissonProblem, cycle
     from tpu_multigrid.core.grids import level_sizes
 
+    if coarsest is None:
+        # Deep hierarchies pay per-level fixed costs on the tiny levels;
+        # truncating at 33^2 (level 5) with the exact dense coarse solve is
+        # the standard choice and does not change the convergence factor.
+        coarsest = 5 if level >= 8 else min(3, level - 1)
     cfg = MultigridConfig(
-        finest_level=level, coarsest_level=min(3, level - 1) if level <= 3 else 3,
+        finest_level=level, coarsest_level=coarsest,
         nu1=nu1, nu2=nu2, smoother=smoother, dtype=dtype,
         use_pallas=use_pallas)
     # 256-alignment makes every Pallas super-kernel DMA statically tiled
@@ -111,6 +117,8 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--level", type=int, default=13,
                    help="finest level (13 -> 8193^2, the BASELINE config)")
+    p.add_argument("--coarsest", type=int, default=None,
+                   help="coarsest level (default: 5 for level>=8)")
     p.add_argument("--cycles", type=int, default=10)
     p.add_argument("--repeats", type=int, default=3)
     p.add_argument("--nu1", type=int, default=2)
@@ -134,12 +142,13 @@ def main():
     try:
         stats = run_bench(args.level, args.cycles, args.nu1, args.nu2,
                           args.smoother, use_pallas, jnp.float32,
-                          args.repeats)
+                          args.repeats, coarsest=args.coarsest)
     except Exception:
         if use_pallas:
             # Fall back to the pure-XLA path rather than report nothing.
             stats = run_bench(args.level, args.cycles, args.nu1, args.nu2,
-                              args.smoother, False, jnp.float32, args.repeats)
+                              args.smoother, False, jnp.float32,
+                              args.repeats, coarsest=args.coarsest)
             stats["pallas_fallback"] = True
         else:
             raise

@@ -179,6 +179,34 @@ def _vcycle_only(hier, cfg, u, b, k):
     return cycle(hier, vcfg, u, b, k)
 
 
+def cycle_with_norm(hier: Hierarchy, cfg: MultigridConfig, u, b):
+    """One finest-level cycle + the post-cycle residual norm.
+
+    On the Pallas path the norm is fused into the final
+    prolong+correct+smooth kernel (zero extra HBM traffic); otherwise it is
+    one residual + norm pass.  Used by the until-tol/fixed solve drivers.
+    """
+    if hier.num_levels == 1:
+        u = _coarsest_solve(hier, cfg, u, b)
+        return u, ops.norm2(hier.levels[0].residual(u, b))
+    op = hier.levels[0]
+    opc = hier.levels[1]
+    if _use_super_kernels(op, opc, cfg, u.dtype):
+        from ..kernels import transfer as _t
+        u, rc = _t.smooth_restrict(u, b, op.n, opc.S, cfg.nu1,
+                                   cfg.smoother, cfg.omega)
+        ec = jnp.zeros((opc.S, opc.S), u.dtype)
+        ec = cycle(hier, cfg, ec, rc, 1)
+        if cfg.cycle == "W":
+            ec = cycle(hier, cfg, ec, rc, 1)
+        elif cfg.cycle == "F":
+            ec = _vcycle_only(hier, cfg, ec, rc, 1)
+        return _t.prolong_smooth_resnorm(u, b, ec, op.n, cfg.nu2,
+                                         cfg.smoother, cfg.omega)
+    u = cycle(hier, cfg, u, b)
+    return u, ops.norm2(_residual(op, u, b, cfg))
+
+
 # ---------------------------------------------------------------------------
 # Full multigrid
 # ---------------------------------------------------------------------------
@@ -255,8 +283,8 @@ def solve_fixed(hier: Hierarchy, cfg: MultigridConfig, b, num_cycles: int,
 
     def body(i, carry):
         u, hist = carry
-        u = cycle(hier, cfg, u, b)
-        hist = hist.at[i + 1].set(ops.norm2(op.residual(u, b)))
+        u, rnorm = cycle_with_norm(hier, cfg, u, b)
+        hist = hist.at[i + 1].set(rnorm)
         return u, hist
 
     u, hist = jax.lax.fori_loop(0, num_cycles, body, (u, hist))
@@ -302,8 +330,7 @@ def solve_until_tol(hier: Hierarchy, cfg: MultigridConfig, b, *, tol: float,
 
     def body(carry):
         u, i, rnorm, _, hist = carry
-        u = cycle(hier, cfg, u, b)
-        rnew = ops.norm2(op.residual(u, b))
+        u, rnew = cycle_with_norm(hier, cfg, u, b)
         hist = hist.at[i + 1].set(rnew)
         return u, i + 1, rnew, rnorm, hist
 

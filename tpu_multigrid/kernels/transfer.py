@@ -28,13 +28,16 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .stencil import _jacobi_step, _rbgs_step, _residual_of
+from .stencil import _jacobi_step, _nbr, _rbgs_step, _residual_of
 
 # Fine-grid tile (TR, TC) with halos (HR, HC); all chosen so tile origins
 # are multiples of (16, 256) and halos keep window origins on the same grid.
 # When the grid is smaller than tile+halo along an axis, that axis falls
 # back to full extent with no halo (the window covers the whole axis).
-TR, TC = 256, 1024
+# HC must be a multiple of 256 (coarse-side offsets need lane alignment
+# after halving), so the column-halo tax is amortized with a wide TC:
+# (TC+2*HC)/TC = 1.25 at TC=2048 vs 1.5 at 1024.
+TR, TC = 256, 2048
 HR, HC = 16, 256
 
 
@@ -266,11 +269,17 @@ def _smooth_restrict(u, b, *, n, Sc, steps, smoother, omega):
 # K2: prolong + add correction + post-smooth
 # ---------------------------------------------------------------------------
 
-def _prolong_smooth(u, b, ec, *, n, steps, smoother, omega):
+def _prolong_smooth(u, b, ec, *, n, steps, smoother, omega,
+                    want_resnorm=False):
     """u <- smooth(u + P e_c, b, steps).  ~3.3 HBM passes.
 
     Replaces the reference's host-loop ``interpolation2d`` + device
     ``vm::add`` + post-smoothing chain (``Poissons_SYCL.cpp:620-625``).
+
+    ``want_resnorm``: additionally return the squared L2 norm of the
+    post-smooth residual (a (1, 1) f32), accumulated tile-by-tile over each
+    tile's disjoint claim region — this fuses the until-tol convergence
+    check into the kernel, saving a separate residual+norm pass per cycle.
     """
     S = u.shape[-1]
     Sc = ec.shape[-1]
@@ -284,8 +293,8 @@ def _prolong_smooth(u, b, ec, *, n, steps, smoother, omega):
     nt = nr * ncols
     step = _step_fn(smoother, omega)
 
-    def kernel(u_hbm, b_hbm, ec_hbm, out_u, u_buf, b_buf, c_buf,
-               in_sem, out_sem):
+    def kernel(u_hbm, b_hbm, ec_hbm, out_u, out_ss, u_buf, b_buf, c_buf,
+               ss_acc, in_sem, out_sem):
         def coords(t):
             ti = t // ncols
             tj = t % ncols
@@ -354,21 +363,44 @@ def _prolong_smooth(u, b, ec, *, n, steps, smoother, omega):
             for j in range(steps):
                 state = step(state, bwin, interior, parity, j)
             u_buf[slot] = state
+            if want_resnorm:
+                # Accumulate ||b - A u||^2 over this tile's disjoint claim
+                # region (unclamped bounds, so edge-overlap regions are not
+                # double-counted).
+                ti = t // ncols
+                tj = t % ncols
+                gi = (jax.lax.broadcasted_iota(jnp.int32, (WFr, WFc), 0)
+                      + rf0)
+                gj = (jax.lax.broadcasted_iota(jnp.int32, (WFr, WFc), 1)
+                      + cf0)
+                claim = (interior
+                         & (gi >= ti * tr) & (gi < (ti + 1) * tr)
+                         & (gj >= tj * tc) & (gj < (tj + 1) * tc))
+                r = jnp.where(claim, bwin - 4.0 * state + _nbr(state),
+                              jnp.zeros((), dtype)).astype(jnp.float32)
+                ss_acc[0, 0] = ss_acc[0, 0] + jnp.sum(r * r)
             out_dma(slot, t).start()
             return carry
 
+        ss_acc[0, 0] = jnp.float32(0.0)
         jax.lax.fori_loop(0, nt, body, 0)
+        out_ss[0, 0] = ss_acc[0, 0]
         out_dma((nt - 1) % 2, nt - 1).wait()
 
+    out_shape = (jax.ShapeDtypeStruct((S, S), dtype),
+                 jax.ShapeDtypeStruct((1, 1), jnp.float32))
+    out_specs = (pl.BlockSpec(memory_space=pltpu.ANY),
+                 pl.BlockSpec(memory_space=pltpu.SMEM))
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((S, S), dtype),
+        out_shape=out_shape,
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 3,
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((2, WFr, WFc), dtype),
             pltpu.VMEM((2, WFr, WFc), dtype),
             pltpu.VMEM((2, Wrc, Wcc), dtype),
+            pltpu.SMEM((1, 1), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 3)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -414,5 +446,21 @@ def prolong_smooth(u, b, ec, n: int, sweeps: int,
                    smoother: str = "jacobi", omega: float = 2.0 / 3.0):
     """u <- smooth(u + P e_c, b) with `sweeps` post-smoothing sweeps."""
     steps = 2 * sweeps if smoother == "rbgs" else sweeps
-    return _prolong_smooth(u, b, ec, n=n, steps=steps,
-                           smoother=smoother, omega=omega)
+    un, _ = _prolong_smooth(u, b, ec, n=n, steps=steps,
+                            smoother=smoother, omega=omega)
+    return un
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n", "sweeps", "smoother", "omega"))
+def prolong_smooth_resnorm(u, b, ec, n: int, sweeps: int,
+                           smoother: str = "jacobi",
+                           omega: float = 2.0 / 3.0):
+    """Like :func:`prolong_smooth` but also returns ||b - A u'||_2, fusing
+    the until-tol convergence check into the kernel (zero extra HBM
+    traffic vs a separate residual + norm pass)."""
+    steps = 2 * sweeps if smoother == "rbgs" else sweeps
+    un, ss = _prolong_smooth(u, b, ec, n=n, steps=steps,
+                             smoother=smoother, omega=omega,
+                             want_resnorm=True)
+    return un, jnp.sqrt(ss[0, 0])
