@@ -70,11 +70,28 @@ def _tile_sizes(S: int, halo: int, dtype):
 # Step functions (applied to the full VMEM window each pseudo-sweep)
 # ---------------------------------------------------------------------------
 
+def _roll(x, shift: int, axis: int):
+    """Shape-preserving circular shift inside a kernel.
+
+    f32 uses ``pltpu.roll`` (tpu.dynamic_rotate); other dtypes use
+    concat-of-slices — Mosaic has no sub-32-bit rotate ("Rotate with
+    non-32-bit data"), so the bf16 path must avoid it.
+    """
+    size = x.shape[axis]
+    shift %= size
+    if shift == 0:
+        return x
+    if x.dtype == jnp.float32:
+        return pltpu.roll(x, shift, axis)
+    if axis == 0:
+        return jnp.concatenate([x[size - shift:, :], x[: size - shift, :]], 0)
+    return jnp.concatenate([x[:, size - shift:], x[:, : size - shift]], 1)
+
+
 def _nbr(x):
-    # pltpu.roll requires non-negative shifts; roll by size-1 == roll by -1.
     wr, wc = x.shape
-    return (pltpu.roll(x, 1, 0) + pltpu.roll(x, wr - 1, 0)
-            + pltpu.roll(x, 1, 1) + pltpu.roll(x, wc - 1, 1))
+    return (_roll(x, 1, 0) + _roll(x, wr - 1, 0)
+            + _roll(x, 1, 1) + _roll(x, wc - 1, 1))
 
 
 def _jacobi_step(omega):

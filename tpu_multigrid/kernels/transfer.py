@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .stencil import _jacobi_step, _nbr, _rbgs_step, _residual_of
+from .stencil import _jacobi_step, _nbr, _rbgs_step, _residual_of, _roll
 
 # Fine-grid tile (TR, TC) with halos (HR, HC); all chosen so tile origins
 # are multiples of (16, 256) and halos keep window origins on the same grid.
@@ -93,11 +93,8 @@ def _interleave2(ee, oe, eo, oo):
 def _fw_aggregate(r):
     """Full-weighting aggregate (4r + 2*edges + corners)/4 at every node."""
     R, C = r.shape
-    up = pltpu.roll(r, 1, 0)
-    dn = pltpu.roll(r, R - 1, 0)
-    row3 = up + 2.0 * r + dn
-    return 0.25 * (pltpu.roll(row3, 1, 1) + 2.0 * row3
-                   + pltpu.roll(row3, C - 1, 1))
+    row3 = _roll(r, 1, 0) + 2.0 * r + _roll(r, R - 1, 0)
+    return 0.25 * (_roll(row3, 1, 1) + 2.0 * row3 + _roll(row3, C - 1, 1))
 
 
 def _bilinear_prolong(c):
@@ -108,9 +105,9 @@ def _bilinear_prolong(c):
     caller's masks zero).
     """
     R, C = c.shape
-    cdn = pltpu.roll(c, R - 1, 0)              # c[i+1, j]
-    crt = pltpu.roll(c, C - 1, 1)              # c[i, j+1]
-    cdr = pltpu.roll(crt, R - 1, 0)            # c[i+1, j+1]
+    cdn = _roll(c, R - 1, 0)                   # c[i+1, j]
+    crt = _roll(c, C - 1, 1)                   # c[i, j+1]
+    cdr = _roll(crt, R - 1, 0)                 # c[i+1, j+1]
     va = 0.5 * (c + cdn)
     ha = 0.5 * (c + crt)
     qa = 0.25 * (c + cdn + crt + cdr)
