@@ -175,3 +175,28 @@ def test_full_pallas_vcycle_matches_jnp_cycle_interpret():
             outs.append(cycle(prob.hierarchy, cfg, u0, b))
     np.testing.assert_allclose(np.asarray(outs[1]), np.asarray(outs[0]),
                                rtol=1e-5, atol=1e-7)
+
+
+@pytest.mark.parametrize("S,Sc,n", SUPER_CASES)
+def test_standalone_restrict_pallas(S, Sc, n):
+    u, b = _grids(S, n)
+    with pltpu.force_tpu_interpret_mode():
+        got = T.restrict_fw_pallas(u, n, Sc)
+    want = ops.restrict_fw(u, n, Sc)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("S,Sc,n", SUPER_CASES)
+def test_standalone_prolong_add_pallas(S, Sc, n):
+    u, _ = _grids(S, n)
+    nc = n // 2
+    rng = np.random.default_rng(5)
+    e = np.zeros((Sc, Sc), np.float32)
+    e[1:nc, 1:nc] = rng.standard_normal((nc - 1, nc - 1))
+    e = jnp.asarray(e)
+    with pltpu.force_tpu_interpret_mode():
+        got = T.prolong_add_pallas(u, e, n)
+    want = ops.mask_interior(u + ops.prolong(e, nc, S), n)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)

@@ -105,9 +105,19 @@ def _coarsest_solve(hier: Hierarchy, cfg: MultigridConfig, u, b):
     return _smooth(op, u, b, cfg, cfg.coarse_smooth_sweeps)
 
 
+def _transfer_kernels_ok(Sf, Sc, cfg: MultigridConfig, dtype) -> bool:
+    if not cfg.use_pallas:
+        return False
+    from ..kernels import transfer as _t
+    return _t.supported(Sf, Sc, 0, dtype)
+
+
 def _restrict(r, nf, Sc, cfg: MultigridConfig):
     if cfg.restriction == "injection":
         return ops.restrict_injection(r, nf, Sc)
+    if _transfer_kernels_ok(r.shape[-1], Sc, cfg, r.dtype):
+        from ..kernels import transfer as _t
+        return _t.restrict_fw_pallas(r, nf, Sc)
     return ops.restrict_fw(r, nf, Sc)
 
 
@@ -115,6 +125,16 @@ def _prolong(e, nc, Sf, cfg: MultigridConfig):
     if cfg.prolongation == "p1":
         return ops.prolong_p1(e, nc, Sf)
     return ops.prolong(e, nc, Sf)
+
+
+def _prolong_add(u, e, nc, Sf, cfg: MultigridConfig):
+    """u + P e, via the standalone Pallas kernel when applicable (avoids
+    XLA's strided-scatter lowering on variable-coefficient levels)."""
+    if (cfg.prolongation == "bilinear"
+            and _transfer_kernels_ok(Sf, e.shape[-1], cfg, u.dtype)):
+        from ..kernels import transfer as _t
+        return _t.prolong_add_pallas(u, e, 2 * nc)
+    return u + _prolong(e, nc, Sf, cfg)
 
 
 def _use_super_kernels(op, opc, cfg: MultigridConfig, dtype) -> bool:
@@ -169,7 +189,7 @@ def cycle(hier: Hierarchy, cfg: MultigridConfig, u, b, k: int = 0):
         u = _t.prolong_smooth(u, b, ec, op.n, cfg.nu2,
                               cfg.smoother, cfg.omega)
     else:
-        u = u + _prolong(ec, opc.n, op.S, cfg)
+        u = _prolong_add(u, ec, opc.n, op.S, cfg)
         u = _smooth(op, u, b, cfg, cfg.nu2)
     return u
 

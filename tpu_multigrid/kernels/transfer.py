@@ -461,3 +461,208 @@ def prolong_smooth_resnorm(u, b, ec, n: int, sweeps: int,
                              smoother=smoother, omega=omega,
                              want_resnorm=True)
     return un, jnp.sqrt(ss[0, 0])
+
+
+# ---------------------------------------------------------------------------
+# Standalone transfer kernels (operator-independent)
+# ---------------------------------------------------------------------------
+#
+# Used where the fused super-kernels don't apply: variable-coefficient
+# levels (the smoother/residual runs elsewhere, but the transfers must
+# still avoid XLA's pathological strided lowering), FMG's upward solution
+# interpolation, and injection/P1 experiments.
+
+def _restrict_only(r, *, n, Sc):
+    """rc = FW-restrict(r): one streamed pass (read r, write rc)."""
+    S = r.shape[-1]
+    dtype = r.dtype
+    tr, tc, hr, hc = _geom(S)
+    WFr, WFc = tr + 2 * hr, tc + 2 * hc
+    nr = pl.cdiv(S, tr)
+    ncols = pl.cdiv(S, tc)
+    nt = nr * ncols
+    nc_cells = n // 2
+
+    def kernel(r_hbm, out_rc, r_buf, rc_buf, in_sem, out_sem):
+        def coords(t):
+            ti = t // ncols
+            tj = t % ncols
+            ro = pl.multiple_of(jnp.clip(ti * tr, 0, S - tr), 16)
+            co = pl.multiple_of(jnp.clip(tj * tc, 0, S - tc), 256)
+            rf0 = pl.multiple_of(jnp.clip(ro - hr, 0, S - WFr), 16)
+            cf0 = pl.multiple_of(jnp.clip(co - hc, 0, S - WFc), 256)
+            return ro, co, rf0, cf0
+
+        def in_dma(slot, t):
+            _, _, rf0, cf0 = coords(t)
+            return pltpu.make_async_copy(
+                r_hbm.at[pl.ds(rf0, WFr), pl.ds(cf0, WFc)],
+                r_buf.at[slot], in_sem.at[slot])
+
+        def out_dma(slot, t):
+            ro, co, rf0, cf0 = coords(t)
+            off_r = pl.multiple_of((ro - rf0) // 2, 8)
+            off_c = pl.multiple_of((co - cf0) // 2, 128)
+            return pltpu.make_async_copy(
+                rc_buf.at[slot, pl.ds(off_r, tr // 2), pl.ds(off_c, tc // 2)],
+                out_rc.at[pl.ds(pl.multiple_of(ro // 2, 8), tr // 2),
+                          pl.ds(pl.multiple_of(co // 2, 128), tc // 2)],
+                out_sem.at[slot])
+
+        in_dma(0, 0).start()
+
+        def body(t, carry):
+            slot = t % 2
+            nxt = 1 - slot
+
+            @pl.when(t >= 1)
+            def _():
+                out_dma(nxt, t - 1).wait()
+
+            @pl.when(t + 1 < nt)
+            def _():
+                in_dma(nxt, t + 1).start()
+
+            in_dma(slot, t).wait()
+            _, _, rf0, cf0 = coords(t)
+            rc = _even2(_fw_aggregate(r_buf[slot]))
+            gi = (jax.lax.broadcasted_iota(jnp.int32, (WFr // 2, WFc // 2), 0)
+                  + rf0 // 2)
+            gj = (jax.lax.broadcasted_iota(jnp.int32, (WFr // 2, WFc // 2), 1)
+                  + cf0 // 2)
+            cmask = ((gi >= 1) & (gi <= nc_cells - 1)
+                     & (gj >= 1) & (gj <= nc_cells - 1))
+            rc_buf[slot] = jnp.where(cmask, rc, jnp.zeros((), dtype))
+            out_dma(slot, t).start()
+            return carry
+
+        jax.lax.fori_loop(0, nt, body, 0)
+        out_dma((nt - 1) % 2, nt - 1).wait()
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((Sc, Sc), dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, WFr, WFc), dtype),
+            pltpu.VMEM((2, WFr // 2, WFc // 2), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(r)
+
+
+def _prolong_add_only(u, ec, *, n):
+    """u + P e_c as one streamed pass (the steps=0 K2 without b)."""
+    S = u.shape[-1]
+    Sc = ec.shape[-1]
+    dtype = u.dtype
+    tr, tc, hr, hc = _geom(S)
+    Wrc, Wcc = tr // 2 + hr, tc // 2 + hc
+    WFr, WFc = 2 * Wrc, 2 * Wcc
+    nr = pl.cdiv(S, tr)
+    ncols = pl.cdiv(S, tc)
+    nt = nr * ncols
+
+    def kernel(u_hbm, ec_hbm, out_u, u_buf, c_buf, in_sem, out_sem):
+        def coords(t):
+            ti = t // ncols
+            tj = t % ncols
+            ro = pl.multiple_of(jnp.clip(ti * tr, 0, S - tr), 16)
+            co = pl.multiple_of(jnp.clip(tj * tc, 0, S - tc), 256)
+            r0c = pl.multiple_of(
+                jnp.clip(ro // 2 - hr // 2, 0, (S - WFr) // 2), 8)
+            c0c = pl.multiple_of(
+                jnp.clip(co // 2 - hc // 2, 0, (S - WFc) // 2), 128)
+            return ro, co, r0c, c0c
+
+        def in_dmas(slot, t):
+            _, _, r0c, c0c = coords(t)
+            rf0 = pl.multiple_of(2 * r0c, 16)
+            cf0 = pl.multiple_of(2 * c0c, 256)
+            return (
+                pltpu.make_async_copy(
+                    u_hbm.at[pl.ds(rf0, WFr), pl.ds(cf0, WFc)],
+                    u_buf.at[slot], in_sem.at[slot, 0]),
+                pltpu.make_async_copy(
+                    ec_hbm.at[pl.ds(r0c, Wrc), pl.ds(c0c, Wcc)],
+                    c_buf.at[slot], in_sem.at[slot, 1]),
+            )
+
+        def out_dma(slot, t):
+            ro, co, r0c, c0c = coords(t)
+            off_r = pl.multiple_of(ro - 2 * r0c, 16)
+            off_c = pl.multiple_of(co - 2 * c0c, 256)
+            return pltpu.make_async_copy(
+                u_buf.at[slot, pl.ds(off_r, tr), pl.ds(off_c, tc)],
+                out_u.at[pl.ds(ro, tr), pl.ds(co, tc)],
+                out_sem.at[slot])
+
+        for d in in_dmas(0, 0):
+            d.start()
+
+        def body(t, carry):
+            slot = t % 2
+            nxt = 1 - slot
+
+            @pl.when(t >= 1)
+            def _():
+                out_dma(nxt, t - 1).wait()
+
+            @pl.when(t + 1 < nt)
+            def _():
+                for d in in_dmas(nxt, t + 1):
+                    d.start()
+
+            for d in in_dmas(slot, t):
+                d.wait()
+
+            _, _, r0c, c0c = coords(t)
+            rf0, cf0 = 2 * r0c, 2 * c0c
+            interior, _ = _masks(rf0, cf0, WFr, WFc, n)
+            corr = _bilinear_prolong(c_buf[slot])
+            u_buf[slot] = jnp.where(interior, u_buf[slot] + corr,
+                                    jnp.zeros((), dtype))
+            out_dma(slot, t).start()
+            return carry
+
+        jax.lax.fori_loop(0, nt, body, 0)
+        out_dma((nt - 1) % 2, nt - 1).wait()
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((S, S), dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2,
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, WFr, WFc), dtype),
+            pltpu.VMEM((2, Wrc, Wcc), dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(u, ec)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "Sc"))
+def restrict_fw_pallas(r, n: int, Sc: int):
+    """Standalone FW restriction (operator-independent)."""
+    rc = _restrict_only(r, n=n, Sc=Sc)
+    S = r.shape[-1]
+    half = S // 2
+    if Sc > half:
+        zr = jnp.zeros((Sc - half, Sc), rc.dtype)
+        zc = jnp.zeros((half, Sc - half), rc.dtype)
+        rc = jax.lax.dynamic_update_slice(rc, zr, (half, 0))
+        rc = jax.lax.dynamic_update_slice(rc, zc, (0, half))
+    return rc
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def prolong_add_pallas(u, ec, n: int):
+    """Standalone u + P e_c (operator-independent)."""
+    return _prolong_add_only(u, ec, n=n)
