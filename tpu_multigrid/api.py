@@ -42,8 +42,15 @@ def solve_poisson(
         config = MultigridConfig(finest_level=finest_level)
     elif config.finest_level != finest_level:
         config = dataclasses.replace(config, finest_level=finest_level)
-    problem = PoissonProblem(config, forcing=forcing)
+    problem = PoissonProblem(config, forcing=forcing, **_pad_kw(config))
     return _run(problem, config, tol, max_cycles, num_cycles, use_fmg, jit)
+
+
+def _pad_kw(config: MultigridConfig) -> dict:
+    """Pallas kernels need 256-aligned level padding (kernels/transfer.py)."""
+    if config.use_pallas:
+        return dict(align=256, min_pad_level=8)
+    return {}
 
 
 def solve_diffusion(
@@ -63,7 +70,8 @@ def solve_diffusion(
         config = MultigridConfig(finest_level=finest_level)
     elif config.finest_level != finest_level:
         config = dataclasses.replace(config, finest_level=finest_level)
-    problem = DiffusionProblem(config, coefficient=coefficient, forcing=forcing)
+    problem = DiffusionProblem(config, coefficient=coefficient,
+                               forcing=forcing, **_pad_kw(config))
     return _run(problem, config, tol, max_cycles, num_cycles, use_fmg, jit)
 
 

@@ -16,6 +16,8 @@ Two operator families cover the framework's problem classes:
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -201,17 +203,40 @@ def diffusion_op(cell_coeff: jnp.ndarray, n: int, S: int) -> VarStencilOp:
     return VarStencilOp(coef, inv_diag, n, S)
 
 
+def _setup_transfers(Sf: int, Sc: int, dt):
+    """Transfer pair for setup-time Galerkin probing.
+
+    On TPU with aligned f32 grids, use the Pallas streaming transfer
+    kernels — XLA's strided lowering makes eager jnp transfers take
+    ~seconds per probe at 4k^2+ (CLAUDE.md perf facts).
+    """
+    if jax.default_backend() == "tpu" and jnp.dtype(dt) == jnp.float32:
+        from ..kernels import transfer as _t
+        if _t.supported(Sf, Sc, 0, dt):
+            def pro(e, nc, S):
+                return _t.prolong_add_pallas(jnp.zeros((S, S), dt), e, 2 * nc)
+
+            def res(r, nf, Sc_):
+                return _t.restrict_fw_pallas(r, nf, Sc_)
+
+            return pro, res
+    return ops.prolong, ops.restrict_fw
+
+
+@functools.partial(jax.jit, static_argnames=("Sc",))
 def galerkin_coarsen(fine: VarStencilOp, Sc: int) -> VarStencilOp:
     """Coarse operator A_2h = R A_h P via the 9-comb probing trick.
 
     Applies ``R ∘ A ∘ P`` to nine coarse comb grids (ones on coarse nodes
     congruent to (p, q) mod 3) — each coarse node's 3x3 neighborhood contains
     exactly one comb node, so the nine responses separate all stencil
-    entries exactly.  Runs once at setup, entirely on device.
+    entries exactly.  Runs once at setup, entirely on device (jitted: the
+    nine probes compile into one program instead of ~30 eager dispatches).
     """
     nf, Sf = fine.n, fine.S
     nc = nf // 2
     dt = fine.coef.dtype
+    prolong_fn, restrict_fn = _setup_transfers(Sf, Sc, dt)
 
     i = jax.lax.broadcasted_iota(jnp.int32, (Sc, Sc), 0)
     j = jax.lax.broadcasted_iota(jnp.int32, (Sc, Sc), 1)
@@ -224,7 +249,7 @@ def galerkin_coarsen(fine: VarStencilOp, Sc: int) -> VarStencilOp:
             # Combs are NOT masked to the interior: stencil rows of interior
             # nodes adjacent to the boundary still probe boundary columns,
             # which the masked apply() zeroes anyway.
-            y = ops.restrict_fw(fine.apply(ops.prolong(comb, nc, Sf)), nf, Sc)
+            y = restrict_fn(fine.apply(prolong_fn(comb, nc, Sf)), nf, Sc)
             row.append(y)
         responses.append(row)
     resp = jnp.stack([jnp.stack(r) for r in responses])  # (3, 3, Sc, Sc)

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from ..config import MultigridConfig
 from ..core import ops
 from ..core.grids import Hierarchy, coarse_solve
-from ..core.operators import ConstStencilOp
+from ..core.operators import ConstStencilOp, VarStencilOp
 
 
 # ---------------------------------------------------------------------------
@@ -52,6 +52,16 @@ def _smooth(op, u, b, cfg: MultigridConfig, sweeps: int):
     return (u + e.astype(u.dtype)).astype(u.dtype)
 
 
+def _var_kernel_ok(op, cfg: MultigridConfig, dtype, sweeps: int) -> bool:
+    if not (cfg.use_pallas and isinstance(op, VarStencilOp)):
+        return False
+    if cfg.effective_smooth_dtype != dtype:
+        return False
+    from ..kernels import varstencil as _v
+    steps = 2 * sweeps if cfg.smoother == "rbgs" else sweeps
+    return _v.supported(op.S, steps, dtype)
+
+
 def _smooth_raw(op, u, b, cfg: MultigridConfig, sweeps: int):
     if cfg.use_pallas and isinstance(op, ConstStencilOp):
         from ..kernels import stencil as _k
@@ -59,6 +69,10 @@ def _smooth_raw(op, u, b, cfg: MultigridConfig, sweeps: int):
             return _k.jacobi_sweeps(u, b, op.n, cfg.omega, sweeps)
         if _k.supported(op.S, u.dtype) and cfg.smoother == "rbgs":
             return _k.rbgs_sweeps(u, b, op.n, sweeps)
+    if _var_kernel_ok(op, cfg, u.dtype, sweeps):
+        from ..kernels import varstencil as _v
+        return _v.var_smooth(u, b, _v._flat_coef(op), op.n, sweeps,
+                             cfg.smoother, cfg.omega)
     return op.smooth(u, b, smoother=cfg.smoother, omega=cfg.omega, sweeps=sweeps)
 
 
@@ -85,6 +99,10 @@ def _smooth_residual(op, u, b, cfg: MultigridConfig, sweeps: int):
                 return _k.jacobi_sweeps_residual(u, b, op.n, cfg.omega, sweeps)
             if cfg.smoother == "rbgs":
                 return _k.rbgs_sweeps_residual(u, b, op.n, sweeps)
+    if _var_kernel_ok(op, cfg, u.dtype, sweeps):
+        from ..kernels import varstencil as _v
+        return _v.var_smooth_residual(u, b, _v._flat_coef(op), op.n, sweeps,
+                                      cfg.smoother, cfg.omega)
     u = _smooth(op, u, b, cfg, sweeps)
     return u, _residual(op, u, b, cfg)
 
