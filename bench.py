@@ -19,6 +19,12 @@ import time
 import jax
 import jax.numpy as jnp
 
+try:
+    from tpu_multigrid.utils.profiling import enable_compilation_cache
+    enable_compilation_cache()
+except Exception:
+    pass
+
 V5E_HBM_GBPS = 819.0  # v5e HBM bandwidth, GB/s
 
 

@@ -75,6 +75,11 @@ def main(argv=None):
         return subprocess.call([sys.executable, "bench.py"] + args.args)
 
     import jax
+    try:
+        from .utils.profiling import enable_compilation_cache
+        enable_compilation_cache()
+    except Exception:
+        pass
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
     if args.x64 or args.dtype == "f64":

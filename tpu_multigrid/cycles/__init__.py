@@ -310,6 +310,18 @@ class SolveResult:
     iterations: Any
     converged: Any
 
+    @property
+    def stalled(self):
+        """True when the solve stopped from stall detection (the iterate hit
+        its precision floor) rather than tolerance or the cycle budget."""
+        import numpy as np
+        hist = np.asarray(self.res_history)
+        n = int(self.iterations)
+        if bool(self.converged) or n + 1 >= hist.shape[0]:
+            return False
+        # the driver stops early only on stall
+        return bool(np.isnan(hist[n + 1:]).all())
+
 
 def solve_fixed(hier: Hierarchy, cfg: MultigridConfig, b, num_cycles: int,
                 u0=None) -> SolveResult:
