@@ -79,7 +79,11 @@ def _run(problem, config, tol, max_cycles, num_cycles, use_fmg, use_jit):
     hier = problem.hierarchy
     b = problem.rhs()
 
-    def go(b):
+    # The hierarchy is a jit ARGUMENT, not a closure: closed-over arrays
+    # become embedded constants, and variable-coefficient hierarchies carry
+    # hundreds of MB of stencil coefficients (CLAUDE.md: constants are
+    # shipped inside remote-compile requests).
+    def go(hier, b):
         u0 = fmg(hier, config, b) if use_fmg else None
         if num_cycles is not None:
             return solve_fixed(hier, config, b, num_cycles, u0=u0)
@@ -88,7 +92,7 @@ def _run(problem, config, tol, max_cycles, num_cycles, use_fmg, use_jit):
 
     if use_jit:
         go = jax.jit(go)
-    return go(b)
+    return go(hier, b)
 
 
 def extract_solution(result_u: jnp.ndarray, n: int) -> jnp.ndarray:

@@ -173,6 +173,10 @@ def _conv2d(x: jnp.ndarray, w: jnp.ndarray, *, stride=1, lhs_dilation=1):
         padding=((1, 1), (1, 1)),
         lhs_dilation=(lhs_dilation, lhs_dilation),
         preferred_element_type=x.dtype if x.dtype != jnp.bfloat16 else jnp.float32,
+        # XLA:TPU lowers f32 convs through bf16 MXU passes by default
+        # (~1e-2 relative error — enough to disturb coarse corrections);
+        # HIGHEST forces f32-accurate accumulation.
+        precision=jax.lax.Precision.HIGHEST,
     )
     out = out[:, 0].astype(x.dtype)
     return out.reshape(batch + out.shape[-2:])
