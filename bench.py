@@ -18,6 +18,7 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 try:
     from tpu_multigrid.utils.profiling import enable_compilation_cache
@@ -96,6 +97,18 @@ def run_bench(level, cycles, nu1, nu2, smoother, use_pallas, dtype, repeats,
     for _ in range(repeats):
         best = min(best, (t(r2) - t(r1)) / (c2 - c1))
 
+    # Convergence record (BASELINE metric "cycles to 1e-8 residual
+    # reduction"): measure the per-cycle reduction factor over the first
+    # cycles (before the f32 floor) and extrapolate the 1e-8 cycle count —
+    # f32 cannot represent a 1e-8 relative residual directly (CLAUDE.md).
+    from tpu_multigrid.cycles import solve_fixed
+    hist = np.asarray(jax.jit(
+        lambda h, b: solve_fixed(h, cfg, b, 5).res_history)(hier, b))
+    factors = hist[1:4] / hist[:3]
+    rho = float(np.exp(np.mean(np.log(factors))))
+    cycles_to_1e8 = int(math.ceil(math.log(1e-8) / math.log(rho))) \
+        if 0 < rho < 1 else None
+
     n = op.n
     dofs = (n - 1) ** 2
     dof_per_sec = dofs / best
@@ -114,6 +127,8 @@ def run_bench(level, cycles, nu1, nu2, smoother, use_pallas, dtype, repeats,
         "bandwidth_fraction": bw_frac,
         "target_dof_per_sec": target_dof_per_sec,
         "compile_s": compile_s,
+        "reduction_per_cycle": round(rho, 4),
+        "cycles_to_1e8_reduction": cycles_to_1e8,
         "platform": jax.devices()[0].platform,
         "device": str(jax.devices()[0]),
     }

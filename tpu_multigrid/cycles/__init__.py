@@ -283,7 +283,12 @@ def fmg(hier: Hierarchy, cfg: MultigridConfig, b_fine,
     for _ in range(max(cfg.nu0 - 1, 0) if cfg.coarse_solver == "smooth" else 0):
         u = _coarsest_solve(hier, cfg, u, bs[kc])
     for k in range(kc - 1, -1, -1):
-        u = _prolong(u, hier.levels[k + 1].n, hier.levels[k].S, cfg)
+        # FMG solution interpolation: route through the Pallas prolong
+        # kernel (as 0 + P u) when available — the jnp strided scatter is
+        # ~400 ms per 8193^2 level on TPU.
+        Sf = hier.levels[k].S
+        zero = jnp.zeros((Sf, Sf), u.dtype)
+        u = _prolong_add(zero, u, hier.levels[k + 1].n, Sf, cfg)
         for _ in range(cfg.nu0):
             u = cycle(hier, cfg, u, bs[k], k)
     return u
