@@ -61,7 +61,7 @@ def run_bench(level, cycles, nu1, nu2, smoother, use_pallas, dtype, repeats,
     # 256-alignment makes every Pallas super-kernel DMA statically tiled
     # (see kernels/transfer.py); for n=2^l this is S = 2^l + 256.
     align = 256 if (use_pallas or level >= 10) else 1
-    min_pad = 8
+    min_pad = 0 if use_pallas else 8
     prob = PoissonProblem(cfg, align=align, min_pad_level=min_pad)
     hier = prob.hierarchy
     b = prob.rhs()
@@ -98,12 +98,23 @@ def run_bench(level, cycles, nu1, nu2, smoother, use_pallas, dtype, repeats,
         best = min(best, (t(r2) - t(r1)) / (c2 - c1))
 
     # Convergence record (BASELINE metric "cycles to 1e-8 residual
-    # reduction"): measure the per-cycle reduction factor over the first
-    # cycles (before the f32 floor) and extrapolate the 1e-8 cycle count —
-    # f32 cannot represent a 1e-8 relative residual directly (CLAUDE.md).
+    # reduction").  The per-cycle factor is measured at a moderate grid:
+    # at 8193^2 the f32 residual-evaluation floor (~eps*||u||/h^2 relative,
+    # see CLAUDE.md) is hit after ~1 cycle, so residual ratios there measure
+    # roundoff, not the solver.  V-cycle factors are grid-independent
+    # (tests/test_cycles.py::test_cycle_count_grid_independent), so the
+    # factor measured below transfers to the benchmarked grid.
+    import dataclasses as _dc
+    from tpu_multigrid import PoissonProblem as _PP
     from tpu_multigrid.cycles import solve_fixed
+    rho_level = min(level, 7)
+    rcfg = _dc.replace(cfg, finest_level=rho_level,
+                       coarsest_level=min(coarsest, rho_level - 1),
+                       use_pallas=False)
+    rprob = _PP(rcfg)
     hist = np.asarray(jax.jit(
-        lambda h, b: solve_fixed(h, cfg, b, 5).res_history)(hier, b))
+        lambda h, b: solve_fixed(h, rcfg, b, 5).res_history)(
+            rprob.hierarchy, rprob.rhs()))
     factors = hist[1:4] / hist[:3]
     rho = float(np.exp(np.mean(np.log(factors))))
     cycles_to_1e8 = int(math.ceil(math.log(1e-8) / math.log(rho))) \

@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""On-hardware validation suite: every Pallas kernel vs its jnp reference.
+
+Interpret mode doesn't model Mosaic's hardware constraints (it missed both
+the bf16-rotate unsupport and would have missed the conv-precision issue),
+so this script re-runs the kernel correctness checks on the real chip.
+Run after any kernel change:  python benchmarks/validate_on_chip.py
+"""
+
+import sys, os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_multigrid.utils.profiling import enable_compilation_cache
+enable_compilation_cache()
+
+from tpu_multigrid.core import ops
+from tpu_multigrid.core.operators import diffusion_op
+from tpu_multigrid.kernels import stencil as K, transfer as T, varstencil as V
+
+FAILURES = []
+
+
+def check(name, got, want, tol):
+    err = float(jnp.max(jnp.abs(jnp.asarray(got, jnp.float32)
+                                - jnp.asarray(want, jnp.float32))))
+    status = "ok " if err <= tol else "FAIL"
+    print(f"{status} {name:55s} max err {err:.3e} (tol {tol:.0e})", flush=True)
+    if err > tol:
+        FAILURES.append(name)
+
+
+def grids(S, n, seed=0, dtype=jnp.float32):
+    rng = np.random.default_rng(seed)
+    u = np.zeros((S, S), np.float32)
+    b = np.zeros((S, S), np.float32)
+    u[1:n, 1:n] = rng.standard_normal((n - 1, n - 1))
+    b[1:n, 1:n] = rng.standard_normal((n - 1, n - 1))
+    return jnp.asarray(u, dtype), jnp.asarray(b, dtype)
+
+
+def main():
+    print(f"device: {jax.devices()[0]}")
+    for S, n in [(768, 512), (2816, 2048)]:
+        u, b = grids(S, n)
+        nc, Sc = n // 2, S // 2 + 128
+
+        check(f"jacobi k=3 S={S}",
+              K.jacobi_sweeps(u, b, n, 2 / 3, 3),
+              ops.jacobi_sweeps(u, b, n, 2 / 3, 3), 5e-6)
+        gu, gr = K.jacobi_sweeps_residual(u, b, n, 2 / 3, 2)
+        wu = ops.jacobi_sweeps(u, b, n, 2 / 3, 2)
+        check(f"jacobi+residual u S={S}", gu, wu, 5e-6)
+        check(f"jacobi+residual r S={S}", gr, ops.residual(wu, b, n), 2e-5)
+        check(f"rbgs k=2 S={S}",
+              K.rbgs_sweeps(u, b, n, 2),
+              ops.redblack_gs_sweeps(u, b, n, 2), 5e-6)
+
+        check(f"restrict_fw_pallas S={S}",
+              T.restrict_fw_pallas(u, n, Sc),
+              ops.restrict_fw(u, n, Sc), 2e-5)
+        e = grids(Sc, nc, seed=3)[0]
+        check(f"prolong_add_pallas S={S}",
+              T.prolong_add_pallas(u, e, n),
+              ops.mask_interior(u + ops.prolong(e, nc, S), n), 5e-6)
+
+        ku, krc = T.smooth_restrict(u, b, n, Sc, 2)
+        wu2 = ops.jacobi_sweeps(u, b, n, 2 / 3, 2)
+        check(f"K1 smooth_restrict u S={S}", ku, wu2, 5e-6)
+        check(f"K1 smooth_restrict rc S={S}", krc,
+              ops.restrict_fw(ops.residual(wu2, b, n), n, Sc), 5e-5)
+        k2 = T.prolong_smooth(u, b, e, n, 2)
+        check(f"K2 prolong_smooth S={S}", k2,
+              ops.jacobi_sweeps(u + ops.prolong(e, nc, S), b, n, 2 / 3, 2),
+              5e-6)
+        k2u, k2n = T.prolong_smooth_resnorm(u, b, e, n, 2)
+        check(f"K2 fused resnorm S={S}", k2n,
+              ops.norm2(ops.residual(np.asarray(k2), b, n)), 2e-4)
+
+        # variable-coefficient kernels
+        rng = np.random.default_rng(1)
+        op = diffusion_op(jnp.asarray(0.5 + rng.random((n, n)), jnp.float32),
+                          n, S)
+        vu, vr = V.var_smooth_residual(u, b, V._flat_coef(op), n, 2)
+        wvu = op.smooth(u, b, smoother="jacobi", omega=2 / 3, sweeps=2)
+        check(f"var smooth u S={S}", vu, wvu, 5e-6)
+        check(f"var smooth r S={S}", vr, op.residual(wvu, b), 2e-5)
+
+        # bf16 storage path
+        u16, b16 = u.astype(jnp.bfloat16), b.astype(jnp.bfloat16)
+        check(f"bf16 jacobi k=2 S={S}",
+              K.jacobi_sweeps(u16, b16, n, 2 / 3, 2), wu2, 3e-2)
+
+    if FAILURES:
+        print(f"\n{len(FAILURES)} FAILURES: {FAILURES}")
+        sys.exit(1)
+    print("\nall on-chip validations passed")
+
+
+if __name__ == "__main__":
+    main()

@@ -150,11 +150,12 @@ def test_smooth_restrict_zero_sweeps_is_pure_restrict():
 
 def test_transfer_supported_gates():
     assert T.supported(768, 512, 4, jnp.float32)
+    assert T.supported(256, 256, 4, jnp.float32)       # full hierarchy cover
     assert not T.supported(768, 512, 4, jnp.float64)
     assert not T.supported(768, 512, 4, jnp.bfloat16)
     assert not T.supported(640, 512, 4, jnp.float32)   # Sf not mult 256
     assert not T.supported(768, 256, 4, jnp.float32)   # coarse too small
-    assert not T.supported(256, 256, 4, jnp.float32)   # below min size
+    assert not T.supported(128, 128, 4, jnp.float32)   # below min size
     assert not T.supported(8448, 4352, 15, jnp.float32)  # halo too shallow
 
 

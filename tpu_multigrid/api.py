@@ -49,7 +49,9 @@ def solve_poisson(
 def _pad_kw(config: MultigridConfig) -> dict:
     """Pallas kernels need 256-aligned level padding (kernels/transfer.py)."""
     if config.use_pallas:
-        return dict(align=256, min_pad_level=8)
+        # Pad every level: the Pallas transfer kernels then cover the whole
+        # hierarchy (down to 256^2 arrays), avoiding XLA conv transfers.
+        return dict(align=256, min_pad_level=0)
     return {}
 
 

@@ -62,7 +62,7 @@ def supported(Sf: int, Sc: int, steps: int, dtype) -> bool:
     # coarse indices up to Sf/2).
     if 2 * Sc < Sf:
         return False
-    return Sf >= 512
+    return Sf >= 256
 
 
 def _row_deinterleave(x):
