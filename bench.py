@@ -13,7 +13,6 @@ compares achieved DOF/s against the driver-defined north-star target:
 import argparse
 import json
 import math
-import sys
 import time
 
 import jax

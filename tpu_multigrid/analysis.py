@@ -14,8 +14,6 @@ the textbook diagnostics that quantify smoother and cycle quality:
 
 from __future__ import annotations
 
-import dataclasses
-
 import jax
 import jax.numpy as jnp
 import numpy as np

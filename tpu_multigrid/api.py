@@ -15,7 +15,6 @@ import jax
 import jax.numpy as jnp
 
 from .config import MultigridConfig
-from .core import ops
 from .cycles import SolveResult, fmg, solve_fixed, solve_until_tol
 from .problems import DiffusionProblem, PoissonProblem
 

@@ -9,16 +9,14 @@ tuple of levels that jit unrolls into one compiled program.
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..config import MultigridConfig
-from . import ops
-from .operators import ConstStencilOp, VarStencilOp, galerkin_coarsen, poisson_op
+from .operators import VarStencilOp, galerkin_coarsen, poisson_op
 
 
 def round_up(x: int, m: int) -> int:

@@ -31,8 +31,6 @@ which makes Galerkin coarsening R A P *equal* the re-discretized stiffness.)
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 

@@ -15,8 +15,7 @@ track per-cycle residual norms and stop at a tolerance (``until_tol``).
 from __future__ import annotations
 
 import dataclasses
-import functools
-from typing import Any, Callable, List, Optional, Sequence, Tuple
+from typing import Any, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

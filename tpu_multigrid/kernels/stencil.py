@@ -22,8 +22,6 @@ the *global* node coordinates, exactly like ``core.ops``.
 from __future__ import annotations
 
 import functools
-from typing import Any, Callable
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

@@ -10,12 +10,11 @@ stencil-coefficient arrays.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Optional, Union
+from typing import Callable, Union
 
 import jax.numpy as jnp
 
 from ..config import MultigridConfig
-from ..core import ops
 from ..core.grids import Hierarchy, build_galerkin_hierarchy, level_sizes
 from ..core.operators import diffusion_op
 from .poisson import poisson_rhs

@@ -10,13 +10,13 @@ h^2/2 each contribute f*area/3, ``force_function_element``, ``:175-186``).
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Optional, Union
+from typing import Callable, Union
 
 import jax.numpy as jnp
 
 from ..config import MultigridConfig
 from ..core import ops
-from ..core.grids import (Hierarchy, build_poisson_hierarchy, level_sizes,
+from ..core.grids import (Hierarchy, build_poisson_hierarchy,
                           node_coordinates)
 
 
