@@ -14,6 +14,7 @@ from .config import REFERENCE_CONFIG, MultigridConfig
 from .core import (ConstStencilOp, Hierarchy, VarStencilOp,
                    build_galerkin_hierarchy, build_poisson_hierarchy, ops)
 from .cycles import SolveResult, cycle, fmg, solve_fixed, solve_until_tol
+from .krylov import pcg_solve
 from .problems import DiffusionProblem, PoissonProblem, poisson_rhs
 
 __version__ = "0.1.0"
@@ -22,6 +23,7 @@ __all__ = [
     "MultigridConfig", "REFERENCE_CONFIG",
     "solve_poisson", "solve_diffusion", "extract_solution",
     "SolveResult", "cycle", "fmg", "solve_fixed", "solve_until_tol",
+    "pcg_solve",
     "PoissonProblem", "DiffusionProblem", "poisson_rhs",
     "Hierarchy", "ConstStencilOp", "VarStencilOp",
     "build_poisson_hierarchy", "build_galerkin_hierarchy", "ops",

@@ -1,0 +1,78 @@
+"""Multigrid-preconditioned conjugate gradients.
+
+Beyond the reference's capabilities (it has no Krylov layer): in production
+elliptic solvers, one V-cycle per iteration is the standard preconditioner —
+CG turns multigrid's ~0.13 error-reduction factor into a guaranteed-descent
+method that is robust when the cycle degrades (strong coefficient jumps,
+imperfect coarse operators).
+
+The preconditioner application M^{-1} r = one cycle on A e = r from a zero
+initial guess, which is a fixed SPD linear operator for symmetric smoothing
+schedules (nu1 == nu2 with the same smoother) — the standard requirement for
+PCG convergence theory.
+
+Everything runs in one jit: the CG loop is a ``lax.while_loop`` whose body
+contains the full multigrid cycle.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .config import MultigridConfig
+from .core import ops
+from .core.grids import Hierarchy
+from .cycles import SolveResult, cycle
+
+
+def _dot(a, b):
+    x = a.astype(jnp.float32) if a.dtype == jnp.bfloat16 else a
+    y = b.astype(jnp.float32) if b.dtype == jnp.bfloat16 else b
+    return jnp.sum(x * y)
+
+
+def pcg_solve(hier: Hierarchy, cfg: MultigridConfig, b, *, tol: float = 1e-6,
+              max_iters: int = 100, u0=None) -> SolveResult:
+    """Preconditioned CG with one multigrid cycle as M^{-1}.
+
+    Returns a :class:`SolveResult` (res_history = ||r||_2 per iteration).
+    For an SPD preconditioner use a symmetric schedule (nu1 == nu2).
+    """
+    op = hier.levels[0]
+    u = u0 if u0 is not None else jnp.zeros((op.S, op.S), b.dtype)
+
+    def precond(r):
+        e0 = jnp.zeros_like(r)
+        return cycle(hier, cfg, e0, r)
+
+    r = op.residual(u, b)
+    z = precond(r)
+    p = z
+    rz = _dot(r, z)
+    r0 = ops.norm2(r)
+    target = jnp.asarray(tol, jnp.float32) * r0
+    hist = jnp.full((max_iters + 1,), jnp.nan, jnp.float32).at[0].set(r0)
+
+    def cond(carry):
+        _, _, _, _, rnorm, i, _ = carry
+        return (i < max_iters) & (rnorm > target)
+
+    def body(carry):
+        u, r, p, rz, _, i, hist = carry
+        ap = op.apply(p)
+        alpha = rz / jnp.maximum(_dot(p, ap), jnp.asarray(1e-300, rz.dtype))
+        u = (u + alpha.astype(u.dtype) * p).astype(u.dtype)
+        r = (r - alpha.astype(r.dtype) * ap).astype(r.dtype)
+        z = precond(r)
+        rz_new = _dot(r, z)
+        beta = rz_new / jnp.maximum(rz, jnp.asarray(1e-300, rz.dtype))
+        p = (z + beta.astype(p.dtype) * p).astype(p.dtype)
+        rnorm = ops.norm2(r)
+        hist = hist.at[i + 1].set(rnorm)
+        return u, r, p, rz_new, rnorm, i + 1, hist
+
+    u, r, p, rz, rnorm, iters, hist = jax.lax.while_loop(
+        cond, body, (u, r, p, rz, r0, jnp.asarray(0, jnp.int32), hist))
+    return SolveResult(u=u, res_history=hist, iterations=iters,
+                       converged=rnorm <= target)
