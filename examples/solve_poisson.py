@@ -24,14 +24,18 @@ cfg = mg.MultigridConfig(
     use_pallas=on_tpu)
 
 t0 = time.time()
-result = mg.solve_poisson(LEVEL, config=cfg, tol=1e-5, max_cycles=40)
+# f32 can resolve only ~2 decades of residual reduction at this grid size
+# (FEM scaling: b ~ h^2; see CLAUDE.md) — until-tol stops at the stall.
+result = mg.solve_poisson(LEVEL, config=cfg, tol=1e-2, max_cycles=40)
 jax.block_until_ready(result.u)
 n = 2 ** LEVEL
 u = np.asarray(mg.extract_solution(result.u, n))
 
 iters = int(result.iterations)
 hist = np.asarray(result.res_history)[: iters + 1]
-print(f"grid {n + 1}x{n + 1}, converged={bool(result.converged)} "
+status = "converged" if bool(result.converged) else (
+    "stalled at the f32 residual floor" if result.stalled else "cycle budget")
+print(f"grid {n + 1}x{n + 1}, {status} "
       f"in {iters} V-cycles ({time.time() - t0:.2f}s incl. compile)")
 print(f"residual: {hist[0]:.3e} -> {hist[-1]:.3e} "
       f"({(hist[-1] / hist[0]) ** (1 / max(iters, 1)):.3f} per cycle)")
