@@ -97,27 +97,27 @@ def run_bench(level, cycles, nu1, nu2, smoother, use_pallas, dtype, repeats,
         best = min(best, (t(r2) - t(r1)) / (c2 - c1))
 
     # Convergence record (BASELINE metric "cycles to 1e-8 residual
-    # reduction").  The per-cycle factor is measured at a moderate grid:
-    # at 8193^2 the f32 residual-evaluation floor (~eps*||u||/h^2 relative,
-    # see CLAUDE.md) is hit after ~1 cycle, so residual ratios there measure
-    # roundoff, not the solver.  V-cycle factors are grid-independent
-    # (tests/test_cycles.py::test_cycle_count_grid_independent), so the
-    # factor measured below transfers to the benchmarked grid.
-    import dataclasses as _dc
-    from tpu_multigrid import PoissonProblem as _PP
-    from tpu_multigrid.cycles import solve_fixed
-    rho_level = min(level, 7)
-    rcfg = _dc.replace(cfg, finest_level=rho_level,
-                       coarsest_level=min(coarsest, rho_level - 1),
-                       use_pallas=False)
-    rprob = _PP(rcfg)
-    hist = np.asarray(jax.jit(
-        lambda h, b: solve_fixed(h, rcfg, b, 5).res_history)(
-            rprob.hierarchy, rprob.rhs()))
-    factors = hist[1:4] / hist[:3]
-    rho = float(np.exp(np.mean(np.log(factors))))
-    cycles_to_1e8 = int(math.ceil(math.log(1e-8) / math.log(rho))) \
-        if 0 < rho < 1 else None
+    # reduction"), measured ON THIS GRID on-device: plain f32 hits its
+    # residual-evaluation floor after ~1 cycle (CLAUDE.md), so the solve
+    # runs with compensated double-single iterative refinement
+    # (tpu_multigrid.precision), which evaluates residuals to ~eps^2.
+    from tpu_multigrid.precision import solve_refined_ds
+    _, _, rhist, riters, rok = jax.jit(
+        lambda h, b: solve_refined_ds(h, cfg, b, tol=1e-8, max_iters=30)
+    )(hier, b)
+    rhist = np.asarray(rhist)
+    n_it = int(riters)
+    rho = float((rhist[n_it] / rhist[0]) ** (1.0 / max(n_it, 1)))
+    if bool(rok):
+        cycles_to_1e8 = n_it
+    else:
+        # stalled at the double-single floor (~1e-8 relative at 8193^2);
+        # extrapolate the remaining fraction from the measured rate
+        rho_early = float((rhist[min(n_it, 8)] / rhist[0])
+                          ** (1.0 / max(min(n_it, 8), 1)))
+        cycles_to_1e8 = (int(math.ceil(math.log(1e-8) / math.log(rho_early)))
+                         if 0 < rho_early < 1 else None)
+    reduction_achieved = float(rhist[n_it] / rhist[0])
 
     n = op.n
     dofs = (n - 1) ** 2
@@ -139,6 +139,7 @@ def run_bench(level, cycles, nu1, nu2, smoother, use_pallas, dtype, repeats,
         "compile_s": compile_s,
         "reduction_per_cycle": round(rho, 4),
         "cycles_to_1e8_reduction": cycles_to_1e8,
+        "deep_reduction_achieved_f32": f"{reduction_achieved:.2e}",
         "platform": jax.devices()[0].platform,
         "device": str(jax.devices()[0]),
     }

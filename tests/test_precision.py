@@ -1,0 +1,110 @@
+"""Compensated double-single iterative refinement: deep residual reduction
+with pure-f32 storage (validated against independent f64 residuals)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_multigrid import MultigridConfig, PoissonProblem, solve_until_tol
+from tpu_multigrid.precision import (ds_add, ds_residual, solve_refined,
+                                     solve_refined_ds)
+from tpu_multigrid.core import ops
+
+
+def _f64_residual(b, u_hi, u_lo, n):
+    b64 = np.asarray(b, np.float64)
+    u64 = np.asarray(u_hi, np.float64) + np.asarray(u_lo, np.float64)
+    nbr = (np.roll(u64, 1, 0) + np.roll(u64, -1, 0)
+           + np.roll(u64, 1, 1) + np.roll(u64, -1, 1))
+    r = b64 - 4.0 * u64 + nbr
+    mask = np.zeros_like(r, bool)
+    mask[1:n, 1:n] = True
+    return np.where(mask, r, 0.0)
+
+
+def test_two_sum_exactness():
+    a = jnp.asarray([1.0, 1e8, 1.0], jnp.float32)
+    c = jnp.asarray([1e-8, 1.0, -1.0], jnp.float32)
+    from tpu_multigrid.precision import _two_sum
+    s, e = _two_sum(a, c)
+    # s + e reproduces the exact sum in double
+    exact = np.asarray(a, np.float64) + np.asarray(c, np.float64)
+    np.testing.assert_allclose(np.asarray(s, np.float64)
+                               + np.asarray(e, np.float64), exact, rtol=0)
+
+
+def test_ds_residual_matches_f64(rng):
+    n, S = 64, 65
+    u_hi = jnp.asarray(rng.standard_normal((S, S)), jnp.float32)
+    u_hi = ops.mask_interior(u_hi, n)
+    u_lo = ops.mask_interior(
+        jnp.asarray(rng.standard_normal((S, S)) * 1e-8, jnp.float32), n)
+    b = ops.mask_interior(
+        jnp.asarray(rng.standard_normal((S, S)) * 1e-3, jnp.float32), n)
+    got = np.asarray(ds_residual(b, u_hi, u_lo, n), np.float64)
+    want = _f64_residual(b, u_hi, u_lo, n)
+    # Accurate to f32 rounding OF THE RESIDUAL'S OWN VALUE (not of ||u||):
+    # that's the property plain f32 evaluation lacks.
+    scale = np.abs(want).max()
+    assert np.abs(got - want).max() < 2e-7 * scale
+
+    # Near a solution (tiny true residual), the compensated evaluation
+    # still resolves it while plain f32 evaluation is pure noise.
+    import scipy.sparse.linalg as spla
+    from tpu_multigrid import oracle
+    a = oracle.poisson_matrix(n).astype(np.float64)
+    sol = spla.spsolve(a.tocsc(), np.asarray(b, np.float64)[1:n, 1:n].ravel())
+    u64 = np.zeros((S, S)); u64[1:n, 1:n] = sol.reshape(n - 1, n - 1)
+    hi = u64.astype(np.float32)
+    lo = (u64 - hi).astype(np.float32)
+    got2 = np.asarray(ds_residual(jnp.asarray(b), jnp.asarray(hi),
+                                  jnp.asarray(lo), n), np.float64)
+    want2 = _f64_residual(b, hi, lo, n)
+    plain = np.asarray(ops.residual(jnp.asarray(hi), b, n), np.float64)
+    # plain f32 noise dwarfs the true residual; compensated tracks it
+    assert np.linalg.norm(plain) > 50 * np.linalg.norm(want2)
+    assert np.abs(got2 - want2).max() < 1e-10
+
+
+def test_refined_solve_breaks_the_f32_floor():
+    """Plain f32 stalls around 1e-5 relative; refinement reaches 1e-10,
+    verified with an independent f64 residual of the DS iterate."""
+    cfg = MultigridConfig(finest_level=6, coarsest_level=3,
+                          dtype=jnp.float32)
+    prob = PoissonProblem(cfg)
+    b = prob.rhs()
+
+    plain = solve_until_tol(prob.hierarchy, cfg, b, tol=1e-10, max_cycles=60)
+    assert not bool(plain.converged)          # the floor
+
+    u_hi, u_lo, hist, iters, ok = jax.jit(
+        lambda h, b: solve_refined_ds(h, cfg, b, tol=1e-10, max_iters=60)
+    )(prob.hierarchy, b)
+    assert bool(ok), np.asarray(hist)
+
+    # Independent f64 check of the claimed deep residual.
+    r64 = _f64_residual(b, u_hi, u_lo, 64)
+    rel = np.linalg.norm(r64) / np.linalg.norm(np.asarray(b, np.float64))
+    assert rel < 5e-10, rel
+    # And it converged at the multigrid rate, not by luck.
+    h = np.asarray(hist)
+    n_it = int(iters)
+    assert n_it < 25
+    assert h[n_it] < 1e-10 * h[0] * 1.5
+
+
+def test_refined_solution_accuracy_vs_oracle():
+    from tpu_multigrid import oracle
+    cfg = MultigridConfig(finest_level=5, coarsest_level=3,
+                          dtype=jnp.float32)
+    prob = PoissonProblem(cfg)
+    b = prob.rhs()
+    u_hi, u_lo, hist, iters, ok = solve_refined_ds(
+        prob.hierarchy, cfg, b, tol=1e-11, max_iters=60)
+    u = np.asarray(u_hi, np.float64)[:33, :33] + \
+        np.asarray(u_lo, np.float64)[:33, :33]
+    uo = oracle.solve_poisson_oracle(32)
+    rel = np.linalg.norm(u - uo) / np.linalg.norm(uo)
+    # f32-pair storage carries ~1e-10 relative solution accuracy
+    assert rel < 1e-9, rel
