@@ -28,6 +28,7 @@ def solve_poisson(
     max_cycles: int = 100,
     num_cycles: Optional[int] = None,
     use_fmg: bool = False,
+    refined: bool = False,
     jit: bool = True,
 ) -> SolveResult:
     """Solve -lap(u) = forcing on the unit square, homogeneous Dirichlet.
@@ -36,13 +37,17 @@ def solve_poisson(
     (physical nodes at ``[0:n+1, 0:n+1]``).  ``num_cycles`` forces a fixed
     cycle count; otherwise cycles run until ``tol`` relative residual
     reduction.  ``use_fmg=True`` runs one full-multigrid pass first.
+    ``refined=True`` uses compensated double-single iterative refinement
+    (tpu_multigrid.precision) so f32 storage can reach/measure deep
+    tolerances on TPU.
     """
     if config is None:
         config = MultigridConfig(finest_level=finest_level)
     elif config.finest_level != finest_level:
         config = dataclasses.replace(config, finest_level=finest_level)
     problem = PoissonProblem(config, forcing=forcing, **_pad_kw(config))
-    return _run(problem, config, tol, max_cycles, num_cycles, use_fmg, jit)
+    return _run(problem, config, tol, max_cycles, num_cycles, use_fmg, jit,
+                refined=refined)
 
 
 def _pad_kw(config: MultigridConfig) -> dict:
@@ -76,7 +81,8 @@ def solve_diffusion(
     return _run(problem, config, tol, max_cycles, num_cycles, use_fmg, jit)
 
 
-def _run(problem, config, tol, max_cycles, num_cycles, use_fmg, use_jit):
+def _run(problem, config, tol, max_cycles, num_cycles, use_fmg, use_jit,
+         refined: bool = False):
     hier = problem.hierarchy
     b = problem.rhs()
 
@@ -85,6 +91,10 @@ def _run(problem, config, tol, max_cycles, num_cycles, use_fmg, use_jit):
     # hundreds of MB of stencil coefficients (CLAUDE.md: constants are
     # shipped inside remote-compile requests).
     def go(hier, b):
+        if refined:
+            from .precision import solve_refined
+            return solve_refined(hier, config, b, tol=tol,
+                                 max_iters=max_cycles)
         u0 = fmg(hier, config, b) if use_fmg else None
         if num_cycles is not None:
             return solve_fixed(hier, config, b, num_cycles, u0=u0)

@@ -31,6 +31,8 @@ def _add_common(p):
                    default=None)
     p.add_argument("--pallas", action="store_true")
     p.add_argument("--fmg", action="store_true", help="FMG initial guess")
+    p.add_argument("--refined", action="store_true",
+                   help="compensated double-single refinement (deep f32 tolerances)")
     p.add_argument("--tol", type=float, default=1e-6,
                    help="relative residual tolerance")
     p.add_argument("--max-cycles", type=int, default=100)
@@ -102,7 +104,7 @@ def main(argv=None):
               max_cycles=args.max_cycles, num_cycles=args.cycles,
               use_fmg=args.fmg)
     if args.command == "solve":
-        res = solve_poisson(args.level, **kw)
+        res = solve_poisson(args.level, refined=args.refined, **kw)
     else:
         res = solve_diffusion(args.level, coefficient=args.coefficient, **kw)
     jax.block_until_ready(res.u)
