@@ -93,3 +93,14 @@ def test_check_operator_passes_and_catches():
 
 def test_check_transfer_pair():
     dbg.check_transfer_pair(16)
+
+
+def test_api_refined_mode():
+    """solve_poisson(refined=True): deep f32 tolerance through the front door."""
+    from tpu_multigrid import solve_poisson
+    cfg = MultigridConfig(finest_level=5, coarsest_level=3,
+                          dtype=jnp.float32)
+    res = solve_poisson(5, config=cfg, tol=1e-9, max_cycles=40, refined=True)
+    assert bool(res.converged)
+    h = np.asarray(res.res_history)
+    assert h[int(res.iterations)] < 1e-9 * h[0] * 1.01
