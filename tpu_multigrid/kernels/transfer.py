@@ -36,8 +36,8 @@ from .stencil import _jacobi_step, _nbr, _rbgs_step, _residual_of, _roll
 # back to full extent with no halo (the window covers the whole axis).
 # HC must be a multiple of 256 (coarse-side offsets need lane alignment
 # after halving), so the column-halo tax is amortized with a wide TC:
-# (TC+2*HC)/TC = 1.25 at TC=2048 vs 1.5 at 1024.
-TR, TC = 256, 2048
+# (TC+2*HC)/TC = 1.22 at TC=2304 vs 1.5 at 1024.
+TR, TC = 256, 2304
 HR, HC = 16, 256
 
 
