@@ -28,23 +28,26 @@ except Exception:
 V5E_HBM_GBPS = 819.0  # v5e HBM bandwidth, GB/s
 
 
-def vcycle_traffic_bytes(sizes, nu1, nu2, itemsize):
+def vcycle_traffic_bytes(sizes, nu1, nu2, itemsize, smoother="jacobi"):
     """Minimal HBM traffic (bytes) of one textbook *unfused* V-cycle.
 
     Per level: each smoother sweep reads u and b and writes u (3 passes);
     the residual reads u, b and writes r (3); restriction reads r and writes
     the coarse RHS (1 + 1/4); prolongation+correction reads e_c, reads u,
     writes u (1/4 + 2).  The coarsest-level direct solve is negligible.
+    An unfused red-black GS sweep is two masked half-sweeps, i.e. 6 passes
+    per sweep; jacobi/chebyshev sweeps are one pass-triple each.
     """
+    per_sweep = 6.0 if smoother == "rbgs" else 3.0
     total = 0.0
     for (n, S) in sizes[:-1]:
         a = S * S * itemsize
-        total += a * (3.0 * (nu1 + nu2) + 3.0 + 1.25 + 2.25)
+        total += a * (per_sweep * (nu1 + nu2) + 3.0 + 1.25 + 2.25)
     return total
 
 
 def run_bench(level, cycles, nu1, nu2, smoother, use_pallas, dtype, repeats,
-              coarsest=None):
+              coarsest=None, cheb_lo=0.4):
     from tpu_multigrid import MultigridConfig, PoissonProblem, cycle
     from tpu_multigrid.core.grids import level_sizes
 
@@ -56,7 +59,7 @@ def run_bench(level, cycles, nu1, nu2, smoother, use_pallas, dtype, repeats,
     cfg = MultigridConfig(
         finest_level=level, coarsest_level=coarsest,
         nu1=nu1, nu2=nu2, smoother=smoother, dtype=dtype,
-        use_pallas=use_pallas)
+        use_pallas=use_pallas, cheb_lo=cheb_lo)
     # 256-alignment makes every Pallas super-kernel DMA statically tiled
     # (see kernels/transfer.py); for n=2^l this is S = 2^l + 256.
     align = 256 if (use_pallas or level >= 10) else 1
@@ -138,7 +141,7 @@ def run_bench(level, cycles, nu1, nu2, smoother, use_pallas, dtype, repeats,
     dof_per_sec = dofs / best
     sizes = level_sizes(cfg, align=align, min_pad_level=min_pad)
     traffic = vcycle_traffic_bytes(sizes, nu1, nu2,
-                                   jnp.dtype(cfg.dtype).itemsize)
+                                   jnp.dtype(cfg.dtype).itemsize, smoother)
     eff_gbps = traffic / best / 1e9
     bw_frac = eff_gbps / V5E_HBM_GBPS
     target_dof_per_sec = 0.80 * V5E_HBM_GBPS * 1e9 / (traffic / dofs)
@@ -168,9 +171,13 @@ def main():
                    help="coarsest level (default: 5 for level>=8)")
     p.add_argument("--cycles", type=int, default=10)
     p.add_argument("--repeats", type=int, default=3)
-    p.add_argument("--nu1", type=int, default=2)
+    # Chebyshev-weighted Jacobi (3,2) is the measured sweet spot: per-step
+    # cost identical to plain Jacobi, reduction/cycle 0.114 vs 0.206, 9 vs
+    # 12 cycles to 1e-8 at ~3% higher V-cycle time (r2 on-chip sweep).
+    p.add_argument("--nu1", type=int, default=3)
     p.add_argument("--nu2", type=int, default=2)
-    p.add_argument("--smoother", default="jacobi")
+    p.add_argument("--smoother", default="chebyshev")
+    p.add_argument("--cheb-lo", type=float, default=0.4)
     p.add_argument("--pallas", action="store_true", default=None,
                    help="use fused Pallas kernels")
     p.add_argument("--no-pallas", dest="pallas", action="store_false")
@@ -189,13 +196,15 @@ def main():
     try:
         stats = run_bench(args.level, args.cycles, args.nu1, args.nu2,
                           args.smoother, use_pallas, jnp.float32,
-                          args.repeats, coarsest=args.coarsest)
+                          args.repeats, coarsest=args.coarsest,
+                          cheb_lo=args.cheb_lo)
     except Exception:
         if use_pallas:
             # Fall back to the pure-XLA path rather than report nothing.
             stats = run_bench(args.level, args.cycles, args.nu1, args.nu2,
                               args.smoother, False, jnp.float32,
-                              args.repeats, coarsest=args.coarsest)
+                              args.repeats, coarsest=args.coarsest,
+                              cheb_lo=args.cheb_lo)
             stats["pallas_fallback"] = True
         else:
             raise

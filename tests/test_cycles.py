@@ -151,3 +151,46 @@ def test_padded_hierarchy_matches_tight():
         np.asarray(rt.u)[: n + 1, : n + 1], rtol=1e-12, atol=1e-13)
     np.testing.assert_allclose(np.asarray(rp.res_history),
                                np.asarray(rt.res_history), rtol=1e-10)
+
+
+def test_fmg_until_tol_with_history():
+    """FMG + until-tol composition (ROADMAP r1 #9): the FMG initial guess
+    shrinks the cycle count and the history baseline reflects it."""
+    from tpu_multigrid import solve_poisson
+
+    cfg = _cfg(finest_level=6)
+    cold = solve_poisson(6, config=cfg, tol=1e-10, max_cycles=40)
+    warm = solve_poisson(6, config=cfg, tol=1e-10, max_cycles=40,
+                         use_fmg=True)
+    assert bool(cold.converged) and bool(warm.converged)
+    # the FMG head start can't cost cycles (deep f64 tolerances converge at
+    # the same asymptotic rate, so allow equality)
+    assert int(warm.iterations) <= int(cold.iterations)
+    hw = np.asarray(warm.res_history)
+    hc = np.asarray(cold.res_history)
+    assert hw[0] < 1e-2 * hc[0]  # history starts from the FMG iterate
+    # both trajectories are recorded without holes up to their iteration count
+    assert np.isfinite(hw[: int(warm.iterations) + 1]).all()
+
+
+@pytest.mark.parametrize("cyc", ["V", "W", "F"])
+def test_cycle_with_norm_fused_path_interpret(cyc):
+    """cycle_with_norm on the fused Pallas path (interpret mode) matches the
+    jnp path for V, W and F cycles (VERDICT r1 item 10)."""
+    from jax.experimental.pallas import tpu as pltpu
+    from tpu_multigrid.cycles import cycle_with_norm
+
+    cfg_j = _cfg(finest_level=9, coarsest_level=3, dtype=jnp.float32,
+                 cycle=cyc, use_pallas=False)
+    cfg_p = dataclasses.replace(cfg_j, use_pallas=True)
+    prob = PoissonProblem(cfg_j, align=256, min_pad_level=0)
+    b = prob.rhs()
+    u0 = jnp.zeros_like(b)
+    u_j, n_j = cycle_with_norm(prob.hierarchy, cfg_j, u0, b)
+    with pltpu.force_tpu_interpret_mode():
+        u_p, n_p = cycle_with_norm(prob.hierarchy, cfg_p, u0, b)
+    # f32 accumulation-order noise compounds over the W/F recursion's many
+    # kernel launches; the norm additionally sums tile-wise vs XLA's order.
+    np.testing.assert_allclose(np.asarray(u_p), np.asarray(u_j),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(float(n_p), float(n_j), rtol=5e-3)

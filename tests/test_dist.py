@@ -127,3 +127,54 @@ def test_sharded_level_sizes_split():
     for (n, S) in lv.sharded:
         assert S % 2 == 0 and S % 4 == 0
     assert lv.num_sharded < len(lv.sizes)
+
+
+@pytest.mark.parametrize("cyc", ["W", "F"])
+def test_sharded_wf_cycles_match_single_device(cyc):
+    """W- and F-cycles on the sharded path match the 1-device run (ADVICE r1:
+    the distributed F-cycle silently degenerated to a V-shaped recursion)."""
+    cfg = MultigridConfig(finest_level=6, coarsest_level=3,
+                          dtype=jnp.float32, cycle=cyc)
+    mesh = make_grid_mesh(shape=(2, 2), devices=jax.devices()[:4])
+    res, _ = sharded_solve(cfg, mesh, num_cycles=4, tol=0.0,
+                           replicate_below=8)
+    mesh1 = make_grid_mesh(shape=(1, 1), devices=jax.devices()[:1])
+    ref, _ = sharded_solve(cfg, mesh1, num_cycles=4, tol=0.0,
+                           replicate_below=8)
+    np.testing.assert_allclose(np.asarray(res.res_history),
+                               np.asarray(ref.res_history), rtol=2e-4)
+
+
+def test_sharded_fcycle_matches_global_cycle():
+    """The distributed F-cycle matches cycles.cycle semantics (not a V)."""
+    from tpu_multigrid.cycles import solve_fixed
+    from tpu_multigrid.dist.shard_cycle import build_sharded_poisson
+
+    cfg = MultigridConfig(finest_level=6, coarsest_level=3,
+                          dtype=jnp.float32, cycle="F")
+    mesh1 = make_grid_mesh(shape=(1, 1), devices=jax.devices()[:1])
+    res, _ = sharded_solve(cfg, mesh1, num_cycles=3, tol=0.0,
+                           replicate_below=8)
+    # Same padded hierarchy, global single-device driver.
+    _, hier = build_sharded_poisson(cfg, mesh1, replicate_below=8)
+    n0, S0 = hier.levels[0].n, hier.levels[0].S
+    b = np.zeros((S0, S0), np.float32)
+    b[1:n0, 1:n0] = 4.0 * (1.0 / n0) ** 2
+    ref = solve_fixed(hier, cfg, jnp.asarray(b), 3)
+    np.testing.assert_allclose(np.asarray(res.res_history),
+                               np.asarray(ref.res_history), rtol=2e-4)
+
+
+def test_sharded_fixed_count_runs_to_completion():
+    """A fixed cycle count must not exit early on the stall heuristic: the
+    history has no NaN holes even when cycles stop making progress (ADVICE
+    r1: weak_scaling reads hist[cycles] unconditionally)."""
+    # f32 at level 6 hits its precision floor well before 30 cycles.
+    cfg = MultigridConfig(finest_level=6, coarsest_level=3,
+                          dtype=jnp.float32)
+    mesh = make_grid_mesh(shape=(2, 2), devices=jax.devices()[:4])
+    res, _ = sharded_solve(cfg, mesh, num_cycles=30, tol=0.0,
+                           replicate_below=8)
+    h = np.asarray(res.res_history)
+    assert int(res.iterations) == 30
+    assert np.isfinite(h).all(), h

@@ -201,3 +201,59 @@ def test_standalone_prolong_add_pallas(S, Sc, n):
     want = ops.mask_interior(u + ops.prolong(e, nc, S), n)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_supported_bounds_sweep_depth():
+    """supported() must reject temporal-blocking depths the fixed column
+    halo / row tile cannot honor (ADVICE r1: stencil.py did not bound the
+    sweep count, silently corrupting columns near tile seams)."""
+    f32 = jnp.float32
+    # Normal depths pass.
+    assert K.supported(256, f32, 1)
+    assert K.supported(1280, f32, 21)
+    # Column-tiled grids (S >= TILE_C + 2*COL_HALO) cap at COL_HALO steps.
+    S_wide = K.TILE_C + 2 * K.COL_HALO
+    assert K.supported(S_wide, f32, K.COL_HALO)
+    assert not K.supported(S_wide, f32, K.COL_HALO + 1)
+    # Row tile must stay positive: S=256 with a huge halo fails.
+    assert not K.supported(256, f32, 130)
+    # Unsupported dtype.
+    assert not K.supported(256, jnp.float64, 1)
+
+
+def test_deep_sweeps_fall_back_to_jnp_correctly():
+    """A smooth whose depth exceeds the kernel's halo must produce the same
+    result as the jnp path (the cycle falls back instead of corrupting)."""
+    from tpu_multigrid import MultigridConfig, PoissonProblem
+    from tpu_multigrid.cycles import _smooth_raw
+
+    cfg = MultigridConfig(finest_level=7, coarsest_level=3,
+                          dtype=jnp.float32, use_pallas=True, nu1=140)
+    prob = PoissonProblem(cfg, align=256, min_pad_level=0)
+    op = prob.hierarchy.levels[0]
+    assert op.S == 256  # row tile collapses at this depth -> must fall back
+    u, b = _grids(op.S, op.n, seed=3)
+    assert not K.supported(op.S, jnp.float32, 140)
+    with pltpu.force_tpu_interpret_mode():
+        got = _smooth_raw(op, u, b, cfg, 140)
+    want = ops.jacobi_sweeps(u, b, op.n, cfg.omega, 140)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("S,Sc,n", [(512, 384, 500), (768, 384, 512)])
+def test_prolong_comp_pallas_exact_pair(S, Sc, n):
+    """Streamed compensated prolongation: hi + err == P e_c exactly in f64
+    (kernel twin of precision.prolong_comp, for 16385^2-scale ds cycles)."""
+    from tpu_multigrid.kernels import transfer as T2
+    nc = n // 2
+    rng = np.random.default_rng(7)
+    e = np.zeros((Sc, Sc), np.float32)
+    e[1:nc, 1:nc] = rng.standard_normal((nc - 1, nc - 1))
+    e = jnp.asarray(e)
+    with pltpu.force_tpu_interpret_mode():
+        hi, err = T2.prolong_comp_pallas(e, n, S)
+    want = np.asarray(ops.prolong(jnp.asarray(np.asarray(e), jnp.float64),
+                                  nc, S))
+    got = np.asarray(hi, np.float64) + np.asarray(err, np.float64)
+    assert np.abs(got - want).max() == 0.0

@@ -90,12 +90,20 @@ def _run(problem, config, tol, max_cycles, num_cycles, use_fmg, use_jit,
     # become embedded constants, and variable-coefficient hierarchies carry
     # hundreds of MB of stencil coefficients (CLAUDE.md: constants are
     # shipped inside remote-compile requests).
+    if refined and tol is None and num_cycles is None:
+        raise ValueError(
+            "refined=True needs either tol or num_cycles "
+            "(got tol=None, num_cycles=None)")
+    if tol is None and num_cycles is None:
+        raise ValueError("need either tol or num_cycles (both are None)")
+
     def go(hier, b):
+        u0 = fmg(hier, config, b) if use_fmg else None
         if refined:
             from .precision import solve_refined
             return solve_refined(hier, config, b, tol=tol,
-                                 max_iters=max_cycles)
-        u0 = fmg(hier, config, b) if use_fmg else None
+                                 max_iters=max_cycles,
+                                 num_cycles=num_cycles, u0=u0)
         if num_cycles is not None:
             return solve_fixed(hier, config, b, num_cycles, u0=u0)
         return solve_until_tol(hier, config, b, tol=tol,

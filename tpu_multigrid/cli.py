@@ -22,7 +22,10 @@ def _add_common(p):
     p.add_argument("--nu2", type=int, default=2)
     p.add_argument("--nu0", type=int, default=1, help="FMG cycles per level")
     p.add_argument("--omega", type=float, default=2.0 / 3.0)
-    p.add_argument("--smoother", choices=["jacobi", "rbgs"], default="jacobi")
+    p.add_argument("--smoother", choices=["jacobi", "rbgs", "chebyshev"],
+                   default="jacobi")
+    p.add_argument("--cheb-lo", type=float, default=0.4,
+                   help="Chebyshev smoothing interval lower bound on D^-1 A")
     p.add_argument("--cycle", choices=["V", "W", "F"], default="V")
     p.add_argument("--coarse-solver", choices=["direct", "smooth"],
                    default="direct")
@@ -95,7 +98,7 @@ def main(argv=None):
     cfg = MultigridConfig(
         finest_level=args.level, coarsest_level=args.coarsest,
         nu1=args.nu1, nu2=args.nu2, nu0=args.nu0, omega=args.omega,
-        smoother=args.smoother, cycle=args.cycle,
+        smoother=args.smoother, cheb_lo=args.cheb_lo, cycle=args.cycle,
         coarse_solver=args.coarse_solver, dtype=_dtype(args.dtype),
         smooth_dtype=_dtype(args.smooth_dtype), use_pallas=args.pallas)
 

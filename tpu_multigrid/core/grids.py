@@ -120,14 +120,23 @@ def build_poisson_hierarchy(
 
 def build_galerkin_hierarchy(
     fine_op: VarStencilOp, config: MultigridConfig, *, align: int = 1,
-    min_pad_level: int = 99,
+    min_pad_level: int = 99, method: str = "host",
 ) -> Hierarchy:
-    """Variable-coefficient hierarchy: coarse operators via R A P (setup-time)."""
+    """Variable-coefficient hierarchy: coarse operators via R A P (setup-time).
+
+    ``method="host"`` evaluates the closed-form R A P on the CPU in numpy
+    (zero device compiles — galerkin_coarsen_host); ``"probe"`` uses the
+    9-comb device probing (galerkin_coarsen), kept as an independent oracle.
+    """
+    from .operators import galerkin_coarsen_host
+
+    coarsen = galerkin_coarsen_host if method == "host" else (
+        lambda op, Sc: galerkin_coarsen(op, Sc))
     sizes = level_sizes(config, align=align, min_pad_level=min_pad_level)
     assert sizes[0][0] == fine_op.n, (sizes[0], fine_op.n)
     levels = [fine_op]
     for (_, Sc) in sizes[1:]:
-        levels.append(galerkin_coarsen(levels[-1], Sc))
+        levels.append(coarsen(levels[-1], Sc))
     coarse_inv = None
     if config.coarse_solver == "direct":
         coarse_inv = coarse_dense_inverse(levels[-1])

@@ -122,9 +122,23 @@ class VarStencilOp:
 
     def _jacobi(self, u, b, omega, sweeps):
         m = ops.interior_mask(self.S, self.n)
+        inv_d = self.inv_diag.astype(u.dtype)
+
+        if isinstance(omega, tuple):
+            # Chebyshev schedule: per-sweep weights (core.ops.chebyshev_omegas)
+            ws = omega
+            if len(ws) < sweeps:
+                ws = tuple(ws[i % len(ws)] for i in range(sweeps))
+            v = u
+            for w in ws[:sweeps]:
+                vn = (jnp.asarray(1.0 - w, u.dtype) * v
+                      + jnp.asarray(w, u.dtype) * inv_d
+                      * (b - self._off_diag_apply(v)))
+                v = jnp.where(m, vn, jnp.zeros((), u.dtype))
+            return v
+
         w = jnp.asarray(omega, u.dtype)
         one_minus = jnp.asarray(1.0 - omega, u.dtype)
-        inv_d = self.inv_diag.astype(u.dtype)
 
         def body(_, v):
             vn = one_minus * v + w * inv_d * (b - self._off_diag_apply(v))
@@ -221,6 +235,79 @@ def _setup_transfers(Sf: int, Sc: int, dt):
 
             return pro, res
     return ops.prolong, ops.restrict_fw
+
+
+def galerkin_coarsen_host(fine: VarStencilOp, Sc: int) -> VarStencilOp:
+    """Coarse operator A_2h = R A_h P in closed form, on the host (numpy).
+
+    For the fixed FW/bilinear pair, R A P is a *local* algebraic formula:
+
+        A_2h(I, I+d) = sum_{a,b} Rw[a] * A(2I+a, 2I+a+b) * Pw[a+b-2d]
+
+    with ``a, b, d`` in {-1,0,1}^2 and ``Rw = Pw`` the FEM-scaled
+    full-weighting weights ([[1,2,1],[2,4,2],[1,2,1]]/4).  Terms whose fine
+    column ``2I+a+b`` is a Dirichlet/padding node are dropped (the masked
+    prolongation has zero rows there); A's own rows are already interior-
+    masked.  Computed in f64 and cast back.
+
+    This replaces the 9-comb device probing (``galerkin_coarsen``) on the
+    setup path: identical results to fp roundoff (tested), but zero TPU
+    compiles — the probing version's 27 Pallas transfer kernels per level
+    cost ~30-80 s of remote compiles per hierarchy on the tunnel
+    (VERDICT r1 item 8 / ROADMAP r1 #11).  The probing version remains as
+    an independent oracle.
+    """
+    import numpy as np
+
+    nf = fine.n
+    Sf = fine.S
+    nc = nf // 2
+    dt = fine.coef.dtype
+    A = np.asarray(fine.coef, np.float64)
+
+    # Padded fine frame with margin 2: index (2 + g) holds fine node g,
+    # g in [-2, 2*Sc+1] covers every sample 2I+a(+b) for I in [0, Sc).
+    W = 2 * Sc + 4
+    lim = min(Sf, W - 2)
+    F = np.zeros((3, 3, W, W))
+    F[:, :, 2:2 + lim, 2:2 + lim] = A[:, :, :lim, :lim]
+    If = np.zeros((W, W))
+    g = np.arange(W) - 2
+    mrow = (g >= 1) & (g <= nf - 1)
+    If[np.ix_(mrow, mrow)] = 1.0
+
+    Rw = np.array([[0.25, 0.5, 0.25], [0.5, 1.0, 0.5], [0.25, 0.5, 0.25]])
+
+    def samp(arr, ir, ic):
+        return arr[..., 2 + ir: 2 + ir + 2 * Sc: 2,
+                   2 + ic: 2 + ic + 2 * Sc: 2]
+
+    C2 = np.zeros((3, 3, Sc, Sc))
+    offs = (-1, 0, 1)
+    for ar in offs:
+        for ac in offs:
+            ra = Rw[ar + 1, ac + 1]
+            for br in offs:
+                for bc in offs:
+                    term = (ra * samp(F[br + 1, bc + 1], ar, ac)
+                            * samp(If, ar + br, ac + bc))
+                    for dr in offs:
+                        cr = ar + br - 2 * dr
+                        if abs(cr) > 1:
+                            continue
+                        for dc in offs:
+                            cc = ac + bc - 2 * dc
+                            if abs(cc) > 1:
+                                continue
+                            C2[dr + 1, dc + 1] += Rw[cr + 1, cc + 1] * term
+
+    i = np.arange(Sc)
+    m = ((i >= 1) & (i <= nc - 1))[:, None] & ((i >= 1) & (i <= nc - 1))[None]
+    C2 = np.where(m[None, None], C2, 0.0)
+    diag = C2[1, 1]
+    inv_diag = np.where(m, 1.0 / np.where(m, diag, 1.0), 0.0)
+    return VarStencilOp(jnp.asarray(C2.astype(dt)),
+                        jnp.asarray(inv_diag.astype(dt)), nc, Sc)
 
 
 @functools.partial(jax.jit, static_argnames=("Sc",))

@@ -86,11 +86,40 @@ def residual(u: jnp.ndarray, b: jnp.ndarray, n: int) -> jnp.ndarray:
     return mask_interior(r.astype(u.dtype), n)
 
 
+def chebyshev_omegas(k: int, lo: float = 0.4, hi: float = 2.0) -> tuple:
+    """Per-step Jacobi weights for degree-``k`` Chebyshev smoothing.
+
+    The smoother iterates ``v <- v + w_j * D^-1 (b - A v)`` with ``w_j`` the
+    reciprocals of the Chebyshev roots on the D^-1 A smoothing interval
+    ``[lo, hi]`` — the polynomial that minimizes the max error multiplier
+    over that interval (textbook Chebyshev relaxation, the standard
+    parallel-friendly smoother in e.g. hypre/AMG).  For the 5-point stencil
+    D^-1 A has spectrum (0, 2); high-frequency (coarse-grid-invisible) modes
+    live in [0.5, 2], and extending slightly below (default ``lo=0.4``)
+    optimizes the measured two-grid factor.  Same per-step cost as plain
+    weighted Jacobi (reference smoother, ``Poissons_SYCL.cpp:127``), ~2x
+    fewer cycles at degree 2.
+
+    Steps run in **descending-omega order**: the over-relaxed steps
+    (``w > 1``, which transiently amplify high-frequency content by up to
+    ``|1 - w*hi|``) come first, so every later step damps their rounding
+    noise; the final step is the most damping one (``max |1 - w*l| <= 1``
+    over the whole spectrum).  The reverse order measurably raises the f32
+    residual floor of deep solves (~2x at 8193^2) because the last step
+    amplifies all accumulated roundoff with nothing after it.
+    """
+    import math
+    roots = [(lo + hi) / 2 + (hi - lo) / 2 * math.cos(
+        math.pi * (2 * j + 1) / (2 * k)) for j in range(k)]
+    # roots[] is descending in tau => ascending in omega; reverse it.
+    return tuple(sorted((1.0 / t for t in roots), reverse=True))
+
+
 def jacobi_sweeps(
     u: jnp.ndarray,
     b: jnp.ndarray,
     n: int,
-    omega: float,
+    omega,
     sweeps: int,
 ) -> jnp.ndarray:
     """`sweeps` sweeps of weighted Jacobi, fixed D = 4I.
@@ -99,11 +128,25 @@ def jacobi_sweeps(
     builds from gemv/scal/add with a host sync per sweep
     (``Poissons_SYCL.cpp:125-147``); here the sweep loop is a single fused
     XLA computation with no host round-trips.
+
+    ``omega`` may be a float (stationary) or a tuple of per-sweep weights
+    (Chebyshev smoothing schedule, :func:`chebyshev_omegas`).
     """
     if sweeps <= 0:
         return u
     m = interior_mask(u.shape[-1], n)
-    w = jnp.asarray(omega, u.dtype)
+
+    if isinstance(omega, tuple):
+        ws = omega
+        if len(ws) < sweeps:
+            ws = tuple(ws[i % len(ws)] for i in range(sweeps))
+        v = u
+        for w in ws[:sweeps]:
+            vn = (jnp.asarray(1.0 - w, u.dtype) * v
+                  + jnp.asarray(0.25 * w, u.dtype) * (b + neighbor_sum(v)))
+            v = jnp.where(m, vn, jnp.zeros((), u.dtype))
+        return v
+
     quarter = jnp.asarray(0.25 * omega, u.dtype)
     one_minus = jnp.asarray(1.0 - omega, u.dtype)
 

@@ -30,6 +30,18 @@ from ..core.operators import ConstStencilOp, VarStencilOp
 # Smoothing with optional mixed precision
 # ---------------------------------------------------------------------------
 
+def _sm(cfg: MultigridConfig, sweeps: int):
+    """Resolve the configured smoother to (kernel_name, omega).
+
+    ``"chebyshev"`` is weighted Jacobi with the degree-``sweeps`` Chebyshev
+    weight schedule (core.ops.chebyshev_omegas) — every Jacobi code path
+    (jnp, Pallas, super-kernels) takes the tuple as its static ``omega``.
+    """
+    if cfg.smoother == "chebyshev":
+        return "jacobi", ops.chebyshev_omegas(max(sweeps, 1), cfg.cheb_lo)
+    return cfg.smoother, cfg.omega
+
+
 def _smooth(op, u, b, cfg: MultigridConfig, sweeps: int):
     """Smooth, optionally running the sweeps in a lower precision.
 
@@ -62,23 +74,26 @@ def _var_kernel_ok(op, cfg: MultigridConfig, dtype, sweeps: int) -> bool:
 
 
 def _smooth_raw(op, u, b, cfg: MultigridConfig, sweeps: int):
+    smoother, omega = _sm(cfg, sweeps)
     if cfg.use_pallas and isinstance(op, ConstStencilOp):
         from ..kernels import stencil as _k
-        if _k.supported(op.S, u.dtype) and cfg.smoother == "jacobi":
-            return _k.jacobi_sweeps(u, b, op.n, cfg.omega, sweeps)
-        if _k.supported(op.S, u.dtype) and cfg.smoother == "rbgs":
-            return _k.rbgs_sweeps(u, b, op.n, sweeps)
+        steps = 2 * sweeps if smoother == "rbgs" else sweeps
+        if _k.supported(op.S, u.dtype, steps):
+            if smoother == "jacobi":
+                return _k.jacobi_sweeps(u, b, op.n, omega, sweeps)
+            if smoother == "rbgs":
+                return _k.rbgs_sweeps(u, b, op.n, sweeps)
     if _var_kernel_ok(op, cfg, u.dtype, sweeps):
         from ..kernels import varstencil as _v
         return _v.var_smooth(u, b, _v._flat_coef(op), op.n, sweeps,
-                             cfg.smoother, cfg.omega)
-    return op.smooth(u, b, smoother=cfg.smoother, omega=cfg.omega, sweeps=sweeps)
+                             smoother, omega)
+    return op.smooth(u, b, smoother=smoother, omega=omega, sweeps=sweeps)
 
 
 def _residual(op, u, b, cfg: MultigridConfig):
     if cfg.use_pallas and isinstance(op, ConstStencilOp):
         from ..kernels import stencil as _k
-        if _k.supported(op.S, u.dtype):
+        if _k.supported(op.S, u.dtype, 1):
             return _k.residual(u, b, op.n)
     return op.residual(u, b)
 
@@ -90,18 +105,20 @@ def _smooth_residual(op, u, b, cfg: MultigridConfig, sweeps: int):
     the reference needed 5 device ops + a sync per sweep plus a separate
     2-gemv residual chain (``Poissons_SYCL.cpp:581,604-608``).
     """
+    smoother, omega = _sm(cfg, sweeps)
     if (cfg.use_pallas and isinstance(op, ConstStencilOp) and sweeps > 0
             and cfg.effective_smooth_dtype == u.dtype):
         from ..kernels import stencil as _k
-        if _k.supported(op.S, u.dtype):
-            if cfg.smoother == "jacobi":
-                return _k.jacobi_sweeps_residual(u, b, op.n, cfg.omega, sweeps)
-            if cfg.smoother == "rbgs":
+        steps = (2 * sweeps if smoother == "rbgs" else sweeps) + 1
+        if _k.supported(op.S, u.dtype, steps):
+            if smoother == "jacobi":
+                return _k.jacobi_sweeps_residual(u, b, op.n, omega, sweeps)
+            if smoother == "rbgs":
                 return _k.rbgs_sweeps_residual(u, b, op.n, sweeps)
     if _var_kernel_ok(op, cfg, u.dtype, sweeps):
         from ..kernels import varstencil as _v
         return _v.var_smooth_residual(u, b, _v._flat_coef(op), op.n, sweeps,
-                                      cfg.smoother, cfg.omega)
+                                      smoother, omega)
     u = _smooth(op, u, b, cfg, sweeps)
     return u, _residual(op, u, b, cfg)
 
@@ -168,6 +185,21 @@ def _use_super_kernels(op, opc, cfg: MultigridConfig, dtype) -> bool:
     return _t.supported(op.S, opc.S, steps, dtype)
 
 
+def _fused_k1(op, opc, cfg: MultigridConfig, u, b):
+    from ..kernels import transfer as _t
+    smoother, omega = _sm(cfg, cfg.nu1)
+    return _t.smooth_restrict(u, b, op.n, opc.S, cfg.nu1, smoother, omega)
+
+
+def _fused_k2(op, cfg: MultigridConfig, u, b, ec, *, resnorm=False):
+    from ..kernels import transfer as _t
+    smoother, omega = _sm(cfg, cfg.nu2)
+    if resnorm:
+        return _t.prolong_smooth_resnorm(u, b, ec, op.n, cfg.nu2,
+                                         smoother, omega)
+    return _t.prolong_smooth(u, b, ec, op.n, cfg.nu2, smoother, omega)
+
+
 def cycle(hier: Hierarchy, cfg: MultigridConfig, u, b, k: int = 0):
     """One multigrid cycle (V, W, or F per ``cfg.cycle``) at level index k.
 
@@ -186,9 +218,7 @@ def cycle(hier: Hierarchy, cfg: MultigridConfig, u, b, k: int = 0):
     opc = hier.levels[k + 1]
     fused = _use_super_kernels(op, opc, cfg, u.dtype)
     if fused:
-        from ..kernels import transfer as _t
-        u, rc = _t.smooth_restrict(u, b, op.n, opc.S, cfg.nu1,
-                                   cfg.smoother, cfg.omega)
+        u, rc = _fused_k1(op, opc, cfg, u, b)
     else:
         u, r = _smooth_residual(op, u, b, cfg, cfg.nu1)
         rc = _restrict(r, op.n, opc.S, cfg)
@@ -202,9 +232,7 @@ def cycle(hier: Hierarchy, cfg: MultigridConfig, u, b, k: int = 0):
         ec = cycle(hier, cfg, ec, rc, k + 1)
         ec = _vcycle_only(hier, cfg, ec, rc, k + 1)
     if fused:
-        from ..kernels import transfer as _t
-        u = _t.prolong_smooth(u, b, ec, op.n, cfg.nu2,
-                              cfg.smoother, cfg.omega)
+        u = _fused_k2(op, cfg, u, b, ec)
     else:
         u = _prolong_add(u, ec, opc.n, op.S, cfg)
         u = _smooth(op, u, b, cfg, cfg.nu2)
@@ -229,17 +257,14 @@ def cycle_with_norm(hier: Hierarchy, cfg: MultigridConfig, u, b):
     op = hier.levels[0]
     opc = hier.levels[1]
     if _use_super_kernels(op, opc, cfg, u.dtype):
-        from ..kernels import transfer as _t
-        u, rc = _t.smooth_restrict(u, b, op.n, opc.S, cfg.nu1,
-                                   cfg.smoother, cfg.omega)
+        u, rc = _fused_k1(op, opc, cfg, u, b)
         ec = jnp.zeros((opc.S, opc.S), u.dtype)
         ec = cycle(hier, cfg, ec, rc, 1)
         if cfg.cycle == "W":
             ec = cycle(hier, cfg, ec, rc, 1)
         elif cfg.cycle == "F":
             ec = _vcycle_only(hier, cfg, ec, rc, 1)
-        return _t.prolong_smooth_resnorm(u, b, ec, op.n, cfg.nu2,
-                                         cfg.smoother, cfg.omega)
+        return _fused_k2(op, cfg, u, b, ec, resnorm=True)
     u = cycle(hier, cfg, u, b)
     return u, ops.norm2(_residual(op, u, b, cfg))
 

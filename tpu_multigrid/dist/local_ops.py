@@ -84,10 +84,25 @@ def residual_local(u, b, n):
 
 
 def jacobi_local(u, b, n, omega, sweeps):
-    """Weighted Jacobi with one ppermute halo exchange per sweep."""
+    """Weighted Jacobi with one ppermute halo exchange per sweep.
+
+    ``omega`` may be a per-sweep tuple (Chebyshev schedule,
+    core.ops.chebyshev_omegas).
+    """
     if sweeps <= 0:
         return u
     m = interior_mask_local(u.shape, n)
+
+    if isinstance(omega, tuple):
+        ws = tuple(omega[i % len(omega)] for i in range(sweeps))
+        v = u
+        for w in ws:
+            vn = (jnp.asarray(1.0 - w, u.dtype) * v
+                  + jnp.asarray(0.25 * w, u.dtype)
+                  * (b + neighbor_sum_local(v)))
+            v = jnp.where(m, vn, jnp.zeros((), u.dtype))
+        return v
+
     one_minus = jnp.asarray(1.0 - omega, u.dtype)
     quarter = jnp.asarray(0.25 * omega, u.dtype)
 

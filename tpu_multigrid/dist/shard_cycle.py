@@ -110,14 +110,22 @@ def _vcycle_local(levels: ShardedLevels, hier: Hierarchy,
                   cfg: MultigridConfig, k: int, u, b):
     """V-cycle at sharded level k on local blocks (inside shard_map)."""
     n, S = levels.sizes[k]
-    smooth = (functools.partial(L.jacobi_local, omega=cfg.omega)
-              if cfg.smoother == "jacobi" else L.rbgs_local)
+
+    def smooth(u, b, n, sweeps):
+        from ..cycles import _sm
+        smoother, omega = _sm(cfg, sweeps)
+        if smoother == "jacobi":
+            return L.jacobi_local(u, b, n, omega, sweeps)
+        return L.rbgs_local(u, b, n, sweeps)
 
     u = smooth(u, b, n, sweeps=cfg.nu1)
     r = L.residual_local(u, b, n)
     rc = L.restrict_fw_local(r, n)
 
-    recurse_cnt = 2 if cfg.cycle == "W" else 1
+    # F-cycle also recurses twice: one F pass then one V pass (the sub-config
+    # replacement below turns the second pass into a V-cycle), matching
+    # cycles/__init__.py:201-203.
+    recurse_cnt = 2 if cfg.cycle in ("W", "F") else 1
     if k + 1 < levels.num_sharded:
         ec = jnp.zeros_like(rc)
         for i in range(recurse_cnt):
@@ -176,10 +184,13 @@ def sharded_solve(config: MultigridConfig, mesh: Mesh, *,
 
         def cond(carry):
             _, i, rnorm, prev, _ = carry
-            progressing = rnorm < 0.9 * prev
-            keep = (i < ncyc) & progressing
+            keep = i < ncyc
             if num_cycles is None:
-                keep &= rnorm > target
+                # Stall detection only applies in until-tol mode; a fixed
+                # cycle count must run to completion (matching solve_fixed)
+                # so res_history has no NaN holes.
+                progressing = rnorm < 0.9 * prev
+                keep &= (rnorm > target) & progressing
             return keep
 
         def body(carry):

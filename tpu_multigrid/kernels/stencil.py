@@ -44,11 +44,28 @@ def _row_quantum(dtype) -> int:
     return 16 if jnp.dtype(dtype) == jnp.dtype(jnp.bfloat16) else 8
 
 
-def supported(S: int, dtype) -> bool:
+def supported(S: int, dtype, steps: int = 1) -> bool:
+    """Whether the streaming kernel handles an (S, S) grid with ``steps``
+    window-shrink steps (sweeps, + 1 if a residual is fused).
+
+    The column halo is fixed at ``COL_HALO`` when the grid is wide enough to
+    be column-tiled, so deep temporal blocking (``steps > COL_HALO``) would
+    silently corrupt columns near tile seams — reject it here and let the
+    caller fall back to the jnp path.  Likewise the row tile must stay
+    positive after subtracting the (quantized) row halo.
+    """
     if jnp.dtype(dtype) not in (jnp.dtype(jnp.float32),
                                 jnp.dtype(jnp.bfloat16)):
         return False
-    return S >= MIN_SIZE and S % 128 == 0
+    if not (S >= MIN_SIZE and S % 128 == 0):
+        return False
+    q = _row_quantum(dtype)
+    hr = ((max(steps, 1) + q - 1) // q) * q
+    if S - 2 * hr < q:
+        return False
+    if S >= TILE_C + 2 * COL_HALO and steps > COL_HALO:
+        return False
+    return True
 
 
 def _tile_sizes(S: int, halo: int, dtype):
@@ -57,8 +74,14 @@ def _tile_sizes(S: int, halo: int, dtype):
     hr = ((halo + q - 1) // q) * q
     tr = min(TILE_R, S - 2 * hr)
     tr -= tr % q
+    assert tr >= q, (
+        f"row tile collapsed: S={S}, halo={halo} (quantized {hr}) — caller "
+        f"must gate on supported(S, dtype, steps)")
     if S >= TILE_C + 2 * COL_HALO:
         tc, hc = TILE_C, COL_HALO
+        assert halo <= hc, (
+            f"temporal-blocking depth {halo} exceeds the fixed column halo "
+            f"{hc} — caller must gate on supported(S, dtype, steps)")
     else:
         tc, hc = S, 0          # full-width strips, no column halo
     return tr, tc, hr, hc
@@ -93,9 +116,13 @@ def _nbr(x):
 
 
 def _jacobi_step(omega):
-    def step(state, b, interior, parity, _j):
-        upd = ((1.0 - omega) * state
-               + (omega * 0.25) * (b + _nbr(state))).astype(state.dtype)
+    """Weighted-Jacobi window step; ``omega`` is a float or a per-step tuple
+    (Chebyshev schedule, core.ops.chebyshev_omegas) indexed by the unrolled
+    step counter ``j``."""
+    def step(state, b, interior, parity, j):
+        w = omega[j % len(omega)] if isinstance(omega, tuple) else omega
+        upd = ((1.0 - w) * state
+               + (w * 0.25) * (b + _nbr(state))).astype(state.dtype)
         return jnp.where(interior, upd, jnp.zeros((), state.dtype))
     return step
 
@@ -265,7 +292,7 @@ def jacobi_sweeps(u, b, n: int, omega: float, sweeps: int):
     if sweeps <= 0:
         return u
     return _streamed(u, b, n=n, steps=sweeps,
-                     step_fn=_jacobi_step(float(omega)), want_residual=False)
+                     step_fn=_jacobi_step(omega if isinstance(omega, tuple) else float(omega)), want_residual=False)
 
 
 @functools.partial(jax.jit, static_argnames=("n", "omega", "sweeps"))
@@ -276,7 +303,7 @@ def jacobi_sweeps_residual(u, b, n: int, omega: float, sweeps: int):
     (``Poissons_SYCL.cpp:581,604-608``) with one kernel launch.
     """
     return _streamed(u, b, n=n, steps=sweeps,
-                     step_fn=_jacobi_step(float(omega)), want_residual=True)
+                     step_fn=_jacobi_step(omega if isinstance(omega, tuple) else float(omega)), want_residual=True)
 
 
 @functools.partial(jax.jit, static_argnames=("n", "sweeps"))

@@ -39,6 +39,10 @@ from .stencil import _jacobi_step, _nbr, _rbgs_step, _residual_of, _roll
 # (TC+2*HC)/TC = 1.22 at TC=2304 vs 1.5 at 1024.
 TR, TC = 256, 2304
 HR, HC = 16, 256
+# Measured on-chip (r2): full-width strips (tc = S, hc = 0) are ~6% SLOWER
+# at 8193^2 than TC=2304 column tiles despite 22% less traffic — the 4-way
+# column split gives the double-buffered DMA pipeline finer granularity to
+# overlap.  Keep the tiled scheme for wide grids.
 
 
 def _geom(S: int):
@@ -116,7 +120,7 @@ def _bilinear_prolong(c):
 
 def _step_fn(smoother, omega):
     if smoother == "jacobi":
-        return _jacobi_step(float(omega))
+        return _jacobi_step(omega if isinstance(omega, tuple) else float(omega))
     elif smoother == "rbgs":
         return _rbgs_step()
     raise ValueError(smoother)
@@ -666,3 +670,137 @@ def restrict_fw_pallas(r, n: int, Sc: int):
 def prolong_add_pallas(u, ec, n: int):
     """Standalone u + P e_c (operator-independent)."""
     return _prolong_add_only(u, ec, n=n)
+
+
+# ---------------------------------------------------------------------------
+# Compensated prolongation: P e_c as an exact (hi, err) pair
+# ---------------------------------------------------------------------------
+
+def _two_sum_k(a, b):
+    """Knuth TwoSum inside a kernel: s + e == a + b exactly."""
+    s = a + b
+    bb = s - a
+    e = (a - (s - bb)) + (b - bb)
+    return s, e
+
+
+def _bilinear_prolong_comp(c):
+    """(R, C) coarse -> ((2R, 2C) hi, (2R, 2C) err) with hi+err == P c
+    exactly: the dyadic weights make the scalings exact; TwoSum captures
+    the 2-/4-term neighbor-sum roundings (precision.prolong_comp's kernel
+    twin, for 16385^2-scale grids where the jnp strided-scatter version is
+    not viable on TPU)."""
+    R, C = c.shape
+    cdn = _roll(c, R - 1, 0)                   # c[i+1, j]
+    crt = _roll(c, C - 1, 1)                   # c[i, j+1]
+    cdr = _roll(crt, R - 1, 0)                 # c[i+1, j+1]
+    s, e = _two_sum_k(c, cdn)
+    va, vae = 0.5 * s, 0.5 * e
+    s, e = _two_sum_k(c, crt)
+    ha, hae = 0.5 * s, 0.5 * e
+    s1, t1 = _two_sum_k(c, cdn)
+    s2, t2 = _two_sum_k(crt, cdr)
+    s, t3 = _two_sum_k(s1, s2)
+    qa, qae = 0.25 * s, 0.25 * (t1 + (t2 + t3))
+    z = jnp.zeros_like(c)
+    return (_interleave2(c, va, ha, qa), _interleave2(z, vae, hae, qae))
+
+
+def _prolong_comp_only(ec, *, n, Sf):
+    """(hi, err) = exact-pair P e_c, streamed (read e_c, write hi+err)."""
+    S = Sf
+    dtype = ec.dtype
+    tr, tc, hr, hc = _geom(S)
+    Wrc, Wcc = tr // 2 + hr, tc // 2 + hc
+    WFr, WFc = 2 * Wrc, 2 * Wcc
+    nr = pl.cdiv(S, tr)
+    ncols = pl.cdiv(S, tc)
+    nt = nr * ncols
+
+    def kernel(ec_hbm, out_hi, out_err, c_buf, hi_buf, err_buf,
+               in_sem, out_sem):
+        def coords(t):
+            ti = t // ncols
+            tj = t % ncols
+            ro = pl.multiple_of(jnp.clip(ti * tr, 0, S - tr), 16)
+            co = pl.multiple_of(jnp.clip(tj * tc, 0, S - tc), 256)
+            r0c = pl.multiple_of(
+                jnp.clip(ro // 2 - hr // 2, 0, (S - WFr) // 2), 8)
+            c0c = pl.multiple_of(
+                jnp.clip(co // 2 - hc // 2, 0, (S - WFc) // 2), 128)
+            return ro, co, r0c, c0c
+
+        def in_dma(slot, t):
+            _, _, r0c, c0c = coords(t)
+            return pltpu.make_async_copy(
+                ec_hbm.at[pl.ds(r0c, Wrc), pl.ds(c0c, Wcc)],
+                c_buf.at[slot], in_sem.at[slot])
+
+        def out_dmas(slot, t):
+            ro, co, r0c, c0c = coords(t)
+            off_r = pl.multiple_of(ro - 2 * r0c, 16)
+            off_c = pl.multiple_of(co - 2 * c0c, 256)
+            return (
+                pltpu.make_async_copy(
+                    hi_buf.at[slot, pl.ds(off_r, tr), pl.ds(off_c, tc)],
+                    out_hi.at[pl.ds(ro, tr), pl.ds(co, tc)],
+                    out_sem.at[slot, 0]),
+                pltpu.make_async_copy(
+                    err_buf.at[slot, pl.ds(off_r, tr), pl.ds(off_c, tc)],
+                    out_err.at[pl.ds(ro, tr), pl.ds(co, tc)],
+                    out_sem.at[slot, 1]),
+            )
+
+        in_dma(0, 0).start()
+
+        def body(t, carry):
+            slot = t % 2
+            nxt = 1 - slot
+
+            @pl.when(t >= 1)
+            def _():
+                for d in out_dmas(nxt, t - 1):
+                    d.wait()
+
+            @pl.when(t + 1 < nt)
+            def _():
+                in_dma(nxt, t + 1).start()
+
+            in_dma(slot, t).wait()
+            _, _, r0c, c0c = coords(t)
+            interior, _ = _masks(2 * r0c, 2 * c0c, WFr, WFc, n)
+            hi, err = _bilinear_prolong_comp(c_buf[slot])
+            z = jnp.zeros((), dtype)
+            hi_buf[slot] = jnp.where(interior, hi, z)
+            err_buf[slot] = jnp.where(interior, err, z)
+            for d in out_dmas(slot, t):
+                d.start()
+            return carry
+
+        jax.lax.fori_loop(0, nt, body, 0)
+        for d in out_dmas((nt - 1) % 2, nt - 1):
+            d.wait()
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((S, S), dtype),
+                   jax.ShapeDtypeStruct((S, S), dtype)),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=(pl.BlockSpec(memory_space=pltpu.ANY),
+                   pl.BlockSpec(memory_space=pltpu.ANY)),
+        scratch_shapes=[
+            pltpu.VMEM((2, Wrc, Wcc), dtype),
+            pltpu.VMEM((2, WFr, WFc), dtype),
+            pltpu.VMEM((2, WFr, WFc), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(ec)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "Sf"))
+def prolong_comp_pallas(ec, n: int, Sf: int):
+    """Exact-pair prolongation (hi + err == P e_c): streamed kernel."""
+    return _prolong_comp_only(ec, n=n, Sf=Sf)

@@ -159,7 +159,9 @@ def _var_streamed(u, b, coef, *, n, steps, smoother, omega, want_residual):
             bwin = b_buf[slot]
             for j in range(steps):
                 if smoother == "jacobi":
-                    upd = ((1.0 - omega) * state + omega * invd
+                    w = (omega[j % len(omega)] if isinstance(omega, tuple)
+                         else omega)
+                    upd = ((1.0 - w) * state + w * invd
                            * (bwin - _offdiag_apply(coefs, state)))
                     state = jnp.where(interior, upd.astype(dtype),
                                       jnp.zeros((), dtype))
@@ -233,7 +235,8 @@ def var_smooth(u, b, coef9, n: int, sweeps: int, smoother: str = "jacobi",
         return u
     steps = 2 * sweeps if smoother == "rbgs" else sweeps
     return _var_streamed(u, b, coef9, n=n, steps=steps, smoother=smoother,
-                         omega=float(omega), want_residual=False)
+                         omega=omega if isinstance(omega, tuple) else float(omega),
+                         want_residual=False)
 
 
 @functools.partial(jax.jit,
@@ -242,4 +245,5 @@ def var_smooth_residual(u, b, coef9, n: int, sweeps: int,
                         smoother: str = "jacobi", omega: float = 2.0 / 3.0):
     steps = 2 * sweeps if smoother == "rbgs" else sweeps
     return _var_streamed(u, b, coef9, n=n, steps=steps, smoother=smoother,
-                         omega=float(omega), want_residual=True)
+                         omega=omega if isinstance(omega, tuple) else float(omega),
+                         want_residual=True)

@@ -61,12 +61,15 @@ def pcg_solve(hier: Hierarchy, cfg: MultigridConfig, b, *, tol: float = 1e-6,
     def body(carry):
         u, r, p, rz, _, i, hist = carry
         ap = op.apply(p)
-        alpha = rz / jnp.maximum(_dot(p, ap), jnp.asarray(1e-300, rz.dtype))
+        # finfo.tiny, not a literal: 1e-300 underflows to 0 in f32 and the
+        # guard would be a no-op at exact convergence (p.Ap == 0).
+        tiny = jnp.asarray(jnp.finfo(rz.dtype).tiny, rz.dtype)
+        alpha = rz / jnp.maximum(_dot(p, ap), tiny)
         u = (u + alpha.astype(u.dtype) * p).astype(u.dtype)
         r = (r - alpha.astype(r.dtype) * ap).astype(r.dtype)
         z = precond(r)
         rz_new = _dot(r, z)
-        beta = rz_new / jnp.maximum(rz, jnp.asarray(1e-300, rz.dtype))
+        beta = rz_new / jnp.maximum(rz, tiny)
         p = (z + beta.astype(p.dtype) * p).astype(p.dtype)
         rnorm = ops.norm2(r)
         hist = hist.at[i + 1].set(rnorm)

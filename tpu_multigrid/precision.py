@@ -22,6 +22,8 @@ one V-cycle plus one compensated residual (~8 f32 passes).
 
 from __future__ import annotations
 
+from typing import Optional
+
 import jax
 import jax.numpy as jnp
 
@@ -78,50 +80,206 @@ def ds_residual(b, u_hi, u_lo, n):
     # r = b + nbr_hi - 4*u_hi  (the three large, cancelling terms)
     s1, e1 = _two_sum(b, nbr_hi)
     s2, e2 = _two_sum(s1, -4.0 * u_hi)
-    # small corrections: compensation of the neighbor sum, the TwoSum
-    # errors, and the full A(u_lo) term (itself only ~eps*||A u||).
+    # Small corrections: compensation of the neighbor sum, the TwoSum
+    # errors, and the full A(u_lo) term (u_lo is rough rounding noise, so
+    # its f32 apply is eps-relative-accurate — no cancellation).
     a_lo = 4.0 * u_lo - ops.neighbor_sum(u_lo)
-    r = s2 + (e1 + e2 + nbr_c - a_lo)
+    # Cascade the five terms with TwoSum: a plain sum rounds at
+    # eps*max|term| ~ eps^2*|4u| per node, which against b ~ 4h^2 floors
+    # the achievable reduction at ~eps^2*n^2*|u| (the 5e-8 stall measured
+    # at 16385^2); the cascade leaves only eps-relative error in r itself.
+    s, c1 = _two_sum(s2, e1)
+    s, c2 = _two_sum(s, e2)
+    s, c3 = _two_sum(s, nbr_c)
+    s, c4 = _two_sum(s, -a_lo)
+    r = s + (c1 + (c2 + (c3 + c4)))
     return ops.mask_interior(r.astype(b.dtype), n)
 
 
+def _two_sum_arrays(a, b):
+    return _two_sum(a, b)
+
+
+def prolong_comp(ec, nc: int, Sf: int):
+    """Bilinear prolongation with an exact error term: P ec == hi + err.
+
+    All P weights are dyadic (1, 1/2, 1/4), so the only rounding happens in
+    the 2- and 4-point neighbor sums — captured with TwoSum and returned as
+    ``err``; the final scalings by 0.5/0.25 are exponent shifts (exact).
+    This is what lets a double-single correction pass *up* the hierarchy
+    without losing its low-order part to f32 storage rounding (ROADMAP r1
+    #4: at 16385^2 the correction is ~1e7 x the defect, so plain-f32
+    prolongation rounding alone injects noise above the defect scale).
+    """
+    from .core.ops import mask_interior
+
+    Sc = ec.shape[-1]
+    nf = 2 * nc
+    m = min(Sc, (Sf + 1) // 2)
+    e = ec[..., :m, :m]
+    hi = jnp.zeros((Sf, Sf), ec.dtype)
+    err = jnp.zeros((Sf, Sf), ec.dtype)
+    lim = 2 * m - 1
+    # even-even: injection, exact
+    hi = hi.at[0:lim:2, 0:lim:2].set(e)
+    # odd rows: 0.5*(a+b); TwoSum the add, halve both parts (exact)
+    s, t = _two_sum(e[:-1, :], e[1:, :])
+    hi = hi.at[1: lim - 1: 2, 0:lim:2].set(0.5 * s)
+    err = err.at[1: lim - 1: 2, 0:lim:2].set(0.5 * t)
+    s, t = _two_sum(e[:, :-1], e[:, 1:])
+    hi = hi.at[0:lim:2, 1: lim - 1: 2].set(0.5 * s)
+    err = err.at[0:lim:2, 1: lim - 1: 2].set(0.5 * t)
+    # odd-odd: 0.25*(a+b+c+d) with compensated 4-term sum
+    s1, t1 = _two_sum(e[:-1, :-1], e[:-1, 1:])
+    s2, t2 = _two_sum(e[1:, :-1], e[1:, 1:])
+    s, t3 = _two_sum(s1, s2)
+    hi = hi.at[1: lim - 1: 2, 1: lim - 1: 2].set(0.25 * s)
+    err = err.at[1: lim - 1: 2, 1: lim - 1: 2].set(
+        0.25 * (t1 + t2 + t3))
+    return mask_interior(hi, nf), mask_interior(err, nf)
+
+
+def cycle_ds(hier: Hierarchy, cfg: MultigridConfig, r, k: int = 0,
+             ds_levels: int = 3):
+    """One V-cycle on the defect equation A e = r, returning e as a
+    double-single pair (e_hi, e_lo).
+
+    Plain f32 cycles stall at 16385^2 because the correction's magnitude is
+    up to ~n^2/(2 pi^2) times the defect's: (a) evaluating A(e + P e_c) for
+    the post-smooth cancels catastrophically, and (b) merely *storing* the
+    prolonged correction in f32 rounds in noise above the defect scale
+    (CLAUDE.md refinement-limit note).  Here, on the finest ``ds_levels``
+    levels:
+
+    * pre-smoothing and the restricted defect stay plain f32 (the
+      pre-smoothed iterate is defect-scale — no cancellation);
+    * the sub-level correction comes back as a ds pair, is prolonged with
+      an exact error term (:func:`prolong_comp`), and accumulates via
+      TwoSum;
+    * post-smoothing runs in *delta form*: the defect of the accumulated
+      pair is evaluated compensated (:func:`ds_residual`), then smoothed
+      from zero in f32 (small scale), and the delta is ds-added.
+
+    Below ``ds_levels`` the amplification ratio eps*n^2 is harmless and the
+    plain cycle runs unchanged.  Cost: ~2x a plain cycle on the ds levels.
+    Only the V-cycle shape is supported (the refined driver's inner solve).
+    """
+    from .cycles import _coarsest_solve, _restrict, _smooth, _smooth_residual
+    from .cycles import cycle as plain_cycle
+
+    op = hier.levels[k]
+    if k >= ds_levels or k == hier.num_levels - 1:
+        if k == hier.num_levels - 1:
+            e = _coarsest_solve(hier, cfg, jnp.zeros_like(r), r)
+        else:
+            e = plain_cycle(hier, cfg, jnp.zeros_like(r), r, k=k)
+        return e, jnp.zeros_like(e)
+
+    opc = hier.levels[k + 1]
+    e0, r1 = _smooth_residual(op, jnp.zeros_like(r), r, cfg, cfg.nu1)
+    rc = _restrict(r1, op.n, opc.S, cfg)
+    ec_hi, ec_lo = cycle_ds(hier, cfg, rc, k + 1, ds_levels)
+    # Prolong the pair.  On TPU the jnp strided-scatter prolongation is not
+    # viable at 16385^2 (memory blowup / worker crash) — use the streamed
+    # kernels when the level qualifies.
+    use_kernels = False
+    if cfg.use_pallas:
+        from .kernels import transfer as _t
+        use_kernels = _t.supported(op.S, opc.S, 0, r.dtype)
+    if use_kernels:
+        p_hi, p_err = _t.prolong_comp_pallas(ec_hi, op.n, op.S)
+        p_lo = _t.prolong_add_pallas(p_err, ec_lo, op.n)
+    else:
+        p_hi, p_err = prolong_comp(ec_hi, opc.n, op.S)
+        p_lo = ops.prolong(ec_lo, opc.n, op.S) + p_err
+    # accumulate: (p_hi, p_lo) + e0, exactly
+    e_hi, e_lo = ds_add(p_hi, p_lo, e0)
+    # post-smooth in delta form against the compensated defect
+    d0 = ds_residual(r, e_hi, e_lo, op.n)
+    delta = _smooth(op, jnp.zeros_like(d0), d0, cfg, cfg.nu2)
+    return ds_add(e_hi, e_lo, delta)
+
+
 def solve_refined(hier: Hierarchy, cfg: MultigridConfig, b, *,
-                  tol: float = 1e-8, max_iters: int = 60,
-                  stall_factor: float = 0.9) -> SolveResult:
+                  tol: Optional[float] = 1e-8, max_iters: int = 60,
+                  stall_factor: float = 0.9,
+                  num_cycles: Optional[int] = None,
+                  u0=None, u0_lo=None, r0_norm=None) -> SolveResult:
     """Iterative refinement: MG cycle on the compensated defect equation.
 
     Reaches relative residual reductions far below the plain-f32 floor
     (~1e-10 at moderate grids) with pure f32 storage and f32 kernels.
     Returns a SolveResult whose ``u`` is the high-order part of the
     double-single iterate (use :func:`solve_refined_ds` for both parts).
+
+    ``num_cycles`` forces a fixed iteration count (no tol/stall exit),
+    matching :func:`cycles.solve_fixed` semantics.  ``u0``/``u0_lo`` seed the
+    double-single iterate (e.g. an FMG initial guess / checkpoint resume);
+    ``r0_norm`` keeps the original solve's relative-tolerance baseline when
+    resuming.
     """
     u_hi, u_lo, hist, iters, conv = solve_refined_ds(
         hier, cfg, b, tol=tol, max_iters=max_iters,
-        stall_factor=stall_factor)
+        stall_factor=stall_factor, num_cycles=num_cycles,
+        u0=u0, u0_lo=u0_lo, r0_norm=r0_norm)
     return SolveResult(u=u_hi, res_history=hist, iterations=iters,
                        converged=conv)
 
 
 def solve_refined_ds(hier: Hierarchy, cfg: MultigridConfig, b, *,
-                     tol: float = 1e-8, max_iters: int = 60,
-                     stall_factor: float = 0.9):
-    """Full double-single refinement state: (u_hi, u_lo, hist, iters, ok)."""
+                     tol: Optional[float] = 1e-8, max_iters: int = 60,
+                     stall_factor: float = 0.9,
+                     num_cycles: Optional[int] = None,
+                     u0=None, u0_lo=None, r0_norm=None,
+                     ds_levels: int = 0):
+    """Full double-single refinement state: (u_hi, u_lo, hist, iters, ok).
+
+    ``ds_levels > 0`` runs the inner correction cycle with double-single
+    corrections on that many finest levels (:func:`cycle_ds`) — required
+    for deep tolerances at 16385^2+, where the plain-f32 inner cycle's
+    storage rounding of the correction stalls the refinement (CLAUDE.md).
+    """
+    if tol is None and num_cycles is None:
+        raise ValueError(
+            "refined solve needs either tol (until-tol mode) or "
+            "num_cycles (fixed-count mode); got tol=None, num_cycles=None")
     op = hier.levels[0]
-    u_hi = jnp.zeros((op.S, op.S), b.dtype)
-    u_lo = jnp.zeros_like(u_hi)
-    r0 = ops.norm2(b)
-    target = jnp.asarray(tol, jnp.float32) * r0
-    hist = jnp.full((max_iters + 1,), jnp.nan, jnp.float32).at[0].set(r0)
+    fixed = num_cycles is not None
+    ncyc = num_cycles if fixed else max_iters
+
+    if u0 is not None:
+        u_hi = u0.astype(b.dtype)
+        u_lo = (u0_lo.astype(b.dtype) if u0_lo is not None
+                else jnp.zeros_like(u_hi))
+        r = ds_residual(b, u_hi, u_lo, op.n)
+    else:
+        u_hi = jnp.zeros((op.S, op.S), b.dtype)
+        u_lo = jnp.zeros_like(u_hi)
+        r = b
+    r0 = ops.norm2(r)
+    rbase = jnp.asarray(r0_norm, jnp.float32) if r0_norm is not None else r0
+    target = (jnp.asarray(tol, jnp.float32) * rbase if tol is not None
+              else jnp.asarray(0.0, jnp.float32))
+    hist = jnp.full((ncyc + 1,), jnp.nan, jnp.float32).at[0].set(r0)
 
     def condf(carry):
         _, _, _, i, rnorm, prev, _ = carry
-        progressing = rnorm < jnp.asarray(stall_factor, jnp.float32) * prev
-        return (i < max_iters) & (rnorm > target) & progressing
+        keep = i < ncyc
+        if not fixed:
+            progressing = (rnorm
+                           < jnp.asarray(stall_factor, jnp.float32) * prev)
+            keep &= (rnorm > target) & progressing
+        return keep
 
     def body(carry):
         u_hi, u_lo, r, i, rnorm, _, hist = carry
-        e = cycle(hier, cfg, jnp.zeros_like(r), r)
-        u_hi, u_lo = ds_add(u_hi, u_lo, e)
+        if ds_levels > 0:
+            e_hi, e_lo = cycle_ds(hier, cfg, r, ds_levels=ds_levels)
+            u_hi, u_lo = ds_add(u_hi, u_lo, e_hi)
+            u_hi, u_lo = ds_add(u_hi, u_lo, e_lo)
+        else:
+            e = cycle(hier, cfg, jnp.zeros_like(r), r)
+            u_hi, u_lo = ds_add(u_hi, u_lo, e)
         r = ds_residual(b, u_hi, u_lo, op.n)
         rnew = ops.norm2(r)
         hist = hist.at[i + 1].set(rnew)
@@ -130,5 +288,6 @@ def solve_refined_ds(hier: Hierarchy, cfg: MultigridConfig, b, *,
     inf = jnp.asarray(jnp.inf, jnp.float32)
     u_hi, u_lo, r, iters, rnorm, _, hist = jax.lax.while_loop(
         condf, body,
-        (u_hi, u_lo, b, jnp.asarray(0, jnp.int32), r0, inf, hist))
-    return u_hi, u_lo, hist, iters, rnorm <= target
+        (u_hi, u_lo, r, jnp.asarray(0, jnp.int32), r0, inf, hist))
+    conv = jnp.asarray(True) if fixed else rnorm <= target
+    return u_hi, u_lo, hist, iters, conv
