@@ -39,6 +39,9 @@ def main():
     p.add_argument("--base-level", type=int, default=7,
                    help="finest level on 1 device; each 4x devices adds 1")
     p.add_argument("--cycles", type=int, default=4)
+    p.add_argument("--pallas", action="store_true",
+                   help="fused-Pallas sharded path (dist.pallas_cycle); on "
+                        "CPU it runs in interpret mode")
     args = p.parse_args()
 
     devs = jax.devices()
@@ -63,8 +66,19 @@ def main():
         cfg = MultigridConfig(finest_level=lvl, coarsest_level=3,
                               dtype=jnp.float32)
         t0 = time.perf_counter()
-        res, levels = sharded_solve(cfg, mesh, num_cycles=args.cycles,
-                                    tol=0.0, replicate_below=16)
+        if args.pallas:
+            import contextlib
+            from jax.experimental.pallas import tpu as pltpu
+            from tpu_multigrid.dist.pallas_cycle import sharded_solve_pallas
+            interp = (pltpu.force_tpu_interpret_mode()
+                      if devs[0].platform == "cpu" else contextlib.nullcontext())
+            with interp:
+                res, levels = sharded_solve_pallas(
+                    cfg, mesh, num_cycles=args.cycles, tol=0.0,
+                    replicate_below=64)
+        else:
+            res, levels = sharded_solve(cfg, mesh, num_cycles=args.cycles,
+                                        tol=0.0, replicate_below=16)
         hist = np.asarray(res.res_history)
         wall = time.perf_counter() - t0
         n = 2 ** lvl

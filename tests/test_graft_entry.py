@@ -42,4 +42,5 @@ def test_dryrun_multichip_green(n, capsys):
     graft.dryrun_multichip(n)
     out = capsys.readouterr().out
     assert "shard_map+ppermute" in out
+    assert "pallas-local" in out
     assert "gspmd-auto" in out

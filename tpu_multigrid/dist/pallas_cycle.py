@@ -1,0 +1,306 @@
+"""Distributed multigrid with fused Pallas kernels on ghost-extended shards.
+
+This is the high-performance variant of dist.shard_cycle (VERDICT r1 item 2;
+ROADMAP r1 #5): instead of one ``ppermute`` halo ring per smoother sweep and
+plain jnp local ops, each sharded level keeps its block **ghost-extended**
+(kernels/local.py: ``GR = 16`` rows, ``GC = 256`` cols per side) and a level
+visit is:
+
+1. strip-wise ghost refresh of ``u`` (two-phase ppermute: rows, then columns
+   of the row-refreshed block, so corners arrive without diagonal sends);
+2. one fused K1 launch (nu1 smoothing sweeps + residual + FW restriction)
+   producing the next level's extended block — communication AND bandwidth
+   for the whole pre-smoothing phase amortized into one exchange + ~3.3
+   HBM passes;
+3. recursion (sharded) or all-gather + replicated coarse hierarchy (the
+   same replicate-below-threshold switch as shard_cycle);
+4. ghost refresh of ``u`` and the prolonged correction, then one fused K2
+   launch (prolong + correct + nu2 sweeps, optionally + the owned-region
+   residual norm for the until-tol driver, psum'd across the mesh).
+
+Received ghost strips are masked against the *global* interior, so wrapped
+ppermute strips (mesh edges) and physical-boundary cells hold zeros — the
+same zero-outside-interior invariant the single-chip kernels rely on.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import NamedSharding, PartitionSpec as P
+from jax import shard_map
+from jax.sharding import Mesh
+
+from ..config import MultigridConfig
+from ..core.grids import Hierarchy, round_up
+from ..core.operators import poisson_op
+from ..core.grids import coarse_dense_inverse
+from ..cycles import SolveResult, _coarsest_solve, _sm
+from ..kernels import local as KL
+from . import local_ops as L
+from .mesh import GRID_AXES
+from .shard_cycle import ShardedLevels, _replicated_cycle
+
+GY, GX = GRID_AXES
+GR, GC = KL.GR, KL.GC
+
+
+# ---------------------------------------------------------------------------
+# Ghost-zone plumbing (inside shard_map)
+# ---------------------------------------------------------------------------
+
+def _ext_origin(lr: int, lc: int):
+    """Global coords of extended-block element (0, 0), as a (1, 2) int32."""
+    oy = lax.axis_index(GY) * lr - GR
+    ox = lax.axis_index(GX) * lc - GC
+    return jnp.stack([oy, ox]).reshape(1, 2).astype(jnp.int32)
+
+
+def _mask_strip(strip, oy, ox, n):
+    """Zero strip cells whose global coords fall outside the interior."""
+    r, c = strip.shape
+    gi = lax.broadcasted_iota(jnp.int32, (r, c), 0) + oy
+    gj = lax.broadcasted_iota(jnp.int32, (r, c), 1) + ox
+    keep = (gi >= 1) & (gi <= n - 1) & (gj >= 1) & (gj <= n - 1)
+    return jnp.where(keep, strip, jnp.zeros((), strip.dtype))
+
+
+def refresh_ghosts(x, n: int, lr: int, lc: int):
+    """Refill all four ghost zones of an extended block from neighbors.
+
+    Strips only — O(GR*C + R*GC) traffic, in-place dynamic updates.  Two
+    phases (rows, then columns including the refreshed ghost rows) so corner
+    ghosts arrive via two hops.
+    """
+    R, C = x.shape
+    oy = lax.axis_index(GY) * lr - GR
+    ox = lax.axis_index(GX) * lc - GC
+
+    top = L._shift_from_prev(lax.slice(x, (R - 2 * GR, 0), (R - GR, C)), GY)
+    bot = L._shift_from_next(lax.slice(x, (GR, 0), (2 * GR, C)), GY)
+    x = lax.dynamic_update_slice(x, _mask_strip(top, oy, ox, n), (0, 0))
+    x = lax.dynamic_update_slice(x, _mask_strip(bot, oy + R - GR, ox, n),
+                                 (R - GR, 0))
+
+    lf = L._shift_from_prev(lax.slice(x, (0, C - 2 * GC), (R, C - GC)), GX)
+    rt = L._shift_from_next(lax.slice(x, (0, GC), (R, 2 * GC)), GX)
+    x = lax.dynamic_update_slice(x, _mask_strip(lf, oy, ox, n), (0, 0))
+    x = lax.dynamic_update_slice(x, _mask_strip(rt, oy, ox + C - GC, n),
+                                 (0, C - GC))
+    return x
+
+
+def owned_view(x):
+    """(R, C) extended block -> its (lr, lc) owned region."""
+    R, C = x.shape
+    return lax.slice(x, (GR, GC), (R - GR, C - GC))
+
+
+def gather_owned(x):
+    """All-gather owned regions into the full (S, S) replicated array."""
+    return L.gather_full(owned_view(x))
+
+
+def scatter_owned(full, lr: int, lc: int, dtype=None):
+    """Slice this shard's (lr, lc) block of a replicated array into a fresh
+    extended block (ghosts zero — caller refreshes)."""
+    dtype = dtype or full.dtype
+    oy = lax.axis_index(GY) * lr
+    ox = lax.axis_index(GX) * lc
+    blk = lax.dynamic_slice(full, (oy, ox), (lr, lc)).astype(dtype)
+    ext = jnp.zeros((lr + 2 * GR, lc + 2 * GC), dtype)
+    return lax.dynamic_update_slice(ext, blk, (GR, GC))
+
+
+# ---------------------------------------------------------------------------
+# Level sizing
+# ---------------------------------------------------------------------------
+
+def pallas_level_sizes(config: MultigridConfig, mesh_shape: Tuple[int, int],
+                       *, replicate_below: int = 256) -> ShardedLevels:
+    """Like shard_cycle.sharded_level_sizes but with the extended-block
+    kernel constraints: local rows % 16 == 0, local cols % 256 == 0, and the
+    full-width strip VMEM bound (kernels/local.py supported_local)."""
+    my, mx = mesh_shape
+    n0 = 2 ** config.finest_level
+    import math
+    quantum = math.lcm(256, 16 * my, 256 * mx)
+    S0 = round_up(n0 + 1, quantum)
+    mult = 2 if config.smoother == "rbgs" else 1
+    steps = mult * max(config.nu1, config.nu2, 1) + 1
+    sizes = []
+    num_sharded = 0
+    S = S0
+    for i, lvl in enumerate(range(config.finest_level,
+                                  config.coarsest_level - 1, -1)):
+        n = 2 ** lvl
+        lr, lc = S // my, S // mx
+        ok = (num_sharded == i and S % my == 0 and S % mx == 0
+              and lr % 16 == 0 and lc % 256 == 0
+              and min(lr, lc) >= replicate_below and S >= n + 1
+              and KL.supported_local(lr + 2 * GR, lc + 2 * GC, steps,
+                                     config.dtype)
+              and (S // 2) % my == 0 and (S // 2) % mx == 0)
+        if ok:
+            sizes.append((n, S))
+            num_sharded += 1
+            S //= 2
+        elif num_sharded == i:
+            sizes.append((n, max(S, n + 1)))
+        else:
+            sizes.append((n, n + 1))
+    num_sharded = min(num_sharded, len(sizes) - 1)
+    return ShardedLevels(tuple(sizes), num_sharded)
+
+
+def build_pallas_poisson(config: MultigridConfig, mesh: Mesh,
+                         *, replicate_below: int = 256):
+    my, mx = mesh.devices.shape
+    levels = pallas_level_sizes(config, (my, mx),
+                                replicate_below=replicate_below)
+    hops = tuple(poisson_op(n, S) for (n, S) in levels.sizes)
+    coarse_inv = None
+    if config.coarse_solver == "direct":
+        coarse_inv = coarse_dense_inverse(hops[-1])
+    return levels, Hierarchy(hops, coarse_inv)
+
+
+# ---------------------------------------------------------------------------
+# The fused-kernel distributed V-cycle
+# ---------------------------------------------------------------------------
+
+def _vcycle_pallas(levels: ShardedLevels, hier: Hierarchy,
+                   cfg: MultigridConfig, mesh_shape: Tuple[int, int],
+                   k: int, u, b, want_norm: bool = False):
+    """V/W/F-cycle at sharded level k on extended blocks (inside shard_map).
+
+    ``b``'s ghosts must be valid on entry (they are refreshed once when the
+    level's RHS is created).  Returns u' (owned valid, ghosts stale), plus
+    the global post-cycle residual norm when ``want_norm``.
+    """
+    my, mx = mesh_shape
+    n, S = levels.sizes[k]
+    lr, lc = S // my, S // mx
+    origin = _ext_origin(lr, lc)
+    sm1, om1 = _sm(cfg, cfg.nu1)
+    sm2, om2 = _sm(cfg, cfg.nu2)
+
+    u = refresh_ghosts(u, n, lr, lc)
+    u, rc = KL.smooth_restrict_ext(u, b, origin, n, cfg.nu1, sm1, om1)
+
+    recurse_cnt = 2 if cfg.cycle in ("W", "F") else 1
+    if k + 1 < levels.num_sharded:
+        rc = refresh_ghosts(rc, n // 2, lr // 2, lc // 2)
+        ec = jnp.zeros_like(rc)
+        for i in range(recurse_cnt):
+            sub = cfg if (cfg.cycle != "F" or i == 0) else \
+                dataclasses.replace(cfg, cycle="V")
+            ec = _vcycle_pallas(levels, hier, sub, mesh_shape, k + 1, ec, rc)
+    else:
+        rc_full = gather_owned(rc)              # (S/2, S/2) replicated
+        Sr = levels.sizes[k + 1][1]
+        assert rc_full.shape[-1] == Sr, (rc_full.shape, Sr)
+        ec_full = jnp.zeros_like(rc_full)
+        for i in range(recurse_cnt):
+            sub = cfg if (cfg.cycle != "F" or i == 0) else \
+                dataclasses.replace(cfg, cycle="V")
+            if k + 1 == len(levels.sizes) - 1:
+                ec_full = _coarsest_solve(hier, sub, ec_full, rc_full)
+            else:
+                ec_full = _replicated_cycle(hier, sub, k + 1, ec_full,
+                                            rc_full)
+        ec = scatter_owned(ec_full, lr // 2, lc // 2, dtype=u.dtype)
+
+    ec = refresh_ghosts(ec, n // 2, lr // 2, lc // 2)
+    u = refresh_ghosts(u, n, lr, lc)
+    if want_norm:
+        u, ss = KL.prolong_smooth_ext(u, b, ec, origin, n, cfg.nu2, sm2, om2,
+                                      want_resnorm=True)
+        ss = lax.psum(lax.psum(ss, GY), GX)
+        return u, jnp.sqrt(ss).astype(jnp.float32)
+    return KL.prolong_smooth_ext(u, b, ec, origin, n, cfg.nu2, sm2, om2)
+
+
+def sharded_solve_pallas(config: MultigridConfig, mesh: Mesh, *,
+                         forcing: float = 4.0, tol: float = 1e-5,
+                         max_cycles: int = 100,
+                         num_cycles: Optional[int] = None,
+                         replicate_below: int = 256, jit: bool = True):
+    """Distributed Poisson solve on the fused Pallas local-kernel path.
+
+    Mirrors shard_cycle.sharded_solve's contract; ``result.u`` is the
+    sharded global (S, S) array (owned regions assembled).
+    """
+    my, mx = mesh.devices.shape
+    levels, hier = build_pallas_poisson(config, mesh,
+                                        replicate_below=replicate_below)
+    if levels.num_sharded < 1:
+        raise ValueError(
+            f"no level satisfies the Pallas shard constraints for mesh "
+            f"{(my, mx)} at finest_level={config.finest_level}; use "
+            f"shard_cycle.sharded_solve instead (levels: {levels.sizes})")
+    n0, S0 = levels.sizes[0]
+    lr, lc = S0 // my, S0 // mx
+    h2 = (1.0 / n0) ** 2
+    spec = P(*GRID_AXES)
+
+    b_glob = jax.device_put(np.zeros((S0, S0), np.float32),
+                            NamedSharding(mesh, spec))
+
+    @functools.partial(shard_map, mesh=mesh, in_specs=(spec,),
+                       out_specs=(spec, P(), P(), P()),
+                       check_vma=False)
+    def run(b_loc):
+        # Extended RHS: f * h^2 on owned interior, ghosts refreshed once.
+        ext = jnp.zeros((lr + 2 * GR, lc + 2 * GC), jnp.float32)
+        oy = lax.axis_index(GY) * lr - GR
+        ox = lax.axis_index(GX) * lc - GC
+        gi = lax.broadcasted_iota(jnp.int32, ext.shape, 0) + oy
+        gj = lax.broadcasted_iota(jnp.int32, ext.shape, 1) + ox
+        inter = (gi >= 1) & (gi <= n0 - 1) & (gj >= 1) & (gj <= n0 - 1)
+        owned = ((gi >= lax.axis_index(GY) * lr)
+                 & (gi < (lax.axis_index(GY) + 1) * lr)
+                 & (gj >= lax.axis_index(GX) * lc)
+                 & (gj < (lax.axis_index(GX) + 1) * lc))
+        b_ext = jnp.where(inter & owned,
+                          jnp.asarray(forcing * h2, jnp.float32),
+                          jnp.zeros((), jnp.float32))
+        b_ext = refresh_ghosts(b_ext, n0, lr, lc)
+
+        u = jnp.zeros_like(b_ext)
+        r0 = L.norm2_local(owned_view(b_ext))
+        target = jnp.asarray(tol, jnp.float32) * r0
+        ncyc = num_cycles if num_cycles is not None else max_cycles
+        hist = jnp.full((ncyc + 1,), jnp.nan, jnp.float32).at[0].set(r0)
+
+        def cond(carry):
+            _, i, rnorm, prev, _ = carry
+            keep = i < ncyc
+            if num_cycles is None:
+                progressing = rnorm < 0.9 * prev
+                keep &= (rnorm > target) & progressing
+            return keep
+
+        def body(carry):
+            u, i, rnorm, _, hist = carry
+            u, rnew = _vcycle_pallas(levels, hier, config, (my, mx), 0,
+                                     u, b_ext, want_norm=True)
+            hist = hist.at[i + 1].set(rnew)
+            return u, i + 1, rnew, rnorm, hist
+
+        inf = jnp.asarray(jnp.inf, jnp.float32)
+        u, iters, rnorm, _, hist = lax.while_loop(
+            cond, body, (u, jnp.asarray(0, jnp.int32), r0, inf, hist))
+        return owned_view(u), hist, iters, rnorm <= target
+
+    if jit:
+        run = jax.jit(run)
+    u, hist, iters, conv = run(b_glob)
+    return SolveResult(u=u, res_history=hist, iterations=iters,
+                       converged=conv), levels
