@@ -100,34 +100,44 @@ def run_bench(level, cycles, nu1, nu2, smoother, use_pallas, dtype, repeats,
         best = min(best, (t(r2) - t(r1)) / (c2 - c1))
 
     # Convergence record (BASELINE metric "cycles to 1e-8 residual
-    # reduction"), measured ON THIS GRID on-device: plain f32 hits its
-    # residual-evaluation floor after ~1 cycle (CLAUDE.md), so the solve
-    # runs with compensated double-single iterative refinement
-    # (tpu_multigrid.precision), which evaluates residuals to ~eps^2.
-    from tpu_multigrid.precision import solve_refined_ds
+    # reduction"), measured on-device: plain f32 hits its residual-
+    # evaluation floor after ~1 cycle (CLAUDE.md).  The solve runs with
+    # compensated iterative refinement (tpu_multigrid.precision): double-
+    # single on small grids; on large grids the *triple-single* outer
+    # iterate + double-single inner corrections (solve_refined_ts +
+    # cycle_ds) — the ds representation itself floors at ~eps^2*n^2*|u|
+    # relative (1.25e-8 at 8193^2, 5e-8 at 16385^2), so reaching 1e-8 at
+    # scale needs the third component.  Measured at level >= 14 when the
+    # bench runs at the 8193^2 north-star config (r2: 16385^2 reaches
+    # 2.9e-9 relative in 9 cycles, ~40 s wall on one v5e chip).
+    import dataclasses as _dc
+    from tpu_multigrid import PoissonProblem as _PP
+    from tpu_multigrid.precision import solve_refined_ds, solve_refined_ts
+
+    meas_level = max(level, 14) if (level >= 13 and use_pallas) else level
+    deep_ts = use_pallas and meas_level >= 10
 
     def refined_record(h_, cfg_, b_):
-        _, _, rh, ri, ok_ = jax.jit(
-            lambda h, b: solve_refined_ds(h, cfg_, b, tol=1e-8, max_iters=30)
-        )(h_, b_)
+        if deep_ts:
+            out = jax.jit(lambda h, b: solve_refined_ts(
+                h, cfg_, b, tol=1e-8, max_iters=30, ds_levels=3))(h_, b_)
+            rh, ri, ok_ = out[3], out[4], out[5]
+        else:
+            out = jax.jit(lambda h, b: solve_refined_ds(
+                h, cfg_, b, tol=1e-8, max_iters=30))(h_, b_)
+            rh, ri, ok_ = out[2], out[3], out[4]
         rh = np.asarray(rh)
         ni = int(ri)
         return rh, ni, bool(ok_), float(rh[ni] / rh[0])
 
-    rhist, n_it, rok, reduction_achieved = refined_record(hier, cfg, b)
-    meas_level = level
-    if not rok and reduction_achieved > 1e-6 and level > 12:
-        # Beyond ~8193^2 even double-single refinement cannot progress in
-        # f32 (A(round_f32(u*)) deviates by ~2x the RHS scale — a storage
-        # limit, not a solver property).  Measure convergence at the
-        # largest grid where it does; cycle counts are grid-independent.
-        import dataclasses as _dc
-        from tpu_multigrid import PoissonProblem as _PP
-        meas_level = 12
-        mcfg = _dc.replace(cfg, finest_level=meas_level)
+    if meas_level != level:
+        mcfg = _dc.replace(cfg, finest_level=meas_level,
+                           coarsest_level=max(coarsest, 5))
         mprob = _PP(mcfg, align=align, min_pad_level=min_pad)
         rhist, n_it, rok, reduction_achieved = refined_record(
             mprob.hierarchy, mcfg, mprob.rhs())
+    else:
+        rhist, n_it, rok, reduction_achieved = refined_record(hier, cfg, b)
     rho = float((rhist[min(n_it, 8)] / rhist[0])
                 ** (1.0 / max(min(n_it, 8), 1)))
     if rok:

@@ -152,7 +152,9 @@ def test_transfer_supported_gates():
     assert T.supported(768, 512, 4, jnp.float32)
     assert T.supported(256, 256, 4, jnp.float32)       # full hierarchy cover
     assert not T.supported(768, 512, 4, jnp.float64)
-    assert not T.supported(768, 512, 4, jnp.bfloat16)
+    # bf16 is supported with the deeper (32-row) halo geometry
+    assert T.supported(768, 512, 4, jnp.bfloat16)
+    assert not T.supported(768, 512, 31, jnp.bfloat16)  # halo bound
     assert not T.supported(640, 512, 4, jnp.float32)   # Sf not mult 256
     assert not T.supported(768, 256, 4, jnp.float32)   # coarse too small
     assert not T.supported(128, 128, 4, jnp.float32)   # below min size
@@ -257,3 +259,41 @@ def test_prolong_comp_pallas_exact_pair(S, Sc, n):
                                   nc, S))
     got = np.asarray(hi, np.float64) + np.asarray(err, np.float64)
     assert np.abs(got - want).max() == 0.0
+
+
+@pytest.mark.parametrize("smoother", ["jacobi", "rbgs"])
+def test_super_kernels_bf16(smoother):
+    """bf16 K1/K2 (32-row halo geometry) match the jnp composition to bf16
+    roundoff in interpret mode (BASELINE config 3 kernel capability)."""
+    S, Sc, n = 768, 512, 700
+    u, b = _grids(S, n, dtype=jnp.bfloat16)
+    assert T.supported(S, Sc, 4, jnp.bfloat16)
+    with pltpu.force_tpu_interpret_mode():
+        gu, grc = T.smooth_restrict(u, b, n, Sc, 2, smoother=smoother)
+    if smoother == "jacobi":
+        wu = ops.jacobi_sweeps(u, b, n, 2 / 3, 2)
+    else:
+        wu = ops.redblack_gs_sweeps(u, b, n, 2)
+    wrc = ops.restrict_fw(ops.residual(wu, b, n), n, Sc)
+    np.testing.assert_allclose(np.asarray(gu, np.float32),
+                               np.asarray(wu, np.float32),
+                               rtol=0.05, atol=0.05)
+    np.testing.assert_allclose(np.asarray(grc, np.float32),
+                               np.asarray(wrc, np.float32),
+                               rtol=0.05, atol=0.05)
+    nc = n // 2
+    rng = np.random.default_rng(5)
+    e = np.zeros((Sc, Sc), np.float32)
+    e[1:nc, 1:nc] = rng.standard_normal((nc - 1, nc - 1))
+    e = jnp.asarray(e, jnp.bfloat16)
+    with pltpu.force_tpu_interpret_mode():
+        gu2 = T.prolong_smooth(u, b, e, n, 2, smoother=smoother)
+    corrected = ops.mask_interior(
+        (u + ops.prolong(e, nc, S)).astype(jnp.bfloat16), n)
+    if smoother == "jacobi":
+        w2 = ops.jacobi_sweeps(corrected, b, n, 2 / 3, 2)
+    else:
+        w2 = ops.redblack_gs_sweeps(corrected, b, n, 2)
+    np.testing.assert_allclose(np.asarray(gu2, np.float32),
+                               np.asarray(w2, np.float32),
+                               rtol=0.05, atol=0.05)

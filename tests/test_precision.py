@@ -224,3 +224,88 @@ def test_cycle_ds_matches_plain_refined():
         rel = np.linalg.norm(r64) / np.linalg.norm(np.asarray(b, np.float64))
         assert rel < 5e-10, (dsl, rel)
     assert abs(outs[0][0] - outs[3][0]) <= 2
+
+
+def test_compensated_residual_kernels_match_jnp():
+    """Fused ds/ts residual kernels == the jnp TwoSum expressions exactly
+    (interpret mode; they must agree bitwise — same arithmetic)."""
+    from jax.experimental.pallas import tpu as pltpu
+    from tpu_multigrid.kernels import compres
+    from tpu_multigrid.precision import ds_residual, ts_residual
+
+    rng = np.random.default_rng(3)
+    n, S = 250, 256
+    def grid(scale):
+        x = np.zeros((S, S), np.float32)
+        x[1:n, 1:n] = rng.standard_normal((n - 1, n - 1)) * scale
+        return jnp.asarray(x)
+    b, uh, um, ul = grid(1e-3), grid(1.0), grid(1e-7), grid(1e-14)
+    with pltpu.force_tpu_interpret_mode():
+        g2 = compres.ds_residual_pallas(b, uh, um, n)
+        g3 = compres.ts_residual_pallas(b, uh, um, ul, n)
+    w2 = ds_residual(b, uh, um, n)
+    w3 = ts_residual(b, uh, um, ul, n)
+    np.testing.assert_array_equal(np.asarray(g2), np.asarray(w2))
+    np.testing.assert_array_equal(np.asarray(g3), np.asarray(w3))
+
+
+def test_ts_refinement_reaches_deeper_than_ds():
+    """The triple-single outer iterate must reach ~eps^3-ish floors; the
+    ds floor (~eps^2*n^2*|u| relative) is the quantity it exists to beat
+    (measured on-chip: 1.25e-8 at 8193^2, 5e-8 at 16385^2)."""
+    from tpu_multigrid.precision import solve_refined_ts
+
+    cfg = MultigridConfig(finest_level=7, coarsest_level=3,
+                          dtype=jnp.float32)
+    prob = PoissonProblem(cfg)
+    b = prob.rhs()
+    uh, um, ul, hist, it, ok = solve_refined_ts(prob.hierarchy, cfg, b,
+                                                tol=1e-12, max_iters=40)
+    assert bool(ok)
+    h = np.asarray(hist)
+    assert h[int(it)] <= 1e-12 * h[0]
+    # the plain-f32 floor at level 7 is ~1e-4 relative; ds reaches ~1e-10;
+    # ts must go beyond 1e-12 without stalling
+    # independent f64 check of the triple's residual
+    b64 = np.asarray(b, np.float64)
+    u64 = (np.asarray(uh, np.float64) + np.asarray(um, np.float64)
+           + np.asarray(ul, np.float64))
+    nbr = (np.roll(u64, 1, 0) + np.roll(u64, -1, 0)
+           + np.roll(u64, 1, 1) + np.roll(u64, -1, 1))
+    r = b64 - 4.0 * u64 + nbr
+    mask = np.zeros_like(r, bool); mask[1:128, 1:128] = True
+    rel = (np.linalg.norm(np.where(mask, r, 0.0))
+           / np.linalg.norm(b64))
+    assert rel < 5e-12, rel
+
+
+def test_ts_fixed_count_and_guards():
+    from tpu_multigrid.precision import solve_refined_ts
+
+    cfg = MultigridConfig(finest_level=5, coarsest_level=3,
+                          dtype=jnp.float32)
+    prob = PoissonProblem(cfg)
+    out = solve_refined_ts(prob.hierarchy, cfg, prob.rhs(), num_cycles=4,
+                           tol=None)
+    assert int(out[4]) == 4 and bool(out[5])
+    with pytest.raises(ValueError):
+        solve_refined_ts(prob.hierarchy, cfg, prob.rhs(), tol=None)
+
+
+def test_bf16_inner_cycle_smoke():
+    """bf16 inner defect cycles: the f32 first iteration handles the
+    smooth initial defect; afterwards the rate floors around the bf16
+    correction noise.  At small grids (low smooth amplification) the
+    solve still converges to moderate tolerances."""
+    from tpu_multigrid.precision import solve_refined_ds
+
+    cfg = MultigridConfig(finest_level=5, coarsest_level=3,
+                          dtype=jnp.float32)
+    prob = PoissonProblem(cfg)
+    u_hi, u_lo, hist, it, ok = solve_refined_ds(
+        prob.hierarchy, cfg, prob.rhs(), tol=1e-4, max_iters=30,
+        inner_dtype=jnp.bfloat16)
+    assert bool(ok), np.asarray(hist)
+    with pytest.raises(ValueError):
+        solve_refined_ds(prob.hierarchy, cfg, prob.rhs(),
+                         inner_dtype=jnp.bfloat16, ds_levels=3)

@@ -45,19 +45,35 @@ HR, HC = 16, 256
 # overlap.  Keep the tiled scheme for wide grids.
 
 
-def _geom(S: int):
-    """Per-axis (tile, halo) adapted to the grid size."""
-    tr, hr = (TR, HR) if S >= TR + 2 * HR else (S, 0)
+def _is_bf16(dtype) -> bool:
+    return jnp.dtype(dtype) == jnp.dtype(jnp.bfloat16)
+
+
+def _row_quanta(dtype):
+    """(fine-row, coarse-row) offset quanta.
+
+    bf16's (16, 128) memref tiling needs fine-row offsets that stay
+    16-multiples *after halving* onto the coarse grid, hence the 32/16
+    pair (and the 32-deep row halo in :func:`_geom`); f32 uses 16/8.
+    """
+    return (32, 16) if _is_bf16(dtype) else (16, 8)
+
+
+def _geom(S: int, dtype=jnp.float32):
+    """Per-axis (tile, halo) adapted to the grid size and dtype."""
+    hr_q = 32 if _is_bf16(dtype) else HR
+    tr, hr = (TR, hr_q) if S >= TR + 2 * hr_q else (S, 0)
     tc, hc = (TC, HC) if S >= TC + 2 * HC else (S, 0)
     return tr, tc, hr, hc
 
 
 def supported(Sf: int, Sc: int, steps: int, dtype) -> bool:
-    if jnp.dtype(dtype) != jnp.dtype(jnp.float32):
+    if jnp.dtype(dtype) not in (jnp.dtype(jnp.float32),
+                                jnp.dtype(jnp.bfloat16)):
         return False
     if Sf % 256 or Sc % 128:
         return False
-    tr, tc, hr, hc = _geom(Sf)
+    tr, tc, hr, hc = _geom(Sf, dtype)
     if hr and steps + 2 > hr:
         return False
     if hc and steps + 2 > hc:
@@ -101,13 +117,29 @@ def _fw_aggregate(r):
     return 0.25 * (_roll(row3, 1, 1) + 2.0 * row3 + _roll(row3, C - 1, 1))
 
 
+def _fw_even2(r):
+    """Full-weighting aggregate + even-even subsample, bf16-safe.
+
+    Mosaic cannot shape-cast bf16 vectors (the parity reshapes fail with
+    "unsupported shape cast"), so sub-32-bit inputs run the interleave
+    machinery in f32 VMEM registers and cast back — DMA traffic stays in
+    the narrow dtype, which is where the bf16 win lives.
+    """
+    if r.dtype != jnp.float32:
+        return _even2(_fw_aggregate(r.astype(jnp.float32))).astype(r.dtype)
+    return _even2(_fw_aggregate(r))
+
+
 def _bilinear_prolong(c):
     """(R, C) coarse -> (2R, 2C) fine bilinear interpolation.
 
     fine[2i,2j]=c[i,j]; fine[2i+1,2j]=(c[i,j]+c[i+1,j])/2; etc.  Uses rolls
     for the +1 neighbor (wrap rows land outside the valid region, which the
-    caller's masks zero).
+    caller's masks zero).  bf16 inputs compute in f32 (Mosaic cannot
+    shape-cast bf16 vectors) and cast back.
     """
+    if c.dtype != jnp.float32:
+        return _bilinear_prolong(c.astype(jnp.float32)).astype(c.dtype)
     R, C = c.shape
     cdn = _roll(c, R - 1, 0)                   # c[i+1, j]
     crt = _roll(c, C - 1, 1)                   # c[i, j+1]
@@ -146,7 +178,8 @@ def _smooth_restrict(u, b, *, n, Sc, steps, smoother, omega):
     """
     S = u.shape[-1]
     dtype = u.dtype
-    tr, tc, hr, hc = _geom(S)
+    rq, crq = _row_quanta(dtype)
+    tr, tc, hr, hc = _geom(S, dtype)
     WFr, WFc = tr + 2 * hr, tc + 2 * hc
     nr = pl.cdiv(S, tr)
     ncols = pl.cdiv(S, tc)
@@ -159,9 +192,9 @@ def _smooth_restrict(u, b, *, n, Sc, steps, smoother, omega):
         def coords(t):
             ti = t // ncols
             tj = t % ncols
-            ro = pl.multiple_of(jnp.clip(ti * tr, 0, S - tr), 16)
+            ro = pl.multiple_of(jnp.clip(ti * tr, 0, S - tr), rq)
             co = pl.multiple_of(jnp.clip(tj * tc, 0, S - tc), 256)
-            rf0 = pl.multiple_of(jnp.clip(ro - hr, 0, S - WFr), 16)
+            rf0 = pl.multiple_of(jnp.clip(ro - hr, 0, S - WFr), rq)
             cf0 = pl.multiple_of(jnp.clip(co - hc, 0, S - WFc), 256)
             return ro, co, rf0, cf0
 
@@ -178,7 +211,7 @@ def _smooth_restrict(u, b, *, n, Sc, steps, smoother, omega):
 
         def out_dmas(slot, t):
             ro, co, rf0, cf0 = coords(t)
-            off_r = pl.multiple_of(ro - rf0, 16)
+            off_r = pl.multiple_of(ro - rf0, rq)
             off_c = pl.multiple_of(co - cf0, 256)
             return (
                 pltpu.make_async_copy(
@@ -187,9 +220,9 @@ def _smooth_restrict(u, b, *, n, Sc, steps, smoother, omega):
                     out_sem.at[slot, 0]),
                 pltpu.make_async_copy(
                     rc_buf.at[slot,
-                              pl.ds(pl.multiple_of(off_r // 2, 8), tr // 2),
+                              pl.ds(pl.multiple_of(off_r // 2, crq), tr // 2),
                               pl.ds(pl.multiple_of(off_c // 2, 128), tc // 2)],
-                    out_rc.at[pl.ds(pl.multiple_of(ro // 2, 8), tr // 2),
+                    out_rc.at[pl.ds(pl.multiple_of(ro // 2, crq), tr // 2),
                               pl.ds(pl.multiple_of(co // 2, 128), tc // 2)],
                     out_sem.at[slot, 1]),
             )
@@ -223,7 +256,7 @@ def _smooth_restrict(u, b, *, n, Sc, steps, smoother, omega):
             u_buf[slot] = state
             r = _residual_of(state, bwin, interior)
             # Full-weighting + even-even subsample; mask with coarse coords.
-            rc = _even2(_fw_aggregate(r))
+            rc = _fw_even2(r)
             gi = (jax.lax.broadcasted_iota(jnp.int32, (WFr // 2, WFc // 2), 0)
                   + rf0 // 2)
             gj = (jax.lax.broadcasted_iota(jnp.int32, (WFr // 2, WFc // 2), 1)
@@ -285,7 +318,8 @@ def _prolong_smooth(u, b, ec, *, n, steps, smoother, omega,
     S = u.shape[-1]
     Sc = ec.shape[-1]
     dtype = u.dtype
-    tr, tc, hr, hc = _geom(S)
+    rq, crq = _row_quanta(dtype)
+    tr, tc, hr, hc = _geom(S, dtype)
     # Coarse window: its 2x prolongation IS the fine working window.
     Wrc, Wcc = tr // 2 + hr, tc // 2 + hc          # fine window = (2Wrc, 2Wcc)
     WFr, WFc = 2 * Wrc, 2 * Wcc
@@ -299,20 +333,20 @@ def _prolong_smooth(u, b, ec, *, n, steps, smoother, omega,
         def coords(t):
             ti = t // ncols
             tj = t % ncols
-            ro = pl.multiple_of(jnp.clip(ti * tr, 0, S - tr), 16)
+            ro = pl.multiple_of(jnp.clip(ti * tr, 0, S - tr), rq)
             co = pl.multiple_of(jnp.clip(tj * tc, 0, S - tc), 256)
             # Coarse window origin; fine window origin is exactly 2x it and
             # must stay inside [0, S] (the upper bound (S - WFr)//2 also
             # keeps the coarse window inside Sc, since 2*Sc >= S).
             r0c = pl.multiple_of(
-                jnp.clip(ro // 2 - hr // 2, 0, (S - WFr) // 2), 8)
+                jnp.clip(ro // 2 - hr // 2, 0, (S - WFr) // 2), crq)
             c0c = pl.multiple_of(
                 jnp.clip(co // 2 - hc // 2, 0, (S - WFc) // 2), 128)
             return ro, co, r0c, c0c
 
         def in_dmas(slot, t):
             _, _, r0c, c0c = coords(t)
-            rf0 = pl.multiple_of(2 * r0c, 16)
+            rf0 = pl.multiple_of(2 * r0c, rq)
             cf0 = pl.multiple_of(2 * c0c, 256)
             return (
                 pltpu.make_async_copy(
@@ -328,7 +362,7 @@ def _prolong_smooth(u, b, ec, *, n, steps, smoother, omega,
 
         def out_dma(slot, t):
             ro, co, r0c, c0c = coords(t)
-            off_r = pl.multiple_of(ro - 2 * r0c, 16)
+            off_r = pl.multiple_of(ro - 2 * r0c, rq)
             off_c = pl.multiple_of(co - 2 * c0c, 256)
             return pltpu.make_async_copy(
                 u_buf.at[slot, pl.ds(off_r, tr), pl.ds(off_c, tc)],
@@ -480,7 +514,8 @@ def _restrict_only(r, *, n, Sc):
     """rc = FW-restrict(r): one streamed pass (read r, write rc)."""
     S = r.shape[-1]
     dtype = r.dtype
-    tr, tc, hr, hc = _geom(S)
+    rq, crq = _row_quanta(dtype)
+    tr, tc, hr, hc = _geom(S, dtype)
     WFr, WFc = tr + 2 * hr, tc + 2 * hc
     nr = pl.cdiv(S, tr)
     ncols = pl.cdiv(S, tc)
@@ -491,9 +526,9 @@ def _restrict_only(r, *, n, Sc):
         def coords(t):
             ti = t // ncols
             tj = t % ncols
-            ro = pl.multiple_of(jnp.clip(ti * tr, 0, S - tr), 16)
+            ro = pl.multiple_of(jnp.clip(ti * tr, 0, S - tr), rq)
             co = pl.multiple_of(jnp.clip(tj * tc, 0, S - tc), 256)
-            rf0 = pl.multiple_of(jnp.clip(ro - hr, 0, S - WFr), 16)
+            rf0 = pl.multiple_of(jnp.clip(ro - hr, 0, S - WFr), rq)
             cf0 = pl.multiple_of(jnp.clip(co - hc, 0, S - WFc), 256)
             return ro, co, rf0, cf0
 
@@ -505,11 +540,11 @@ def _restrict_only(r, *, n, Sc):
 
         def out_dma(slot, t):
             ro, co, rf0, cf0 = coords(t)
-            off_r = pl.multiple_of((ro - rf0) // 2, 8)
+            off_r = pl.multiple_of((ro - rf0) // 2, crq)
             off_c = pl.multiple_of((co - cf0) // 2, 128)
             return pltpu.make_async_copy(
                 rc_buf.at[slot, pl.ds(off_r, tr // 2), pl.ds(off_c, tc // 2)],
-                out_rc.at[pl.ds(pl.multiple_of(ro // 2, 8), tr // 2),
+                out_rc.at[pl.ds(pl.multiple_of(ro // 2, crq), tr // 2),
                           pl.ds(pl.multiple_of(co // 2, 128), tc // 2)],
                 out_sem.at[slot])
 
@@ -529,7 +564,7 @@ def _restrict_only(r, *, n, Sc):
 
             in_dma(slot, t).wait()
             _, _, rf0, cf0 = coords(t)
-            rc = _even2(_fw_aggregate(r_buf[slot]))
+            rc = _fw_even2(r_buf[slot])
             gi = (jax.lax.broadcasted_iota(jnp.int32, (WFr // 2, WFc // 2), 0)
                   + rf0 // 2)
             gj = (jax.lax.broadcasted_iota(jnp.int32, (WFr // 2, WFc // 2), 1)
@@ -564,7 +599,8 @@ def _prolong_add_only(u, ec, *, n):
     S = u.shape[-1]
     Sc = ec.shape[-1]
     dtype = u.dtype
-    tr, tc, hr, hc = _geom(S)
+    rq, crq = _row_quanta(dtype)
+    tr, tc, hr, hc = _geom(S, dtype)
     Wrc, Wcc = tr // 2 + hr, tc // 2 + hc
     WFr, WFc = 2 * Wrc, 2 * Wcc
     nr = pl.cdiv(S, tr)
@@ -575,17 +611,17 @@ def _prolong_add_only(u, ec, *, n):
         def coords(t):
             ti = t // ncols
             tj = t % ncols
-            ro = pl.multiple_of(jnp.clip(ti * tr, 0, S - tr), 16)
+            ro = pl.multiple_of(jnp.clip(ti * tr, 0, S - tr), rq)
             co = pl.multiple_of(jnp.clip(tj * tc, 0, S - tc), 256)
             r0c = pl.multiple_of(
-                jnp.clip(ro // 2 - hr // 2, 0, (S - WFr) // 2), 8)
+                jnp.clip(ro // 2 - hr // 2, 0, (S - WFr) // 2), crq)
             c0c = pl.multiple_of(
                 jnp.clip(co // 2 - hc // 2, 0, (S - WFc) // 2), 128)
             return ro, co, r0c, c0c
 
         def in_dmas(slot, t):
             _, _, r0c, c0c = coords(t)
-            rf0 = pl.multiple_of(2 * r0c, 16)
+            rf0 = pl.multiple_of(2 * r0c, rq)
             cf0 = pl.multiple_of(2 * c0c, 256)
             return (
                 pltpu.make_async_copy(
@@ -598,7 +634,7 @@ def _prolong_add_only(u, ec, *, n):
 
         def out_dma(slot, t):
             ro, co, r0c, c0c = coords(t)
-            off_r = pl.multiple_of(ro - 2 * r0c, 16)
+            off_r = pl.multiple_of(ro - 2 * r0c, rq)
             off_c = pl.multiple_of(co - 2 * c0c, 256)
             return pltpu.make_async_copy(
                 u_buf.at[slot, pl.ds(off_r, tr), pl.ds(off_c, tc)],

@@ -195,9 +195,134 @@ def cycle_ds(hier: Hierarchy, cfg: MultigridConfig, r, k: int = 0,
     # accumulate: (p_hi, p_lo) + e0, exactly
     e_hi, e_lo = ds_add(p_hi, p_lo, e0)
     # post-smooth in delta form against the compensated defect
-    d0 = ds_residual(r, e_hi, e_lo, op.n)
+    d0 = _ds_residual_d(r, e_hi, e_lo, op.n, cfg.use_pallas)
     delta = _smooth(op, jnp.zeros_like(d0), d0, cfg, cfg.nu2)
     return ds_add(e_hi, e_lo, delta)
+
+
+def _ts_renorm(a, b, c):
+    """Renormalize three roughly-ordered components to a ts triple."""
+    s, t = _two_sum(b, c)
+    hi, t2 = _two_sum(a, s)
+    mid, lo = _quick_two_sum(t2, t)
+    return hi, mid, lo
+
+
+def ts_add(hi, mid, lo, y):
+    """(hi + mid + lo) + y in triple-single form (y a plain f32 array)."""
+    s1, e1 = _two_sum(hi, y)
+    s2, e2 = _two_sum(mid, e1)
+    s3 = lo + e2
+    return _ts_renorm(s1, s2, s3)
+
+
+def ts_residual(b, u_hi, u_mid, u_lo, n):
+    """r = b - A(u_hi + u_mid + u_lo) to ~eps^3 accuracy, returned f32.
+
+    Why triple-single: a double-single iterate represents u to ~eps^2*|u|
+    per node; through A's per-node cancellation (b ~ 4h^2 while |u| ~ 1)
+    that floors the measurable relative reduction at ~eps^2*|u|*n^2/4 —
+    the 1.25e-8 stall at 8193^2 and ~5e-8 at 16385^2 measured on-chip.
+    The third component pushes the representation floor to ~eps^3*n^2,
+    far below 1e-8 at any feasible grid.  A(u_mid) needs the compensated
+    neighbor sum too (u_mid is rough, |A u_mid| ~ 8*eps*|u| evaluated in
+    f32 would round at ~eps^2*|u| — exactly the old floor); A(u_lo) in
+    plain f32 is eps-relative-accurate and harmless.
+    """
+    nbr_h, c_h = _neighbor_sum_compensated(u_hi)
+    nbr_m, c_m = _neighbor_sum_compensated(u_mid)
+    s1, e1 = _two_sum(b, nbr_h)
+    s2, e2 = _two_sum(s1, -4.0 * u_hi)
+    s3, e3 = _two_sum(s2, nbr_m)
+    s4, e4 = _two_sum(s3, -4.0 * u_mid)
+    a_l = 4.0 * u_lo - ops.neighbor_sum(u_lo)
+    s, c1 = _two_sum(s4, e1)
+    s, c2 = _two_sum(s, e2)
+    s, c3 = _two_sum(s, e3)
+    s, c4 = _two_sum(s, e4)
+    s, c5 = _two_sum(s, c_h)
+    s, c6 = _two_sum(s, c_m)
+    s, c7 = _two_sum(s, -a_l)
+    r = s + (c1 + (c2 + (c3 + (c4 + (c5 + (c6 + c7))))))
+    return ops.mask_interior(r.astype(b.dtype), n)
+
+
+def solve_refined_ts(hier: Hierarchy, cfg: MultigridConfig, b, *,
+                     tol: Optional[float] = 1e-8, max_iters: int = 60,
+                     stall_factor: float = 0.9,
+                     num_cycles: Optional[int] = None,
+                     ds_levels: int = 3):
+    """Triple-single refinement: (u_hi, u_mid, u_lo, hist, iters, ok).
+
+    The outer iterate is a ts triple (representation floor ~eps^3); the
+    inner correction cycle runs with double-single corrections on the
+    finest ``ds_levels`` levels (:func:`cycle_ds`).  This is what lets a
+    pure-f32 TPU solve measure 1e-8 relative reductions at 16385^2, past
+    both the plain-f32 floor (~0.5 relative there) and the double-single
+    floor (~5e-8).
+    """
+    if tol is None and num_cycles is None:
+        raise ValueError("need tol or num_cycles")
+    op = hier.levels[0]
+    fixed = num_cycles is not None
+    ncyc = num_cycles if fixed else max_iters
+    u_hi = jnp.zeros((op.S, op.S), b.dtype)
+    u_mid = jnp.zeros_like(u_hi)
+    u_lo = jnp.zeros_like(u_hi)
+    r = b
+    r0 = ops.norm2(r)
+    target = (jnp.asarray(tol, jnp.float32) * r0 if tol is not None
+              else jnp.asarray(0.0, jnp.float32))
+    hist = jnp.full((ncyc + 1,), jnp.nan, jnp.float32).at[0].set(r0)
+
+    def condf(carry):
+        _, _, _, _, i, rnorm, prev, _ = carry
+        keep = i < ncyc
+        if not fixed:
+            progressing = (rnorm
+                           < jnp.asarray(stall_factor, jnp.float32) * prev)
+            keep &= (rnorm > target) & progressing
+        return keep
+
+    def body(carry):
+        u_hi, u_mid, u_lo, r, i, rnorm, _, hist = carry
+        if ds_levels > 0:
+            e_hi, e_lo = cycle_ds(hier, cfg, r, ds_levels=ds_levels)
+            u_hi, u_mid, u_lo = ts_add(u_hi, u_mid, u_lo, e_hi)
+            u_hi, u_mid, u_lo = ts_add(u_hi, u_mid, u_lo, e_lo)
+        else:
+            e = cycle(hier, cfg, jnp.zeros_like(r), r)
+            u_hi, u_mid, u_lo = ts_add(u_hi, u_mid, u_lo, e)
+        r = _ts_residual_d(b, u_hi, u_mid, u_lo, op.n, cfg.use_pallas)
+        rnew = ops.norm2(r)
+        hist = hist.at[i + 1].set(rnew)
+        return u_hi, u_mid, u_lo, r, i + 1, rnew, rnorm, hist
+
+    inf = jnp.asarray(jnp.inf, jnp.float32)
+    u_hi, u_mid, u_lo, r, iters, rnorm, _, hist = jax.lax.while_loop(
+        condf, body,
+        (u_hi, u_mid, u_lo, r, jnp.asarray(0, jnp.int32), r0, inf, hist))
+    conv = jnp.asarray(True) if fixed else rnorm <= target
+    return u_hi, u_mid, u_lo, hist, iters, conv
+
+
+def _ds_residual_d(b, u_hi, u_lo, n, use_pallas):
+    """ds_residual, via the fused streaming kernel when applicable (one
+    launch, 4 HBM passes, no full-size temporaries — required at 16385^2
+    where the jnp expression's temporaries exhaust HBM)."""
+    if use_pallas:
+        from .kernels import compres
+        if compres.supported(b.shape[-1], b.dtype):
+            return compres.ds_residual_pallas(b, u_hi, u_lo, n)
+    return ds_residual(b, u_hi, u_lo, n)
+
+
+def _ts_residual_d(b, u_hi, u_mid, u_lo, n, use_pallas):
+    if use_pallas:
+        from .kernels import compres
+        if compres.supported(b.shape[-1], b.dtype):
+            return compres.ts_residual_pallas(b, u_hi, u_mid, u_lo, n)
+    return ts_residual(b, u_hi, u_mid, u_lo, n)
 
 
 def solve_refined(hier: Hierarchy, cfg: MultigridConfig, b, *,
@@ -231,14 +356,24 @@ def solve_refined_ds(hier: Hierarchy, cfg: MultigridConfig, b, *,
                      stall_factor: float = 0.9,
                      num_cycles: Optional[int] = None,
                      u0=None, u0_lo=None, r0_norm=None,
-                     ds_levels: int = 0):
+                     ds_levels: int = 0, inner_dtype=None):
     """Full double-single refinement state: (u_hi, u_lo, hist, iters, ok).
 
     ``ds_levels > 0`` runs the inner correction cycle with double-single
     corrections on that many finest levels (:func:`cycle_ds`) — required
     for deep tolerances at 16385^2+, where the plain-f32 inner cycle's
     storage rounding of the correction stalls the refinement (CLAUDE.md).
+
+    ``inner_dtype`` (e.g. ``jnp.bfloat16``) runs the inner correction
+    cycle entirely in that storage dtype — BASELINE config 3's
+    "low-precision smoothing with high-precision residual correction" in
+    its strongest form: the bf16 cycle's ~0.4% relative correction error
+    just becomes the next iteration's (exactly-evaluated) defect, so the
+    per-iteration rate only degrades from ~0.11 to ~max(rate, 0.03) while
+    the cycle's HBM traffic halves.  Incompatible with ``ds_levels``.
     """
+    if inner_dtype is not None and ds_levels > 0:
+        raise ValueError("inner_dtype and ds_levels are mutually exclusive")
     if tol is None and num_cycles is None:
         raise ValueError(
             "refined solve needs either tol (until-tol mode) or "
@@ -251,7 +386,7 @@ def solve_refined_ds(hier: Hierarchy, cfg: MultigridConfig, b, *,
         u_hi = u0.astype(b.dtype)
         u_lo = (u0_lo.astype(b.dtype) if u0_lo is not None
                 else jnp.zeros_like(u_hi))
-        r = ds_residual(b, u_hi, u_lo, op.n)
+        r = _ds_residual_d(b, u_hi, u_lo, op.n, cfg.use_pallas)
     else:
         u_hi = jnp.zeros((op.S, op.S), b.dtype)
         u_lo = jnp.zeros_like(u_hi)
@@ -277,10 +412,30 @@ def solve_refined_ds(hier: Hierarchy, cfg: MultigridConfig, b, *,
             e_hi, e_lo = cycle_ds(hier, cfg, r, ds_levels=ds_levels)
             u_hi, u_lo = ds_add(u_hi, u_lo, e_hi)
             u_hi, u_lo = ds_add(u_hi, u_lo, e_lo)
+        elif inner_dtype is not None:
+            import dataclasses as _dc
+            icfg = _dc.replace(cfg, dtype=inner_dtype, smooth_dtype=None)
+
+            # The FIRST iteration's defect (r = b) is smooth: the inner
+            # solve amplifies it by ~n^2/2pi^2, so bf16 storage noise on
+            # the correction (rough, ~0.4% relative) would blow past the
+            # defect scale — run it in f32.  Later defects are rounding
+            # noise (rough, O(1) amplification), where the bf16 cycle's
+            # error merely floors the per-iteration rate at ~3%.
+            def f32_cycle(r):
+                return cycle(hier, cfg, jnp.zeros_like(r), r)
+
+            def bf_cycle(r):
+                rl = r.astype(inner_dtype)
+                return cycle(hier, icfg, jnp.zeros_like(rl),
+                             rl).astype(b.dtype)
+
+            e = jax.lax.cond(i == 0, f32_cycle, bf_cycle, r)
+            u_hi, u_lo = ds_add(u_hi, u_lo, e)
         else:
             e = cycle(hier, cfg, jnp.zeros_like(r), r)
             u_hi, u_lo = ds_add(u_hi, u_lo, e)
-        r = ds_residual(b, u_hi, u_lo, op.n)
+        r = _ds_residual_d(b, u_hi, u_lo, op.n, cfg.use_pallas)
         rnew = ops.norm2(r)
         hist = hist.at[i + 1].set(rnew)
         return u_hi, u_lo, r, i + 1, rnew, rnorm, hist
