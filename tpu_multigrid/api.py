@@ -24,6 +24,7 @@ def solve_poisson(
     *,
     config: Optional[MultigridConfig] = None,
     forcing: Union[float, Callable] = 4.0,
+    boundary: Optional[Union[float, Callable]] = None,
     tol: Optional[float] = 1e-8,
     max_cycles: int = 100,
     num_cycles: Optional[int] = None,
@@ -31,7 +32,7 @@ def solve_poisson(
     refined: bool = False,
     jit: bool = True,
 ) -> SolveResult:
-    """Solve -lap(u) = forcing on the unit square, homogeneous Dirichlet.
+    """Solve -lap(u) = forcing on the unit square, Dirichlet BCs.
 
     Returns a :class:`SolveResult`; ``result.u`` is the (S, S) node grid
     (physical nodes at ``[0:n+1, 0:n+1]``).  ``num_cycles`` forces a fixed
@@ -39,7 +40,10 @@ def solve_poisson(
     reduction.  ``use_fmg=True`` runs one full-multigrid pass first.
     ``refined=True`` uses compensated double-single iterative refinement
     (tpu_multigrid.precision) so f32 storage can reach/measure deep
-    tolerances on TPU.
+    tolerances on TPU.  ``boundary`` (a constant or ``g(x, y)``) imposes
+    inhomogeneous Dirichlet values via lifting — an extension over the
+    reference, which hard-eliminates homogeneous boundary rows
+    (``Poissons_SYCL.cpp:224,263``).
     """
     if config is None:
         config = MultigridConfig(finest_level=finest_level)
@@ -47,7 +51,7 @@ def solve_poisson(
         config = dataclasses.replace(config, finest_level=finest_level)
     problem = PoissonProblem(config, forcing=forcing, **_pad_kw(config))
     return _run(problem, config, tol, max_cycles, num_cycles, use_fmg, jit,
-                refined=refined)
+                refined=refined, boundary=boundary)
 
 
 def _pad_kw(config: MultigridConfig) -> dict:
@@ -65,6 +69,7 @@ def solve_diffusion(
     coefficient: Union[float, Callable] = 1.0,
     config: Optional[MultigridConfig] = None,
     forcing: Union[float, Callable] = 4.0,
+    boundary: Optional[Union[float, Callable]] = None,
     tol: Optional[float] = 1e-8,
     max_cycles: int = 100,
     num_cycles: Optional[int] = None,
@@ -78,13 +83,27 @@ def solve_diffusion(
         config = dataclasses.replace(config, finest_level=finest_level)
     problem = DiffusionProblem(config, coefficient=coefficient,
                                forcing=forcing, **_pad_kw(config))
-    return _run(problem, config, tol, max_cycles, num_cycles, use_fmg, jit)
+    return _run(problem, config, tol, max_cycles, num_cycles, use_fmg, jit,
+                boundary=boundary)
 
 
 def _run(problem, config, tol, max_cycles, num_cycles, use_fmg, use_jit,
-         refined: bool = False):
+         refined: bool = False, boundary=None):
     hier = problem.hierarchy
     b = problem.rhs()
+
+    lift = None
+    if boundary is not None:
+        # Inhomogeneous Dirichlet lifting: u = w + G with G carrying the
+        # boundary values; w solves the homogeneous problem A w = b - A G
+        # (op.apply's interior masking makes -A G exactly the boundary
+        # coupling term).  Works for both the Poisson stencil and
+        # variable-coefficient flux/Galerkin operators.
+        from .problems.poisson import boundary_grid
+
+        op0 = hier.levels[0]
+        lift = boundary_grid(op0.n, op0.S, boundary, config.dtype)
+        b = b - op0.apply(lift)
 
     # The hierarchy is a jit ARGUMENT, not a closure: closed-over arrays
     # become embedded constants, and variable-coefficient hierarchies carry
@@ -111,7 +130,10 @@ def _run(problem, config, tol, max_cycles, num_cycles, use_fmg, use_jit,
 
     if use_jit:
         go = jax.jit(go)
-    return go(hier, b)
+    res = go(hier, b)
+    if lift is not None:
+        res = dataclasses.replace(res, u=res.u + lift)
+    return res
 
 
 def extract_solution(result_u: jnp.ndarray, n: int) -> jnp.ndarray:

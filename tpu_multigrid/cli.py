@@ -46,6 +46,9 @@ def _add_common(p):
     p.add_argument("--json", action="store_true", help="JSON-line output")
     p.add_argument("--save", default=None,
                    help="save solution + solve state to this .npz file")
+    p.add_argument("--boundary", type=float, default=None,
+                   help="constant inhomogeneous Dirichlet value g "
+                        "(callables g(x,y) via the Python API)")
 
 
 def _dtype(name):
@@ -105,7 +108,7 @@ def main(argv=None):
     t0 = time.perf_counter()
     kw = dict(config=cfg, forcing=args.forcing, tol=args.tol,
               max_cycles=args.max_cycles, num_cycles=args.cycles,
-              use_fmg=args.fmg)
+              use_fmg=args.fmg, boundary=args.boundary)
     if args.command == "solve":
         res = solve_poisson(args.level, refined=args.refined, **kw)
     else:

@@ -77,17 +77,34 @@ class Hierarchy:
 
 
 def coarse_dense_inverse(op, dtype=None) -> jnp.ndarray:
-    """Dense inverse of the interior operator, built by probing unit grids.
+    """Dense inverse of the interior operator.
 
-    Generic over operator type (works for Poisson and Galerkin-coarsened
-    variable-coefficient stencils alike).  Computed once at setup in f64 on
-    the host for accuracy, stored in the solve dtype.
+    Stencil operators whose coefficients live in host memory (the
+    host-built Galerkin hierarchies) assemble the dense matrix directly in
+    numpy — probing them with eager device ops would dispatch thousands of
+    tunneled calls.  Other operators (the matrix-free Poisson stencil) are
+    probed with unit grids under one jit.  Computed once at setup in f64,
+    stored in the solve dtype.
     """
     n, S = op.n, op.S
     m = (n - 1) ** 2
+    coef = getattr(op, "coef", None)
+    if coef is not None and isinstance(coef, np.ndarray):
+        a = np.zeros((m, m))
+        idx = np.arange(m).reshape(n - 1, n - 1)
+        for di in (-1, 0, 1):
+            for dj in (-1, 0, 1):
+                C = coef[di + 1, dj + 1, 1:n, 1:n].astype(np.float64)
+                i0, i1 = max(0, -di), (n - 1) - max(0, di)
+                j0, j1 = max(0, -dj), (n - 1) - max(0, dj)
+                rows = idx[i0:i1, j0:j1].ravel()
+                cols = idx[i0 + di:i1 + di, j0 + dj:j1 + dj].ravel()
+                a[rows, cols] += C[i0:i1, j0:j1].ravel()
+        inv = np.linalg.inv(a)
+        return jnp.asarray(inv, dtype if dtype is not None else jnp.float32)
     eye = jnp.eye(m, dtype=jnp.float32).reshape(m, n - 1, n - 1)
     grids = jnp.zeros((m, S, S), jnp.float32).at[:, 1:n, 1:n].set(eye)
-    cols = jax.vmap(op.apply)(grids)[:, 1:n, 1:n].reshape(m, m)
+    cols = jax.jit(jax.vmap(op.apply))(grids)[:, 1:n, 1:n].reshape(m, m)
     a = np.asarray(cols).astype(np.float64).T  # apply(e_k) is column k
     inv = np.linalg.inv(a)
     out_dtype = dtype if dtype is not None else jnp.float32

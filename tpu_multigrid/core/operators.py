@@ -217,6 +217,50 @@ def diffusion_op(cell_coeff: jnp.ndarray, n: int, S: int) -> VarStencilOp:
     return VarStencilOp(coef, inv_diag, n, S)
 
 
+def diffusion_op_host(cell_coeff, n: int, S: int) -> VarStencilOp:
+    """diffusion_op computed entirely in numpy on the host.
+
+    Setup-path twin of :func:`diffusion_op`: identical math, but the
+    coefficient planes never touch the device, so the Galerkin hierarchy
+    (galerkin_coarsen_host) chains in host memory and uploads once when
+    the hierarchy enters jit.  On the tunneled-TPU environment this
+    matters enormously: device->host readback runs at ~1 MB/s, and
+    pulling a 4097^2 coefficient slab back for host coarsening took ~4
+    minutes; the all-host path takes seconds.
+    """
+    import numpy as np
+
+    cells = np.asarray(cell_coeff)
+    if cells.shape != (n, n):
+        raise ValueError(f"cell_coeff must be ({n},{n}), got {cells.shape}")
+    dt = cells.dtype
+    cpad = np.zeros((S + 2, S + 2), dt)
+    cpad[1: n + 1, 1: n + 1] = cells
+    c_mm = cpad[0:S, 0:S]
+    c_mp = cpad[0:S, 1: S + 1]
+    c_pm = cpad[1: S + 1, 0:S]
+    c_pp = cpad[1: S + 1, 1: S + 1]
+    t_e = 0.5 * (c_mp + c_pp)
+    t_w = 0.5 * (c_mm + c_pm)
+    t_s = 0.5 * (c_pm + c_pp)
+    t_n = 0.5 * (c_mm + c_mp)
+    coef = np.zeros((3, 3, S, S), dt)
+    coef[1, 2] = -t_e
+    coef[1, 0] = -t_w
+    coef[2, 1] = -t_s
+    coef[0, 1] = -t_n
+    coef[1, 1] = t_e + t_w + t_s + t_n
+    i = np.arange(S)
+    mrow = (i >= 1) & (i <= n - 1)
+    m = mrow[:, None] & mrow[None, :]
+    coef = np.where(m[None, None], coef, np.zeros((), dt))
+    diag = coef[1, 1]
+    inv_diag = np.where(m, 1.0 / np.where(m, diag, np.ones((), dt)),
+                        0.0).astype(dt)
+    # numpy arrays: jit converts/uploads them once at first call
+    return VarStencilOp(coef, inv_diag, n, S)
+
+
 def _setup_transfers(Sf: int, Sc: int, dt):
     """Transfer pair for setup-time Galerkin probing.
 
@@ -263,26 +307,33 @@ def galerkin_coarsen_host(fine: VarStencilOp, Sc: int) -> VarStencilOp:
     Sf = fine.S
     nc = nf // 2
     dt = fine.coef.dtype
-    A = np.asarray(fine.coef, np.float64)
+    # Compute in the operator's own precision (promoted to >= f32): f64
+    # fine operators get exact-to-roundoff f64 RAP (the oracle-parity
+    # tests); f32 problems get f32 RAP — the same precision the device
+    # probing had — at half the (single-core) memory traffic.
+    work_dt = np.float64 if np.dtype(jnp.dtype(dt).name) == np.float64 \
+        else np.float32
+    A = np.asarray(fine.coef, work_dt)  # free when fine is host-built
 
     # Padded fine frame with margin 2: index (2 + g) holds fine node g,
     # g in [-2, 2*Sc+1] covers every sample 2I+a(+b) for I in [0, Sc).
     W = 2 * Sc + 4
     lim = min(Sf, W - 2)
-    F = np.zeros((3, 3, W, W))
+    F = np.zeros((3, 3, W, W), work_dt)
     F[:, :, 2:2 + lim, 2:2 + lim] = A[:, :, :lim, :lim]
-    If = np.zeros((W, W))
+    If = np.zeros((W, W), work_dt)
     g = np.arange(W) - 2
     mrow = (g >= 1) & (g <= nf - 1)
     If[np.ix_(mrow, mrow)] = 1.0
 
-    Rw = np.array([[0.25, 0.5, 0.25], [0.5, 1.0, 0.5], [0.25, 0.5, 0.25]])
+    Rw = np.array([[0.25, 0.5, 0.25], [0.5, 1.0, 0.5],
+                   [0.25, 0.5, 0.25]], work_dt)
 
     def samp(arr, ir, ic):
         return arr[..., 2 + ir: 2 + ir + 2 * Sc: 2,
                    2 + ic: 2 + ic + 2 * Sc: 2]
 
-    C2 = np.zeros((3, 3, Sc, Sc))
+    C2 = np.zeros((3, 3, Sc, Sc), work_dt)
     offs = (-1, 0, 1)
     for ar in offs:
         for ac in offs:
@@ -306,8 +357,12 @@ def galerkin_coarsen_host(fine: VarStencilOp, Sc: int) -> VarStencilOp:
     C2 = np.where(m[None, None], C2, 0.0)
     diag = C2[1, 1]
     inv_diag = np.where(m, 1.0 / np.where(m, diag, 1.0), 0.0)
-    return VarStencilOp(jnp.asarray(C2.astype(dt)),
-                        jnp.asarray(inv_diag.astype(dt)), nc, Sc)
+    # Keep the arrays in HOST memory (numpy): chained coarsening then never
+    # round-trips the tunnel (device->host readback is ~1 MB/s here), and
+    # jit uploads the whole hierarchy once at the first solve call.
+    dt_np = np.dtype(jnp.dtype(dt).name) if not isinstance(dt, np.dtype) \
+        else dt
+    return VarStencilOp(C2.astype(dt_np), inv_diag.astype(dt_np), nc, Sc)
 
 
 @functools.partial(jax.jit, static_argnames=("Sc",))

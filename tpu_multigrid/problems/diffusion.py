@@ -43,11 +43,29 @@ class DiffusionProblem:
     min_pad_level: int = 99
 
     def __post_init__(self):
+        import jax
+        import numpy as np
+
+        from ..core.operators import diffusion_op_host
+
         sizes = level_sizes(self.config, align=self.align,
                             min_pad_level=self.min_pad_level)
         n0, S0 = sizes[0]
-        cells = cell_coefficients(n0, self.coefficient, self.config.dtype)
-        fine_op = diffusion_op(cells, n0, S0)
+        # Evaluate the coefficient callable on the host CPU backend and
+        # build the whole hierarchy in host memory: on the tunneled TPU,
+        # device->host readback runs at ~1 MB/s, so any setup step that
+        # pulls a coefficient slab back takes minutes.  jit uploads the
+        # finished hierarchy once at the first solve.
+        try:
+            cpu = jax.devices("cpu")[0]
+            with jax.default_device(cpu):
+                cells = np.asarray(
+                    cell_coefficients(n0, self.coefficient,
+                                      self.config.dtype))
+        except Exception:
+            cells = np.asarray(
+                cell_coefficients(n0, self.coefficient, self.config.dtype))
+        fine_op = diffusion_op_host(cells, n0, S0)
         self.hierarchy: Hierarchy = build_galerkin_hierarchy(
             fine_op, self.config, align=self.align,
             min_pad_level=self.min_pad_level)

@@ -36,6 +36,30 @@ def poisson_rhs(n: int, S: int, f: Union[float, Callable] = 4.0,
     return ops.mask_interior(vals, n)
 
 
+def boundary_grid(n: int, S: int, g: Union[float, Callable],
+                  dtype=jnp.float32) -> jnp.ndarray:
+    """(S, S) grid holding the Dirichlet boundary values ``g`` on the
+    physical boundary nodes (i or j in {0, n}) and zeros elsewhere.
+
+    Used for inhomogeneous Dirichlet lifting: the reference supports only
+    homogeneous BCs (it eliminates boundary rows/cols outright,
+    ``Poissons_SYCL.cpp:224,263``); here ``u = w + G`` with ``w`` solving
+    the homogeneous problem ``A w = b - A G`` — no operator or kernel
+    changes, one extra stencil apply at setup.
+    """
+    if callable(g):
+        x, y = node_coordinates(n, S, dtype)
+        vals = g(x, y).astype(dtype)
+    else:
+        vals = jnp.full((S, S), float(g), dtype)
+    i = jnp.arange(S)
+    on_edge = (i == 0) | (i == n)
+    in_range = (i >= 0) & (i <= n)
+    m = (on_edge[:, None] & in_range[None, :]) | \
+        (in_range[:, None] & on_edge[None, :])
+    return jnp.where(m, vals, jnp.zeros((), dtype))
+
+
 @dataclasses.dataclass
 class PoissonProblem:
     """Front-door problem object: hierarchy + per-level RHS assembly."""
