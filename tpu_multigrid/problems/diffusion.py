@@ -66,9 +66,12 @@ class DiffusionProblem:
             cells = np.asarray(
                 cell_coefficients(n0, self.coefficient, self.config.dtype))
         fine_op = diffusion_op_host(cells, n0, S0)
-        self.hierarchy: Hierarchy = build_galerkin_hierarchy(
+        hier = build_galerkin_hierarchy(
             fine_op, self.config, align=self.align,
             min_pad_level=self.min_pad_level)
+        # Upload the finished hierarchy ONCE: numpy leaves passed as jit
+        # arguments would otherwise be re-transferred on every call.
+        self.hierarchy: Hierarchy = jax.device_put(hier)
 
     @property
     def finest(self):
