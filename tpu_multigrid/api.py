@@ -87,6 +87,34 @@ def solve_diffusion(
                 boundary=boundary)
 
 
+def solve_poisson3d(
+    finest_level: int = 6,
+    *,
+    config: Optional[MultigridConfig] = None,
+    forcing: Union[float, Callable] = 6.0,
+    tol: Optional[float] = 1e-8,
+    max_cycles: int = 100,
+    num_cycles: Optional[int] = None,
+    use_fmg: bool = False,
+    jit: bool = True,
+) -> SolveResult:
+    """Solve -lap(u) = forcing on the unit cube, homogeneous Dirichlet BCs.
+
+    3D extension beyond the strictly-2D reference; the 7-point hierarchy
+    runs through the same V/W/F/FMG drivers (``core.ops3d``).  The
+    recommended smoother in 3D is ``smoother="chebyshev"`` (measured
+    rho ~0.13 vs ~0.35 for omega=2/3 Jacobi, whose weight is 2D-optimal).
+    """
+    if config is None:
+        config = MultigridConfig(finest_level=finest_level,
+                                 smoother="chebyshev", nu1=3, nu2=2)
+    elif config.finest_level != finest_level:
+        config = dataclasses.replace(config, finest_level=finest_level)
+    from .problems import Poisson3DProblem
+    problem = Poisson3DProblem(config, forcing=forcing)
+    return _run(problem, config, tol, max_cycles, num_cycles, use_fmg, jit)
+
+
 def _run(problem, config, tol, max_cycles, num_cycles, use_fmg, use_jit,
          refined: bool = False, boundary=None):
     hier = problem.hierarchy
@@ -137,5 +165,5 @@ def _run(problem, config, tol, max_cycles, num_cycles, use_fmg, use_jit,
 
 
 def extract_solution(result_u: jnp.ndarray, n: int) -> jnp.ndarray:
-    """Crop the padded solve grid to the physical (n+1, n+1) node grid."""
-    return result_u[: n + 1, : n + 1]
+    """Crop the padded solve grid to the physical (n+1,)^d node grid."""
+    return result_u[(slice(0, n + 1),) * result_u.ndim]

@@ -102,9 +102,14 @@ def coarse_dense_inverse(op, dtype=None) -> jnp.ndarray:
                 a[rows, cols] += C[i0:i1, j0:j1].ravel()
         inv = np.linalg.inv(a)
         return jnp.asarray(inv, dtype if dtype is not None else jnp.float32)
-    eye = jnp.eye(m, dtype=jnp.float32).reshape(m, n - 1, n - 1)
-    grids = jnp.zeros((m, S, S), jnp.float32).at[:, 1:n, 1:n].set(eye)
-    cols = jax.jit(jax.vmap(op.apply))(grids)[:, 1:n, 1:n].reshape(m, m)
+    d = getattr(op, "ndim", 2)
+    m = (n - 1) ** d
+    inter = (slice(1, n),) * d
+    eye = jnp.eye(m, dtype=jnp.float32).reshape((m,) + (n - 1,) * d)
+    grids = jnp.zeros((m,) + (S,) * d, jnp.float32)
+    grids = grids.at[(slice(None),) + inter].set(eye)
+    cols = jax.jit(jax.vmap(op.apply))(grids)[(slice(None),) + inter]
+    cols = cols.reshape(m, m)
     a = np.asarray(cols).astype(np.float64).T  # apply(e_k) is column k
     inv = np.linalg.inv(a)
     out_dtype = dtype if dtype is not None else jnp.float32
@@ -114,9 +119,11 @@ def coarse_dense_inverse(op, dtype=None) -> jnp.ndarray:
 def coarse_solve(op, coarse_inv: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Direct coarsest-grid solve via the precomputed dense inverse."""
     n, S = op.n, op.S
-    rhs = b[1:n, 1:n].reshape(-1).astype(coarse_inv.dtype)
-    sol = (coarse_inv @ rhs).reshape(n - 1, n - 1).astype(b.dtype)
-    return jnp.zeros((S, S), b.dtype).at[1:n, 1:n].set(sol)
+    d = getattr(op, "ndim", 2)
+    inter = (slice(1, n),) * d
+    rhs = b[inter].reshape(-1).astype(coarse_inv.dtype)
+    sol = (coarse_inv @ rhs).reshape((n - 1,) * d).astype(b.dtype)
+    return jnp.zeros((S,) * d, b.dtype).at[inter].set(sol)
 
 
 def build_poisson_hierarchy(

@@ -58,6 +58,52 @@ class ConstStencilOp:
         return f"ConstStencilOp(n={self.n}, S={self.S})"
 
 
+@jax.tree_util.register_pytree_node_class
+class ConstStencilOp3D:
+    """h-independent 7-point Poisson operator on an (S, S, S) padded grid.
+
+    3D extension beyond the strictly-2D reference (``Poissons_SYCL.cpp:
+    119-123``); see ``core.ops3d`` for the normalization and transfer pair.
+    The cycle drivers dispatch transfers on ``ndim``.
+    """
+
+    ndim = 3
+
+    def __init__(self, n: int, S: int):
+        self.n = int(n)
+        self.S = int(S)
+
+    def tree_flatten(self):
+        return (), (self.n, self.S)
+
+    @classmethod
+    def tree_unflatten(cls, aux, _children):
+        return cls(*aux)
+
+    @property
+    def grid_shape(self):
+        return (self.S, self.S, self.S)
+
+    def apply(self, u):
+        from . import ops3d
+        return ops3d.apply_poisson3(u, self.n)
+
+    def residual(self, u, b):
+        from . import ops3d
+        return ops3d.residual3(u, b, self.n)
+
+    def smooth(self, u, b, *, smoother: str, omega, sweeps: int):
+        from . import ops3d
+        if smoother == "jacobi":
+            return ops3d.jacobi_sweeps3(u, b, self.n, omega, sweeps)
+        elif smoother == "rbgs":
+            return ops3d.redblack_gs_sweeps3(u, b, self.n, sweeps)
+        raise ValueError(f"unknown smoother {smoother!r}")
+
+    def __repr__(self):
+        return f"ConstStencilOp3D(n={self.n}, S={self.S})"
+
+
 def _shift(u, di, dj):
     """u[i+di, j+dj] with zero-invariant wrap (callers mask non-interior)."""
     out = u

@@ -1,0 +1,185 @@
+"""Pure-jnp operators for 3D (7-point) structured-grid multigrid.
+
+The reference is strictly 2D (``Poissons_SYCL.cpp:119-123``: unit square);
+this module extends the framework's matrix-free design to the unit *cube* —
+the same conventions lifted one dimension:
+
+* Grids are (S, S, S) padded node arrays; physical nodes ``0..n`` per axis,
+  interior (unknowns) ``1..n-1``; everything outside is zero, re-masked with
+  inline iota masks.
+* The operator is the h-independent 7-point stencil (diagonal 6,
+  off-diagonals -1); the RHS carries ``f * h^2``, so every level shares one
+  stencil.
+* Transfers are the adjoint pair for that normalization: trilinear
+  prolongation ``P`` and ``R = P^T / 2``.  The /2 is the FD-consistency
+  scaling: in d dimensions the h-independent stencil absorbs ``h^2`` (one
+  power-of-4 per coarsening), while ``P^T`` scales constants by ``2^d`` —
+  so ``R = (4 / 2^d) P^T`` keeps the restricted RHS carrying exactly
+  ``f * (2h)^2`` (d=2 gives the 2D module's ``R = P^T``; d=3 the /2).
+  Unlike 2D, the coarse operator is the *re-discretized* stencil, not the
+  Galerkin product (trilinear ``P^T A P`` is a 27-point operator); R and P
+  remain exact adjoints up to the scale, which the tests pin.
+
+Smoother spectra match 2D: ``D^-1 A`` lives in (0, 2), so the same weighted-
+Jacobi / Chebyshev weight schedules apply unchanged.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# Masks
+# ---------------------------------------------------------------------------
+
+def interior_mask3(S: int, n: int) -> jnp.ndarray:
+    i = jax.lax.broadcasted_iota(jnp.int32, (S, S, S), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (S, S, S), 1)
+    k = jax.lax.broadcasted_iota(jnp.int32, (S, S, S), 2)
+    lo, hi = 1, n - 1
+    return ((i >= lo) & (i <= hi) & (j >= lo) & (j <= hi)
+            & (k >= lo) & (k <= hi))
+
+
+def mask_interior3(u: jnp.ndarray, n: int) -> jnp.ndarray:
+    m = interior_mask3(u.shape[-1], n)
+    return jnp.where(m, u, jnp.zeros((), u.dtype))
+
+
+# ---------------------------------------------------------------------------
+# 7-point stencil primitives
+# ---------------------------------------------------------------------------
+
+def neighbor_sum3(u: jnp.ndarray) -> jnp.ndarray:
+    """Sum of the six face neighbors via rolls (wraps land on masked cells)."""
+    return (jnp.roll(u, 1, -3) + jnp.roll(u, -1, -3)
+            + jnp.roll(u, 1, -2) + jnp.roll(u, -1, -2)
+            + jnp.roll(u, 1, -1) + jnp.roll(u, -1, -1))
+
+
+def apply_poisson3(u: jnp.ndarray, n: int) -> jnp.ndarray:
+    out = 6.0 * u - neighbor_sum3(u)
+    return mask_interior3(out.astype(u.dtype), n)
+
+
+def residual3(u: jnp.ndarray, b: jnp.ndarray, n: int) -> jnp.ndarray:
+    r = b - 6.0 * u + neighbor_sum3(u)
+    return mask_interior3(r.astype(u.dtype), n)
+
+
+def jacobi_sweeps3(u, b, n: int, omega, sweeps: int) -> jnp.ndarray:
+    """Weighted Jacobi, D = 6I; ``omega`` float or per-sweep tuple."""
+    if sweeps <= 0:
+        return u
+    m = interior_mask3(u.shape[-1], n)
+    sixth = 1.0 / 6.0
+
+    if isinstance(omega, tuple):
+        ws = tuple(omega[i % len(omega)] for i in range(sweeps))
+        v = u
+        for w in ws:
+            vn = (jnp.asarray(1.0 - w, u.dtype) * v
+                  + jnp.asarray(sixth * w, u.dtype) * (b + neighbor_sum3(v)))
+            v = jnp.where(m, vn, jnp.zeros((), u.dtype))
+        return v
+
+    wq = jnp.asarray(sixth * omega, u.dtype)
+    om = jnp.asarray(1.0 - omega, u.dtype)
+
+    def body(_, v):
+        vn = om * v + wq * (b + neighbor_sum3(v))
+        return jnp.where(m, vn, jnp.zeros((), u.dtype))
+
+    return jax.lax.fori_loop(0, sweeps, body, u, unroll=min(sweeps, 4))
+
+
+def redblack_gs_sweeps3(u, b, n: int, sweeps: int) -> jnp.ndarray:
+    """Red-black Gauss-Seidel, 3D checkerboard coloring."""
+    if sweeps <= 0:
+        return u
+    S = u.shape[-1]
+    i = jax.lax.broadcasted_iota(jnp.int32, (S, S, S), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (S, S, S), 1)
+    k = jax.lax.broadcasted_iota(jnp.int32, (S, S, S), 2)
+    inter = interior_mask3(S, n)
+    parity = (i + j + k) % 2
+    sixth = jnp.asarray(1.0 / 6.0, u.dtype)
+
+    def half(v, color):
+        vn = sixth * (b + neighbor_sum3(v))
+        return jnp.where(color, vn, v)
+
+    def body(_, v):
+        v = half(v, inter & (parity == 0))
+        v = half(v, inter & (parity == 1))
+        return v
+
+    return jax.lax.fori_loop(0, sweeps, body, u, unroll=min(sweeps, 4))
+
+
+# ---------------------------------------------------------------------------
+# Inter-grid transfers
+# ---------------------------------------------------------------------------
+
+def _conv3d(x: jnp.ndarray, w: jnp.ndarray, *, stride=1):
+    xb = x[None, None]
+    out = jax.lax.conv_general_dilated(
+        xb, w[None, None].astype(x.dtype),
+        window_strides=(stride,) * 3,
+        padding=((1, 1),) * 3,
+        preferred_element_type=(x.dtype if x.dtype != jnp.bfloat16
+                                else jnp.float32),
+        # f32 convs route through bf16 MXU passes by default on TPU
+        # (core.ops._conv2d note); HIGHEST keeps the accuracy path exact.
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return out[0, 0].astype(x.dtype)
+
+
+def _fw3_kernel(dtype=jnp.float32) -> jnp.ndarray:
+    w1 = jnp.asarray([0.5, 1.0, 0.5], dtype)
+    w = w1[:, None, None] * w1[None, :, None] * w1[None, None, :]
+    return w * 0.5  # R = P^T / 2 (see module docstring)
+
+
+def restrict_fw3(rf: jnp.ndarray, nf: int, Sc: int) -> jnp.ndarray:
+    """Full-weighting restriction R = P^T/2, fine (Sf,)^3 -> coarse (Sc,)^3."""
+    nc = nf // 2
+    coarse = _conv3d(rf, _fw3_kernel(), stride=2)
+    side = coarse.shape[-1]
+    if side >= Sc:
+        coarse = coarse[:Sc, :Sc, :Sc]
+    else:
+        pad = Sc - side
+        coarse = jnp.pad(coarse, [(0, pad)] * 3)
+    return mask_interior3(coarse, nc)
+
+
+def prolong3(ec: jnp.ndarray, nc: int, Sf: int) -> jnp.ndarray:
+    """Trilinear prolongation, coarse (Sc,)^3 -> fine (Sf,)^3.
+
+    Eight parity phases: even axes inject, odd axes average the two coarse
+    neighbors along that axis (the 3D analogue of ``core.ops.prolong``).
+    """
+    Sc = ec.shape[-1]
+    nf = 2 * nc
+    m = min(Sc, (Sf + 1) // 2)
+    e = ec[:m, :m, :m]
+    lim = 2 * m - 1
+    f = jnp.zeros((Sf, Sf, Sf), ec.dtype)
+    for pi in (0, 1):
+        for pj in (0, 1):
+            for pk in (0, 1):
+                v = e
+                for ax, p in enumerate((pi, pj, pk)):
+                    if p:
+                        lo = [slice(None)] * 3
+                        hi = [slice(None)] * 3
+                        lo[ax] = slice(0, -1)
+                        hi[ax] = slice(1, None)
+                        v = 0.5 * (v[tuple(lo)] + v[tuple(hi)])
+                sl = tuple(slice(p, lim - p, 2) for p in (pi, pj, pk))
+                f = f.at[sl].set(v.astype(ec.dtype))
+    return mask_interior3(f, nf)

@@ -146,7 +146,15 @@ def _transfer_kernels_ok(Sf, Sc, cfg: MultigridConfig, dtype) -> bool:
     return _t.supported(Sf, Sc, 0, dtype)
 
 
-def _restrict(r, nf, Sc, cfg: MultigridConfig):
+def _zeros(op, dtype):
+    """Zero grid matching the operator's dimensionality (2D default)."""
+    return jnp.zeros(getattr(op, "grid_shape", (op.S, op.S)), dtype)
+
+
+def _restrict(r, nf, Sc, cfg: MultigridConfig, ndim: int = 2):
+    if ndim == 3:
+        from ..core import ops3d
+        return ops3d.restrict_fw3(r, nf, Sc)
     if cfg.restriction == "injection":
         return ops.restrict_injection(r, nf, Sc)
     if _transfer_kernels_ok(r.shape[-1], Sc, cfg, r.dtype):
@@ -161,9 +169,12 @@ def _prolong(e, nc, Sf, cfg: MultigridConfig):
     return ops.prolong(e, nc, Sf)
 
 
-def _prolong_add(u, e, nc, Sf, cfg: MultigridConfig):
+def _prolong_add(u, e, nc, Sf, cfg: MultigridConfig, ndim: int = 2):
     """u + P e, via the standalone Pallas kernel when applicable (avoids
     XLA's strided-scatter lowering on variable-coefficient levels)."""
+    if ndim == 3:
+        from ..core import ops3d
+        return u + ops3d.prolong3(e, nc, Sf)
     if (cfg.prolongation == "bilinear"
             and _transfer_kernels_ok(Sf, e.shape[-1], cfg, u.dtype)):
         from ..kernels import transfer as _t
@@ -221,8 +232,8 @@ def cycle(hier: Hierarchy, cfg: MultigridConfig, u, b, k: int = 0):
         u, rc = _fused_k1(op, opc, cfg, u, b)
     else:
         u, r = _smooth_residual(op, u, b, cfg, cfg.nu1)
-        rc = _restrict(r, op.n, opc.S, cfg)
-    ec = jnp.zeros((opc.S, opc.S), u.dtype)
+        rc = _restrict(r, op.n, opc.S, cfg, getattr(op, "ndim", 2))
+    ec = _zeros(opc, u.dtype)
     if cfg.cycle == "V":
         ec = cycle(hier, cfg, ec, rc, k + 1)
     elif cfg.cycle == "W":
@@ -234,7 +245,7 @@ def cycle(hier: Hierarchy, cfg: MultigridConfig, u, b, k: int = 0):
     if fused:
         u = _fused_k2(op, cfg, u, b, ec)
     else:
-        u = _prolong_add(u, ec, opc.n, op.S, cfg)
+        u = _prolong_add(u, ec, opc.n, op.S, cfg, getattr(op, "ndim", 2))
         u = _smooth(op, u, b, cfg, cfg.nu2)
     return u
 
@@ -258,7 +269,7 @@ def cycle_with_norm(hier: Hierarchy, cfg: MultigridConfig, u, b):
     opc = hier.levels[1]
     if _use_super_kernels(op, opc, cfg, u.dtype):
         u, rc = _fused_k1(op, opc, cfg, u, b)
-        ec = jnp.zeros((opc.S, opc.S), u.dtype)
+        ec = _zeros(opc, u.dtype)
         ec = cycle(hier, cfg, ec, rc, 1)
         if cfg.cycle == "W":
             ec = cycle(hier, cfg, ec, rc, 1)
@@ -288,7 +299,8 @@ def fmg_rhs_hierarchy(hier: Hierarchy, cfg: MultigridConfig, b_fine,
         return list(b_levels)
     bs = [b_fine]
     for k in range(hier.num_levels - 1):
-        bs.append(_restrict(bs[-1], hier.levels[k].n, hier.levels[k + 1].S, cfg))
+        bs.append(_restrict(bs[-1], hier.levels[k].n, hier.levels[k + 1].S,
+                            cfg, getattr(hier.levels[k], "ndim", 2)))
     return bs
 
 
@@ -302,7 +314,7 @@ def fmg(hier: Hierarchy, cfg: MultigridConfig, b_fine,
     bs = fmg_rhs_hierarchy(hier, cfg, b_fine, b_levels)
     kc = hier.num_levels - 1
     opc = hier.levels[kc]
-    u = jnp.zeros((opc.S, opc.S), b_fine.dtype)
+    u = _zeros(opc, b_fine.dtype)
     u = _coarsest_solve(hier, cfg, u, bs[kc])
     for _ in range(max(cfg.nu0 - 1, 0) if cfg.coarse_solver == "smooth" else 0):
         u = _coarsest_solve(hier, cfg, u, bs[kc])
@@ -310,9 +322,9 @@ def fmg(hier: Hierarchy, cfg: MultigridConfig, b_fine,
         # FMG solution interpolation: route through the Pallas prolong
         # kernel (as 0 + P u) when available — the jnp strided scatter is
         # ~400 ms per 8193^2 level on TPU.
-        Sf = hier.levels[k].S
-        zero = jnp.zeros((Sf, Sf), u.dtype)
-        u = _prolong_add(zero, u, hier.levels[k + 1].n, Sf, cfg)
+        zero = _zeros(hier.levels[k], u.dtype)
+        u = _prolong_add(zero, u, hier.levels[k + 1].n, hier.levels[k].S,
+                         cfg, getattr(hier.levels[k], "ndim", 2))
         for _ in range(cfg.nu0):
             u = cycle(hier, cfg, u, bs[k], k)
     return u
@@ -356,7 +368,7 @@ def solve_fixed(hier: Hierarchy, cfg: MultigridConfig, b, num_cycles: int,
                 u0=None) -> SolveResult:
     """Run exactly ``num_cycles`` cycles, recording the residual history."""
     op = hier.levels[0]
-    u = u0 if u0 is not None else jnp.zeros((op.S, op.S), b.dtype)
+    u = u0 if u0 is not None else _zeros(op, b.dtype)
     hist = jnp.full((num_cycles + 1,), jnp.nan, jnp.float32)
     hist = hist.at[0].set(ops.norm2(op.residual(u, b)))
 
@@ -390,7 +402,7 @@ def solve_until_tol(hier: Hierarchy, cfg: MultigridConfig, b, *, tol: float,
     ``converged=False``.  Set ``stall_factor=1.0`` to disable.
     """
     op = hier.levels[0]
-    u = u0 if u0 is not None else jnp.zeros((op.S, op.S), b.dtype)
+    u = u0 if u0 is not None else _zeros(op, b.dtype)
     r0 = ops.norm2(op.residual(u, b))
     # ``r0_norm`` overrides the reference norm for the relative target —
     # e.g. when resuming from a checkpoint, the original solve's initial

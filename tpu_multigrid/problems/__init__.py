@@ -1,4 +1,6 @@
 from .poisson import PoissonProblem, poisson_rhs
+from .poisson3d import Poisson3DProblem, poisson3d_rhs
 from .diffusion import DiffusionProblem
 
-__all__ = ["PoissonProblem", "poisson_rhs", "DiffusionProblem"]
+__all__ = ["PoissonProblem", "poisson_rhs", "DiffusionProblem",
+           "Poisson3DProblem", "poisson3d_rhs"]

@@ -1,0 +1,83 @@
+"""3D Poisson problem on the unit cube, homogeneous Dirichlet BCs.
+
+Dimensional extension beyond the strictly-2D reference
+(``Poissons_SYCL.cpp:119-123``): -∇²u = f on (0,1)³ discretized with the
+h-independent 7-point stencil and RHS ``f * h²`` (``core.ops3d``).  The same
+cycle drivers (V/W/F, FMG, until-tol) orchestrate 3D hierarchies — transfers
+dispatch on the operator's ``ndim``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Union
+
+import jax.numpy as jnp
+
+from ..config import MultigridConfig
+from ..core import ops3d
+from ..core.grids import Hierarchy, coarse_dense_inverse, level_sizes
+from ..core.operators import ConstStencilOp3D
+
+
+def node_coordinates3(n: int, S: int, dtype=jnp.float32):
+    h = 1.0 / n
+    idx = jnp.arange(S, dtype=dtype) * h
+    x = jnp.broadcast_to(idx[None, None, :], (S, S, S))
+    y = jnp.broadcast_to(idx[None, :, None], (S, S, S))
+    z = jnp.broadcast_to(idx[:, None, None], (S, S, S))
+    return x, y, z
+
+
+def poisson3d_rhs(n: int, S: int, f: Union[float, Callable] = 6.0,
+                  dtype=jnp.float32) -> jnp.ndarray:
+    """(S, S, S) padded RHS grid: b = f(x, y, z) * h² on the interior.
+
+    Default constant forcing 6.0 mirrors the 2D module's f = 4 (the
+    reference's constant, ``Poissons_SYCL.cpp:121``, scaled to make the
+    dimension-count the natural constant); ``f`` may also be a callable
+    f(x, y, z) evaluated at the nodes (manufactured-solution tests).
+    """
+    h2 = (1.0 / n) ** 2
+    if callable(f):
+        x, y, z = node_coordinates3(n, S, dtype)
+        vals = f(x, y, z).astype(dtype) * h2
+    else:
+        vals = jnp.full((S, S, S), float(f) * h2, dtype)
+    return ops3d.mask_interior3(vals, n)
+
+
+def build_poisson3d_hierarchy(config: MultigridConfig, *, align: int = 1,
+                              min_pad_level: int = 99) -> Hierarchy:
+    sizes = level_sizes(config, align=align, min_pad_level=min_pad_level)
+    levels = tuple(ConstStencilOp3D(n, S) for n, S in sizes)
+    coarse_inv = None
+    if config.coarse_solver == "direct":
+        coarse_inv = coarse_dense_inverse(levels[-1])
+    return Hierarchy(levels, coarse_inv)
+
+
+@dataclasses.dataclass
+class Poisson3DProblem:
+    """Front-door 3D problem object: hierarchy + per-level RHS assembly."""
+
+    config: MultigridConfig
+    forcing: Union[float, Callable] = 6.0
+    align: int = 1
+    min_pad_level: int = 99
+
+    def __post_init__(self):
+        self.hierarchy: Hierarchy = build_poisson3d_hierarchy(
+            self.config, align=self.align, min_pad_level=self.min_pad_level)
+
+    @property
+    def finest(self):
+        return self.hierarchy.levels[0]
+
+    def rhs(self, level_index: int = 0, dtype=None) -> jnp.ndarray:
+        op = self.hierarchy.levels[level_index]
+        dt = dtype if dtype is not None else self.config.dtype
+        return poisson3d_rhs(op.n, op.S, self.forcing, dt)
+
+    def rhs_all_levels(self, dtype=None):
+        return [self.rhs(k, dtype) for k in range(self.hierarchy.num_levels)]
