@@ -202,6 +202,39 @@ def _fused_k1(op, opc, cfg: MultigridConfig, u, b):
     return _t.smooth_restrict(u, b, op.n, opc.S, cfg.nu1, smoother, omega)
 
 
+def _use_var_super_kernels(op, opc, cfg: MultigridConfig, dtype) -> bool:
+    """Whether the fused var-coefficient super-kernels (K1v/K2v) apply."""
+    if not (cfg.use_pallas and isinstance(op, VarStencilOp)):
+        return False
+    if cfg.effective_smooth_dtype != dtype:
+        return False
+    if cfg.restriction != "fw" or cfg.prolongation != "bilinear":
+        return False
+    from ..kernels import vartransfer as _vt
+    mult = 2 if cfg.smoother == "rbgs" else 1
+    steps = mult * max(cfg.nu1, cfg.nu2)
+    return _vt.supported(op.S, opc.S, steps, dtype)
+
+
+def _fused_k1v(op, opc, cfg: MultigridConfig, u, b):
+    from ..kernels import varstencil as _v
+    from ..kernels import vartransfer as _vt
+    smoother, omega = _sm(cfg, cfg.nu1)
+    return _vt.var_smooth_restrict_fused(u, b, _v._flat_coef(op), op.n,
+                                         opc.S, cfg.nu1, smoother, omega)
+
+
+def _fused_k2v(op, cfg: MultigridConfig, u, b, ec, *, resnorm=False):
+    from ..kernels import varstencil as _v
+    from ..kernels import vartransfer as _vt
+    smoother, omega = _sm(cfg, cfg.nu2)
+    if resnorm:
+        return _vt.var_prolong_smooth_resnorm(u, b, ec, _v._flat_coef(op),
+                                              op.n, cfg.nu2, smoother, omega)
+    return _vt.var_prolong_smooth_fused(u, b, ec, _v._flat_coef(op),
+                                        op.n, cfg.nu2, smoother, omega)
+
+
 def _fused_k2(op, cfg: MultigridConfig, u, b, ec, *, resnorm=False):
     from ..kernels import transfer as _t
     smoother, omega = _sm(cfg, cfg.nu2)
@@ -228,8 +261,11 @@ def cycle(hier: Hierarchy, cfg: MultigridConfig, u, b, k: int = 0):
     op = hier.levels[k]
     opc = hier.levels[k + 1]
     fused = _use_super_kernels(op, opc, cfg, u.dtype)
+    fusedv = (not fused) and _use_var_super_kernels(op, opc, cfg, u.dtype)
     if fused:
         u, rc = _fused_k1(op, opc, cfg, u, b)
+    elif fusedv:
+        u, rc = _fused_k1v(op, opc, cfg, u, b)
     else:
         u, r = _smooth_residual(op, u, b, cfg, cfg.nu1)
         rc = _restrict(r, op.n, opc.S, cfg, getattr(op, "ndim", 2))
@@ -244,6 +280,8 @@ def cycle(hier: Hierarchy, cfg: MultigridConfig, u, b, k: int = 0):
         ec = _vcycle_only(hier, cfg, ec, rc, k + 1)
     if fused:
         u = _fused_k2(op, cfg, u, b, ec)
+    elif fusedv:
+        u = _fused_k2v(op, cfg, u, b, ec)
     else:
         u = _prolong_add(u, ec, opc.n, op.S, cfg, getattr(op, "ndim", 2))
         u = _smooth(op, u, b, cfg, cfg.nu2)
@@ -267,15 +305,22 @@ def cycle_with_norm(hier: Hierarchy, cfg: MultigridConfig, u, b):
         return u, ops.norm2(hier.levels[0].residual(u, b))
     op = hier.levels[0]
     opc = hier.levels[1]
-    if _use_super_kernels(op, opc, cfg, u.dtype):
-        u, rc = _fused_k1(op, opc, cfg, u, b)
+    fused = _use_super_kernels(op, opc, cfg, u.dtype)
+    fusedv = (not fused) and _use_var_super_kernels(op, opc, cfg, u.dtype)
+    if fused or fusedv:
+        if fused:
+            u, rc = _fused_k1(op, opc, cfg, u, b)
+        else:
+            u, rc = _fused_k1v(op, opc, cfg, u, b)
         ec = _zeros(opc, u.dtype)
         ec = cycle(hier, cfg, ec, rc, 1)
         if cfg.cycle == "W":
             ec = cycle(hier, cfg, ec, rc, 1)
         elif cfg.cycle == "F":
             ec = _vcycle_only(hier, cfg, ec, rc, 1)
-        return _fused_k2(op, cfg, u, b, ec, resnorm=True)
+        if fused:
+            return _fused_k2(op, cfg, u, b, ec, resnorm=True)
+        return _fused_k2v(op, cfg, u, b, ec, resnorm=True)
     u = cycle(hier, cfg, u, b)
     return u, ops.norm2(_residual(op, u, b, cfg))
 
