@@ -30,9 +30,11 @@ def solve_poisson(
     num_cycles: Optional[int] = None,
     use_fmg: bool = False,
     refined: bool = False,
+    neumann=(),
+    neumann_value=0.0,
     jit: bool = True,
 ) -> SolveResult:
-    """Solve -lap(u) = forcing on the unit square, Dirichlet BCs.
+    """Solve -lap(u) = forcing on the unit square.
 
     Returns a :class:`SolveResult`; ``result.u`` is the (S, S) node grid
     (physical nodes at ``[0:n+1, 0:n+1]``).  ``num_cycles`` forces a fixed
@@ -43,12 +45,28 @@ def solve_poisson(
     tolerances on TPU.  ``boundary`` (a constant or ``g(x, y)``) imposes
     inhomogeneous Dirichlet values via lifting — an extension over the
     reference, which hard-eliminates homogeneous boundary rows
-    (``Poissons_SYCL.cpp:224,263``).
+    (``Poissons_SYCL.cpp:224,263``).  ``neumann`` names sides
+    ("bottom"/"top"/"left"/"right") carrying ``du/dn = neumann_value``
+    instead of Dirichlet (problems/mixedbc.py; jnp path).
     """
     if config is None:
         config = MultigridConfig(finest_level=finest_level)
     elif config.finest_level != finest_level:
         config = dataclasses.replace(config, finest_level=finest_level)
+    if neumann:
+        if boundary is not None:
+            raise ValueError("neumann sides cannot be combined with the "
+                             "Dirichlet `boundary` lifting (the lifting "
+                             "grid spans all four sides)")
+        if refined:
+            raise ValueError("refined=True is not supported with neumann "
+                             "sides (box operators run the jnp path)")
+        from .problems.mixedbc import MixedBCPoissonProblem
+        problem = MixedBCPoissonProblem(config, neumann=neumann,
+                                        forcing=forcing,
+                                        neumann_value=neumann_value)
+        return _run(problem, config, tol, max_cycles, num_cycles, use_fmg,
+                    jit)
     problem = PoissonProblem(config, forcing=forcing, **_pad_kw(config))
     return _run(problem, config, tol, max_cycles, num_cycles, use_fmg, jit,
                 refined=refined, boundary=boundary)

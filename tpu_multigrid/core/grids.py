@@ -87,25 +87,33 @@ def coarse_dense_inverse(op, dtype=None) -> jnp.ndarray:
     stored in the solve dtype.
     """
     n, S = op.n, op.S
-    m = (n - 1) ** 2
+    box = getattr(op, "box", None)
     coef = getattr(op, "coef", None)
     if coef is not None and isinstance(coef, np.ndarray):
+        bi0, bi1, bj0, bj1 = box if box is not None else (1, n - 1, 1, n - 1)
+        ri, rj = bi1 - bi0 + 1, bj1 - bj0 + 1
+        m = ri * rj
         a = np.zeros((m, m))
-        idx = np.arange(m).reshape(n - 1, n - 1)
+        idx = np.arange(m).reshape(ri, rj)
         for di in (-1, 0, 1):
             for dj in (-1, 0, 1):
-                C = coef[di + 1, dj + 1, 1:n, 1:n].astype(np.float64)
-                i0, i1 = max(0, -di), (n - 1) - max(0, di)
-                j0, j1 = max(0, -dj), (n - 1) - max(0, dj)
+                C = coef[di + 1, dj + 1,
+                         bi0:bi1 + 1, bj0:bj1 + 1].astype(np.float64)
+                i0, i1 = max(0, -di), ri - max(0, di)
+                j0, j1 = max(0, -dj), rj - max(0, dj)
                 rows = idx[i0:i1, j0:j1].ravel()
                 cols = idx[i0 + di:i1 + di, j0 + dj:j1 + dj].ravel()
                 a[rows, cols] += C[i0:i1, j0:j1].ravel()
         inv = np.linalg.inv(a)
         return jnp.asarray(inv, dtype if dtype is not None else jnp.float32)
     d = getattr(op, "ndim", 2)
-    m = (n - 1) ** d
-    inter = (slice(1, n),) * d
-    eye = jnp.eye(m, dtype=jnp.float32).reshape((m,) + (n - 1,) * d)
+    inter = _unknown_slices(op)
+    m = 1
+    shp = []
+    for s in inter:
+        shp.append(s.stop - s.start)
+        m *= s.stop - s.start
+    eye = jnp.eye(m, dtype=jnp.float32).reshape((m,) + tuple(shp))
     grids = jnp.zeros((m,) + (S,) * d, jnp.float32)
     grids = grids.at[(slice(None),) + inter].set(eye)
     cols = jax.jit(jax.vmap(op.apply))(grids)[(slice(None),) + inter]
@@ -116,13 +124,23 @@ def coarse_dense_inverse(op, dtype=None) -> jnp.ndarray:
     return jnp.asarray(inv, out_dtype)
 
 
+def _unknown_slices(op):
+    """Per-axis slices of the operator's unknowns (box-aware, 2D/3D)."""
+    box = getattr(op, "box", None)
+    if box is not None:
+        i0, i1, j0, j1 = box
+        return (slice(i0, i1 + 1), slice(j0, j1 + 1))
+    return (slice(1, op.n),) * getattr(op, "ndim", 2)
+
+
 def coarse_solve(op, coarse_inv: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Direct coarsest-grid solve via the precomputed dense inverse."""
-    n, S = op.n, op.S
+    S = op.S
     d = getattr(op, "ndim", 2)
-    inter = (slice(1, n),) * d
+    inter = _unknown_slices(op)
+    shp = tuple(s.stop - s.start for s in inter)
     rhs = b[inter].reshape(-1).astype(coarse_inv.dtype)
-    sol = (coarse_inv @ rhs).reshape((n - 1,) * d).astype(b.dtype)
+    sol = (coarse_inv @ rhs).reshape(shp).astype(b.dtype)
     return jnp.zeros((S,) * d, b.dtype).at[inter].set(sol)
 
 

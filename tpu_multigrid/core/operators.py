@@ -121,20 +121,32 @@ class VarStencilOp:
     ``coef[di+1, dj+1, i, j]`` multiplies ``u[i+di, j+dj]`` in ``(A u)[i, j]``.
     ``inv_diag`` is the precomputed reciprocal of ``coef[1, 1]`` on the
     interior (zero elsewhere).
+
+    ``box``: optional inclusive unknown box (i0, i1, j0, j1) replacing the
+    default Dirichlet interior ``(1, n-1, 1, n-1)`` — mixed Dirichlet/
+    Neumann problems include Neumann-side boundary nodes as unknowns
+    (problems/mixedbc.py).  Box operators run the jnp path (the Pallas
+    kernels' masks are specialized to the default interior).
     """
 
-    def __init__(self, coef, inv_diag, n: int, S: int):
+    def __init__(self, coef, inv_diag, n: int, S: int, box=None):
         self.coef = coef
         self.inv_diag = inv_diag
         self.n = int(n)
         self.S = int(S)
+        self.box = tuple(int(v) for v in box) if box is not None else None
 
     def tree_flatten(self):
-        return (self.coef, self.inv_diag), (self.n, self.S)
+        return (self.coef, self.inv_diag), (self.n, self.S, self.box)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(children[0], children[1], *aux)
+
+    def _mask(self, u):
+        if self.box is not None:
+            return ops.mask_box(u, self.box)
+        return ops.mask_interior(u, self.n)
 
     def apply(self, u):
         acc = self.coef[1, 1] * u
@@ -143,10 +155,10 @@ class VarStencilOp:
                 if di == 0 and dj == 0:
                     continue
                 acc = acc + self.coef[di + 1, dj + 1] * _shift(u, di, dj)
-        return ops.mask_interior(acc.astype(u.dtype), self.n)
+        return self._mask(acc.astype(u.dtype))
 
     def residual(self, u, b):
-        return ops.mask_interior((b - self.apply(u)).astype(u.dtype), self.n)
+        return self._mask((b - self.apply(u)).astype(u.dtype))
 
     def smooth(self, u, b, *, smoother: str, omega: float, sweeps: int):
         if sweeps <= 0:
@@ -167,7 +179,8 @@ class VarStencilOp:
         return acc
 
     def _jacobi(self, u, b, omega, sweeps):
-        m = ops.interior_mask(self.S, self.n)
+        m = (ops.box_mask(self.S, self.box) if self.box is not None
+             else ops.interior_mask(self.S, self.n))
         inv_d = self.inv_diag.astype(u.dtype)
 
         if isinstance(omega, tuple):
@@ -196,7 +209,8 @@ class VarStencilOp:
         S, n = self.S, self.n
         i = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
         j = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
-        inter = (i >= 1) & (i <= n - 1) & (j >= 1) & (j <= n - 1)
+        inter = (ops.box_mask(S, self.box) if self.box is not None
+                 else (i >= 1) & (i <= n - 1) & (j >= 1) & (j <= n - 1))
         red = inter & ((i + j) % 2 == 0)
         black = inter & ((i + j) % 2 == 1)
         inv_d = self.inv_diag.astype(u.dtype)
@@ -367,10 +381,16 @@ def galerkin_coarsen_host(fine: VarStencilOp, Sc: int) -> VarStencilOp:
     lim = min(Sf, W - 2)
     F = np.zeros((3, 3, W, W), work_dt)
     F[:, :, 2:2 + lim, 2:2 + lim] = A[:, :, :lim, :lim]
+    # Unknown-set indicator (the prolongation's column mask): the default
+    # Dirichlet interior, or the operator's box (mixed-BC problems —
+    # Neumann-side boundary nodes are unknowns, problems/mixedbc.py).
+    fbox = getattr(fine, "box", None)
+    fi0, fi1, fj0, fj1 = fbox if fbox is not None else (1, nf - 1, 1, nf - 1)
     If = np.zeros((W, W), work_dt)
     g = np.arange(W) - 2
-    mrow = (g >= 1) & (g <= nf - 1)
-    If[np.ix_(mrow, mrow)] = 1.0
+    mr = (g >= fi0) & (g <= fi1)
+    mc = (g >= fj0) & (g <= fj1)
+    If[np.ix_(mr, mc)] = 1.0
 
     Rw = np.array([[0.25, 0.5, 0.25], [0.5, 1.0, 0.5],
                    [0.25, 0.5, 0.25]], work_dt)
@@ -398,8 +418,15 @@ def galerkin_coarsen_host(fine: VarStencilOp, Sc: int) -> VarStencilOp:
                                 continue
                             C2[dr + 1, dc + 1] += Rw[cr + 1, cc + 1] * term
 
+    # Coarse unknown box nests the fine one: fine node 2I <-> coarse I.
+    cbox = None
+    if fbox is not None:
+        cbox = (fi0, nc if fi1 == nf else nc - 1,
+                fj0, nc if fj1 == nf else nc - 1)
+    ci0, ci1, cj0, cj1 = cbox if cbox is not None else (1, nc - 1, 1, nc - 1)
     i = np.arange(Sc)
-    m = ((i >= 1) & (i <= nc - 1))[:, None] & ((i >= 1) & (i <= nc - 1))[None]
+    m = (((i >= ci0) & (i <= ci1))[:, None]
+         & ((i >= cj0) & (i <= cj1))[None])
     C2 = np.where(m[None, None], C2, 0.0)
     diag = C2[1, 1]
     inv_diag = np.where(m, 1.0 / np.where(m, diag, 1.0), 0.0)
@@ -408,7 +435,8 @@ def galerkin_coarsen_host(fine: VarStencilOp, Sc: int) -> VarStencilOp:
     # jit uploads the whole hierarchy once at the first solve call.
     dt_np = np.dtype(jnp.dtype(dt).name) if not isinstance(dt, np.dtype) \
         else dt
-    return VarStencilOp(C2.astype(dt_np), inv_diag.astype(dt_np), nc, Sc)
+    return VarStencilOp(C2.astype(dt_np), inv_diag.astype(dt_np), nc, Sc,
+                        box=cbox)
 
 
 @functools.partial(jax.jit, static_argnames=("Sc",))

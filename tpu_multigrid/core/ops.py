@@ -52,6 +52,24 @@ def mask_interior(u: jnp.ndarray, n: int) -> jnp.ndarray:
     return jnp.where(m, u, jnp.zeros((), u.dtype))
 
 
+def box_mask(S: int, box) -> jnp.ndarray:
+    """Boolean (S, S) mask of an inclusive unknown box (i0, i1, j0, j1).
+
+    Generalizes :func:`interior_mask` (box = (1, n-1, 1, n-1)) for mixed
+    Dirichlet/Neumann problems, where Neumann-side boundary nodes are
+    unknowns (problems/mixedbc.py).
+    """
+    i0, i1, j0, j1 = box
+    i = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
+    return (i >= i0) & (i <= i1) & (j >= j0) & (j <= j1)
+
+
+def mask_box(u: jnp.ndarray, box) -> jnp.ndarray:
+    m = box_mask(u.shape[-1], box)
+    return jnp.where(m, u, jnp.zeros((), u.dtype))
+
+
 # ---------------------------------------------------------------------------
 # 5-point stencil primitives
 # ---------------------------------------------------------------------------
@@ -226,7 +244,7 @@ def _conv2d(x: jnp.ndarray, w: jnp.ndarray, *, stride=1, lhs_dilation=1):
 _FW_STENCIL = [[0.25, 0.5, 0.25], [0.5, 1.0, 0.5], [0.25, 0.5, 0.25]]
 
 
-def restrict_fw(rf: jnp.ndarray, nf: int, Sc: int) -> jnp.ndarray:
+def restrict_fw(rf: jnp.ndarray, nf: int, Sc: int, box=None) -> jnp.ndarray:
     """Full-weighting restriction, FEM scaling R = P^T (stencil /4).
 
     Fine grid ``(Sf, Sf)`` with ``nf`` cells -> coarse grid ``(Sc, Sc)`` with
@@ -235,6 +253,10 @@ def restrict_fw(rf: jnp.ndarray, nf: int, Sc: int) -> jnp.ndarray:
     guarantees this).  Reference: ``restriction2d``
     (``Poissons_SYCL.cpp:531-546``), with its integer-division bug fixed and
     the FEM /4 scaling so that R A P equals the coarse FEM stiffness.
+
+    ``box``: optional inclusive coarse unknown box (mixed-BC problems; the
+    conv's zero padding makes the boundary rows exactly P^T of the
+    truncated prolongation, so R = P^T holds on boxes too).
     """
     nc = nf // 2
     Sf = rf.shape[-1]
@@ -250,10 +272,12 @@ def restrict_fw(rf: jnp.ndarray, nf: int, Sc: int) -> jnp.ndarray:
         pad = Sc - side
         coarse = jnp.pad(coarse,
                          [(0, 0)] * (coarse.ndim - 2) + [(0, pad), (0, pad)])
+    if box is not None:
+        return mask_box(coarse, box)
     return mask_interior(coarse, nc)
 
 
-def prolong(ec: jnp.ndarray, nc: int, Sf: int) -> jnp.ndarray:
+def prolong(ec: jnp.ndarray, nc: int, Sf: int, box=None) -> jnp.ndarray:
     """Bilinear prolongation, coarse ``(Sc, Sc)`` -> fine ``(Sf, Sf)``.
 
     fine[2i,2j] = c[i,j]; odd rows/cols average 2 neighbors; odd-odd averages
@@ -264,6 +288,8 @@ def prolong(ec: jnp.ndarray, nc: int, Sf: int) -> jnp.ndarray:
     four strided scatters.  (An lhs-dilated conv formulation materializes a
     multi-GB intermediate on XLA:TPU, and strided lane scatters are slow
     there — the TPU hot path uses the Pallas transfer kernels instead.)
+
+    ``box``: optional inclusive fine unknown box (mixed-BC problems).
     """
     Sc = ec.shape[-1]
     nf = 2 * nc
@@ -286,6 +312,8 @@ def prolong(ec: jnp.ndarray, nc: int, Sf: int) -> jnp.ndarray:
     qa = 0.25 * (e[..., :-1, :-1] + e[..., :-1, 1:]
                  + e[..., 1:, :-1] + e[..., 1:, 1:])
     f = f.at[..., 1 : lim - 1 : 2, 1 : lim - 1 : 2].set(qa.astype(ec.dtype))
+    if box is not None:
+        return mask_box(f, box)
     return mask_interior(f, nf)
 
 

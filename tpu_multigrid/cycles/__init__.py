@@ -66,6 +66,8 @@ def _smooth(op, u, b, cfg: MultigridConfig, sweeps: int):
 def _var_kernel_ok(op, cfg: MultigridConfig, dtype, sweeps: int) -> bool:
     if not (cfg.use_pallas and isinstance(op, VarStencilOp)):
         return False
+    if getattr(op, "box", None) is not None:
+        return False  # kernel masks are specialized to the default interior
     if cfg.effective_smooth_dtype != dtype:
         return False
     from ..kernels import varstencil as _v
@@ -151,35 +153,36 @@ def _zeros(op, dtype):
     return jnp.zeros(getattr(op, "grid_shape", (op.S, op.S)), dtype)
 
 
-def _restrict(r, nf, Sc, cfg: MultigridConfig, ndim: int = 2):
+def _restrict(r, nf, Sc, cfg: MultigridConfig, ndim: int = 2, box=None):
     if ndim == 3:
         from ..core import ops3d
         return ops3d.restrict_fw3(r, nf, Sc)
     if cfg.restriction == "injection":
         return ops.restrict_injection(r, nf, Sc)
-    if _transfer_kernels_ok(r.shape[-1], Sc, cfg, r.dtype):
+    if box is None and _transfer_kernels_ok(r.shape[-1], Sc, cfg, r.dtype):
         from ..kernels import transfer as _t
         return _t.restrict_fw_pallas(r, nf, Sc)
-    return ops.restrict_fw(r, nf, Sc)
+    return ops.restrict_fw(r, nf, Sc, box=box)
 
 
-def _prolong(e, nc, Sf, cfg: MultigridConfig):
+def _prolong(e, nc, Sf, cfg: MultigridConfig, box=None):
     if cfg.prolongation == "p1":
         return ops.prolong_p1(e, nc, Sf)
-    return ops.prolong(e, nc, Sf)
+    return ops.prolong(e, nc, Sf, box=box)
 
 
-def _prolong_add(u, e, nc, Sf, cfg: MultigridConfig, ndim: int = 2):
+def _prolong_add(u, e, nc, Sf, cfg: MultigridConfig, ndim: int = 2,
+                 box=None):
     """u + P e, via the standalone Pallas kernel when applicable (avoids
     XLA's strided-scatter lowering on variable-coefficient levels)."""
     if ndim == 3:
         from ..core import ops3d
         return u + ops3d.prolong3(e, nc, Sf)
-    if (cfg.prolongation == "bilinear"
+    if (box is None and cfg.prolongation == "bilinear"
             and _transfer_kernels_ok(Sf, e.shape[-1], cfg, u.dtype)):
         from ..kernels import transfer as _t
         return _t.prolong_add_pallas(u, e, 2 * nc)
-    return u + _prolong(e, nc, Sf, cfg)
+    return u + _prolong(e, nc, Sf, cfg, box=box)
 
 
 def _use_super_kernels(op, opc, cfg: MultigridConfig, dtype) -> bool:
@@ -205,6 +208,9 @@ def _fused_k1(op, opc, cfg: MultigridConfig, u, b):
 def _use_var_super_kernels(op, opc, cfg: MultigridConfig, dtype) -> bool:
     """Whether the fused var-coefficient super-kernels (K1v/K2v) apply."""
     if not (cfg.use_pallas and isinstance(op, VarStencilOp)):
+        return False
+    if getattr(op, "box", None) is not None or \
+            getattr(opc, "box", None) is not None:
         return False
     if cfg.effective_smooth_dtype != dtype:
         return False
@@ -268,7 +274,8 @@ def cycle(hier: Hierarchy, cfg: MultigridConfig, u, b, k: int = 0):
         u, rc = _fused_k1v(op, opc, cfg, u, b)
     else:
         u, r = _smooth_residual(op, u, b, cfg, cfg.nu1)
-        rc = _restrict(r, op.n, opc.S, cfg, getattr(op, "ndim", 2))
+        rc = _restrict(r, op.n, opc.S, cfg, getattr(op, "ndim", 2),
+                       box=getattr(opc, "box", None))
     ec = _zeros(opc, u.dtype)
     if cfg.cycle == "V":
         ec = cycle(hier, cfg, ec, rc, k + 1)
@@ -283,7 +290,8 @@ def cycle(hier: Hierarchy, cfg: MultigridConfig, u, b, k: int = 0):
     elif fusedv:
         u = _fused_k2v(op, cfg, u, b, ec)
     else:
-        u = _prolong_add(u, ec, opc.n, op.S, cfg, getattr(op, "ndim", 2))
+        u = _prolong_add(u, ec, opc.n, op.S, cfg, getattr(op, "ndim", 2),
+                         box=getattr(op, "box", None))
         u = _smooth(op, u, b, cfg, cfg.nu2)
     return u
 
@@ -345,7 +353,8 @@ def fmg_rhs_hierarchy(hier: Hierarchy, cfg: MultigridConfig, b_fine,
     bs = [b_fine]
     for k in range(hier.num_levels - 1):
         bs.append(_restrict(bs[-1], hier.levels[k].n, hier.levels[k + 1].S,
-                            cfg, getattr(hier.levels[k], "ndim", 2)))
+                            cfg, getattr(hier.levels[k], "ndim", 2),
+                            box=getattr(hier.levels[k + 1], "box", None)))
     return bs
 
 
@@ -369,7 +378,8 @@ def fmg(hier: Hierarchy, cfg: MultigridConfig, b_fine,
         # ~400 ms per 8193^2 level on TPU.
         zero = _zeros(hier.levels[k], u.dtype)
         u = _prolong_add(zero, u, hier.levels[k + 1].n, hier.levels[k].S,
-                         cfg, getattr(hier.levels[k], "ndim", 2))
+                         cfg, getattr(hier.levels[k], "ndim", 2),
+                         box=getattr(hier.levels[k], "box", None))
         for _ in range(cfg.nu0):
             u = cycle(hier, cfg, u, bs[k], k)
     return u

@@ -1,6 +1,7 @@
 from .poisson import PoissonProblem, poisson_rhs
 from .poisson3d import Poisson3DProblem, poisson3d_rhs
 from .diffusion import DiffusionProblem
+from .mixedbc import MixedBCPoissonProblem
 
 __all__ = ["PoissonProblem", "poisson_rhs", "DiffusionProblem",
-           "Poisson3DProblem", "poisson3d_rhs"]
+           "Poisson3DProblem", "poisson3d_rhs", "MixedBCPoissonProblem"]
