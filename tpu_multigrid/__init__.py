@@ -16,9 +16,9 @@ from .core import (ConstStencilOp, Hierarchy, VarStencilOp,
                    build_galerkin_hierarchy, build_poisson_hierarchy, ops)
 from .cycles import SolveResult, cycle, fmg, solve_fixed, solve_until_tol
 from .krylov import pcg_solve
-from .problems import (DiffusionProblem, MixedBCPoissonProblem,
-                       Poisson3DProblem, PoissonProblem, poisson3d_rhs,
-                       poisson_rhs)
+from .problems import (AnisotropicPoissonProblem, DiffusionProblem,
+                       MixedBCPoissonProblem, Poisson3DProblem,
+                       PoissonProblem, poisson3d_rhs, poisson_rhs)
 from .topo import (EllOp, TopoHierarchy, TopoTransfer,
                    build_structured_topo_hierarchy, fmg_topo, solve_topo,
                    vcycle_topo)
@@ -33,6 +33,7 @@ __all__ = [
     "pcg_solve",
     "PoissonProblem", "DiffusionProblem", "poisson_rhs",
     "Poisson3DProblem", "poisson3d_rhs", "MixedBCPoissonProblem",
+    "AnisotropicPoissonProblem",
     "Hierarchy", "ConstStencilOp", "VarStencilOp",
     "build_poisson_hierarchy", "build_galerkin_hierarchy", "ops",
     "TopoHierarchy", "TopoTransfer", "EllOp",

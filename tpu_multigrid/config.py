@@ -50,7 +50,9 @@ class MultigridConfig:
     nu2: int = 2
     nu0: int = 1
     omega: float = 2.0 / 3.0
-    smoother: str = "jacobi"          # "jacobi" | "rbgs" | "chebyshev"
+    # "jacobi" | "rbgs" | "chebyshev" | "zebra_x" | "zebra_y" (line
+    # relaxation along the strong-coupling axis — anisotropic operators)
+    smoother: str = "jacobi"
     # Chebyshev smoothing interval lower bound on the D^-1 A spectrum
     # (upper bound is 2.0 for the 5-point stencil).  The smoother runs
     # Jacobi steps with the Chebyshev root reciprocals as per-step weights —
@@ -80,7 +82,8 @@ class MultigridConfig:
             raise ValueError("coarsest_level must be >= 1 (3x3 grid)")
         if self.finest_level < self.coarsest_level:
             raise ValueError("finest_level must be >= coarsest_level")
-        if self.smoother not in ("jacobi", "rbgs", "chebyshev"):
+        if self.smoother not in ("jacobi", "rbgs", "chebyshev",
+                                 "zebra_x", "zebra_y"):
             raise ValueError(f"unknown smoother {self.smoother!r}")
         if not (0.0 < self.cheb_lo < 2.0):
             raise ValueError("cheb_lo must be in (0, 2)")

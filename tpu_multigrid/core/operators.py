@@ -167,6 +167,13 @@ class VarStencilOp:
             return self._jacobi(u, b, omega, sweeps)
         elif smoother == "rbgs":
             return self._rbgs(u, b, sweeps)
+        elif smoother in ("zebra_x", "zebra_y"):
+            # Line relaxation for anisotropic operators (core.lines): lines
+            # along the strong-coupling axis, solved exactly by parallel
+            # cyclic reduction; zebra (odd/even) ordering.
+            from .lines import zebra_sweeps
+            return zebra_sweeps(self, u, b, sweeps,
+                                axis=1 if smoother == "zebra_x" else 0)
         raise ValueError(f"unknown smoother {smoother!r}")
 
     def _off_diag_apply(self, u):

@@ -66,6 +66,8 @@ def _smooth(op, u, b, cfg: MultigridConfig, sweeps: int):
 def _var_kernel_ok(op, cfg: MultigridConfig, dtype, sweeps: int) -> bool:
     if not (cfg.use_pallas and isinstance(op, VarStencilOp)):
         return False
+    if cfg.smoother not in ("jacobi", "rbgs", "chebyshev"):
+        return False  # line smoothers run the jnp path
     if getattr(op, "box", None) is not None:
         return False  # kernel masks are specialized to the default interior
     if cfg.effective_smooth_dtype != dtype:
@@ -189,6 +191,8 @@ def _use_super_kernels(op, opc, cfg: MultigridConfig, dtype) -> bool:
     """Whether the fused Pallas V-cycle super-kernels apply at this level."""
     if not (cfg.use_pallas and isinstance(op, ConstStencilOp)):
         return False
+    if cfg.smoother not in ("jacobi", "rbgs", "chebyshev"):
+        return False
     if cfg.effective_smooth_dtype != dtype:
         return False
     if cfg.restriction != "fw" or cfg.prolongation != "bilinear":
@@ -208,6 +212,8 @@ def _fused_k1(op, opc, cfg: MultigridConfig, u, b):
 def _use_var_super_kernels(op, opc, cfg: MultigridConfig, dtype) -> bool:
     """Whether the fused var-coefficient super-kernels (K1v/K2v) apply."""
     if not (cfg.use_pallas and isinstance(op, VarStencilOp)):
+        return False
+    if cfg.smoother not in ("jacobi", "rbgs", "chebyshev"):
         return False
     if getattr(op, "box", None) is not None or \
             getattr(opc, "box", None) is not None:

@@ -2,6 +2,8 @@ from .poisson import PoissonProblem, poisson_rhs
 from .poisson3d import Poisson3DProblem, poisson3d_rhs
 from .diffusion import DiffusionProblem
 from .mixedbc import MixedBCPoissonProblem
+from .anisotropic import AnisotropicPoissonProblem
 
 __all__ = ["PoissonProblem", "poisson_rhs", "DiffusionProblem",
-           "Poisson3DProblem", "poisson3d_rhs", "MixedBCPoissonProblem"]
+           "Poisson3DProblem", "poisson3d_rhs", "MixedBCPoissonProblem",
+           "AnisotropicPoissonProblem"]

@@ -1,0 +1,96 @@
+"""Anisotropic Poisson: -(eps_x u_xx + eps_y u_yy) = f.
+
+Extension beyond the isotropic-only reference.  Point smoothers degrade as
+the anisotropy grows (the smoothing factor tends to 1 for the weak-axis
+modes); the robust configuration on the standard fully-coarsened hierarchy
+is **zebra line relaxation along the strong axis** (``smoother="zebra_x"``
+when eps_x >> eps_y; see core/lines.py) with Galerkin coarse operators.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Union
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import MultigridConfig
+from ..core import ops
+from ..core.grids import Hierarchy, coarse_dense_inverse, level_sizes
+from ..core.operators import VarStencilOp
+
+
+def anisotropic_poisson_op(n: int, S: int, eps_x: float = 1.0,
+                           eps_y: float = 1.0,
+                           dtype=np.float32) -> VarStencilOp:
+    """h-independent 5-point stencil of -(eps_x u_xx + eps_y u_yy):
+    diagonal ``2(eps_x + eps_y)``, E/W ``-eps_x``, N/S ``-eps_y``;
+    the RHS carries ``f * h^2`` as usual (host numpy arrays)."""
+    coef = np.zeros((3, 3, S, S), dtype)
+    coef[1, 1] = 2.0 * (eps_x + eps_y)
+    coef[1, 0] = -eps_x
+    coef[1, 2] = -eps_x
+    coef[0, 1] = -eps_y
+    coef[2, 1] = -eps_y
+    i = np.arange(S)
+    mrow = (i >= 1) & (i <= n - 1)
+    m = mrow[:, None] & mrow[None, :]
+    coef = np.where(m[None, None], coef, np.zeros((), dtype))
+    diag = coef[1, 1]
+    inv_diag = np.where(m, 1.0 / np.where(m, diag, 1.0), 0.0).astype(dtype)
+    return VarStencilOp(coef, inv_diag, n, S)
+
+
+def build_anisotropic_hierarchy(config: MultigridConfig, eps_x: float,
+                                eps_y: float) -> Hierarchy:
+    """Galerkin hierarchy (R A P in closed form on the host)."""
+    from ..core.operators import galerkin_coarsen_host
+
+    sizes = level_sizes(config)
+    dt = np.dtype(jnp.dtype(config.dtype).name)
+    fine = anisotropic_poisson_op(sizes[0][0], sizes[0][1], eps_x, eps_y,
+                                  dtype=dt)
+    levels = [fine]
+    for (_, S) in sizes[1:]:
+        levels.append(galerkin_coarsen_host(levels[-1], S))
+    coarse_inv = None
+    if config.coarse_solver == "direct":
+        coarse_inv = coarse_dense_inverse(levels[-1])
+    return Hierarchy(tuple(levels), coarse_inv)
+
+
+@dataclasses.dataclass
+class AnisotropicPoissonProblem:
+    """-(eps_x u_xx + eps_y u_yy) = forcing, homogeneous Dirichlet.
+
+    Pick ``smoother="zebra_x"`` when eps_x >> eps_y (lines along x),
+    ``"zebra_y"`` for the transpose; point smoothers remain available for
+    mild anisotropy.
+    """
+
+    config: MultigridConfig
+    eps_x: float = 1.0
+    eps_y: float = 1.0
+    forcing: Union[float, Callable] = 4.0
+
+    def __post_init__(self):
+        self.hierarchy: Hierarchy = build_anisotropic_hierarchy(
+            self.config, self.eps_x, self.eps_y)
+
+    @property
+    def finest(self):
+        return self.hierarchy.levels[0]
+
+    def rhs(self, dtype=None) -> jnp.ndarray:
+        op = self.finest
+        n, S = op.n, op.S
+        dt = dtype if dtype is not None else self.config.dtype
+        h2 = (1.0 / n) ** 2
+        if callable(self.forcing):
+            from ..core.grids import node_coordinates
+            x, y = node_coordinates(n, S, dt)
+            vals = self.forcing(x, y).astype(dt) * h2
+        else:
+            vals = jnp.full((S, S), float(self.forcing) * h2, dt)
+        return ops.mask_interior(vals, n)
