@@ -63,6 +63,7 @@ def main():
 
     print(f"# S={S} n={n} steps={args.steps} device={jax.devices()[0]}")
     tc0 = T.TC
+    T._TC_MEASURED = {}          # probe raw widths, not the measured table
     for tc in args.tcs:
         T.TC = tc
         t1 = loop_time(

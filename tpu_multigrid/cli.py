@@ -22,7 +22,9 @@ def _add_common(p):
     p.add_argument("--nu2", type=int, default=2)
     p.add_argument("--nu0", type=int, default=1, help="FMG cycles per level")
     p.add_argument("--omega", type=float, default=2.0 / 3.0)
-    p.add_argument("--smoother", choices=["jacobi", "rbgs", "chebyshev"],
+    p.add_argument("--smoother",
+                   choices=["jacobi", "rbgs", "chebyshev",
+                            "zebra_x", "zebra_y"],
                    default="jacobi")
     p.add_argument("--cheb-lo", type=float, default=0.4,
                    help="Chebyshev smoothing interval lower bound on D^-1 A")
@@ -66,12 +68,30 @@ def main(argv=None):
     ps = sub.add_parser("solve", help="solve -lap(u) = f (constant f=4)")
     _add_common(ps)
     ps.add_argument("--forcing", type=float, default=4.0)
+    ps.add_argument("--neumann", nargs="+", default=(),
+                    choices=["bottom", "top", "left", "right"],
+                    help="sides carrying du/dn = --neumann-value instead "
+                         "of Dirichlet")
+    ps.add_argument("--neumann-value", type=float, default=0.0)
 
     pd = sub.add_parser("diffusion", help="solve -div(a grad u) = f")
     _add_common(pd)
     pd.add_argument("--forcing", type=float, default=4.0)
     pd.add_argument("--coefficient", type=float, default=1.0,
                     help="constant coefficient (use the Python API for fields)")
+
+    p3 = sub.add_parser("solve3d",
+                        help="solve -lap(u) = f on the unit cube (7-point)")
+    _add_common(p3)
+    p3.add_argument("--forcing", type=float, default=6.0)
+
+    pa = sub.add_parser("anisotropic",
+                        help="solve -(ex u_xx + ey u_yy) = f "
+                             "(use --smoother zebra_x when ex >> ey)")
+    _add_common(pa)
+    pa.add_argument("--forcing", type=float, default=4.0)
+    pa.add_argument("--eps-x", type=float, default=1.0)
+    pa.add_argument("--eps-y", type=float, default=1.0)
 
     pb = sub.add_parser("bench", help="run the benchmark harness")
     pb.add_argument("args", nargs=argparse.REMAINDER)
@@ -95,7 +115,8 @@ def main(argv=None):
     import jax.numpy as jnp
     import numpy as np
 
-    from .api import extract_solution, solve_diffusion, solve_poisson
+    from .api import (extract_solution, solve_diffusion, solve_poisson,
+                      solve_poisson3d)
     from .config import MultigridConfig
 
     cfg = MultigridConfig(
@@ -108,11 +129,30 @@ def main(argv=None):
     t0 = time.perf_counter()
     kw = dict(config=cfg, forcing=args.forcing, tol=args.tol,
               max_cycles=args.max_cycles, num_cycles=args.cycles,
-              use_fmg=args.fmg, boundary=args.boundary)
+              use_fmg=args.fmg)
     if args.command == "solve":
-        res = solve_poisson(args.level, refined=args.refined, **kw)
+        res = solve_poisson(args.level, refined=args.refined,
+                            boundary=args.boundary,
+                            neumann=tuple(args.neumann),
+                            neumann_value=args.neumann_value, **kw)
+    elif args.command == "solve3d":
+        res = solve_poisson3d(args.level, **kw)
+    elif args.command == "anisotropic":
+        from .problems import AnisotropicPoissonProblem
+        from .cycles import fmg as _fmg, solve_fixed, solve_until_tol
+        prob = AnisotropicPoissonProblem(cfg, eps_x=args.eps_x,
+                                         eps_y=args.eps_y,
+                                         forcing=args.forcing)
+        b = prob.rhs()
+        u0 = _fmg(prob.hierarchy, cfg, b) if args.fmg else None
+        if args.cycles is not None:
+            res = solve_fixed(prob.hierarchy, cfg, b, args.cycles, u0=u0)
+        else:
+            res = solve_until_tol(prob.hierarchy, cfg, b, tol=args.tol,
+                                  max_cycles=args.max_cycles, u0=u0)
     else:
-        res = solve_diffusion(args.level, coefficient=args.coefficient, **kw)
+        res = solve_diffusion(args.level, coefficient=args.coefficient,
+                              boundary=args.boundary, **kw)
     jax.block_until_ready(res.u)
     wall = time.perf_counter() - t0
 

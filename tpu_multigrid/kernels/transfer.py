@@ -43,6 +43,22 @@ HR, HC = 16, 256
 # at 8193^2 than TC=2304 column tiles despite 22% less traffic — the 4-way
 # column split gives the double-buffered DMA pipeline finer granularity to
 # overlap.  Keep the tiled scheme for wide grids.
+#
+# Per-(kernel, size) tile widths measured on a v5e chip (r2 A/B sweeps,
+# benchmarks/bench_tc.py; same-session comparisons).  TC=2304 leaves
+# clamp-overlap redundancy at the standard grid sizes (e.g. 4x2304 covers
+# 8448 with 768 redundant columns); the measured optima below cut K1
+# 22%/9% and K2 10%/13% at 8448/16640.  Unmeasured sizes keep the TC
+# default.  "k1" = smooth_restrict-family geometry (tile + symmetric
+# halo); "k2" = prolong_smooth-family (coarse-window-driven).
+_TC_MEASURED = {
+    ("k1", 8448): 4352, ("k2", 8448): 2816,
+    ("k1", 16640): 8448, ("k2", 16640): 8448,
+}
+
+
+def _tc_for(S: int, fam: str) -> int:
+    return _TC_MEASURED.get((fam, S), TC)
 
 
 def _is_bf16(dtype) -> bool:
@@ -59,11 +75,13 @@ def _row_quanta(dtype):
     return (32, 16) if _is_bf16(dtype) else (16, 8)
 
 
-def _geom(S: int, dtype=jnp.float32):
-    """Per-axis (tile, halo) adapted to the grid size and dtype."""
+def _geom(S: int, dtype=jnp.float32, fam: str = "k1"):
+    """Per-axis (tile, halo) adapted to the grid size, dtype, and kernel
+    family (measured per-family tile widths, ``_TC_MEASURED``)."""
     hr_q = 32 if _is_bf16(dtype) else HR
+    tc_t = _tc_for(S, fam)
     tr, hr = (TR, hr_q) if S >= TR + 2 * hr_q else (S, 0)
-    tc, hc = (TC, HC) if S >= TC + 2 * HC else (S, 0)
+    tc, hc = (tc_t, HC) if S >= tc_t + 2 * HC else (S, 0)
     return tr, tc, hr, hc
 
 
@@ -319,7 +337,7 @@ def _prolong_smooth(u, b, ec, *, n, steps, smoother, omega,
     Sc = ec.shape[-1]
     dtype = u.dtype
     rq, crq = _row_quanta(dtype)
-    tr, tc, hr, hc = _geom(S, dtype)
+    tr, tc, hr, hc = _geom(S, dtype, fam="k2")
     # Coarse window: its 2x prolongation IS the fine working window.
     Wrc, Wcc = tr // 2 + hr, tc // 2 + hc          # fine window = (2Wrc, 2Wcc)
     WFr, WFc = 2 * Wrc, 2 * Wcc
@@ -600,7 +618,7 @@ def _prolong_add_only(u, ec, *, n):
     Sc = ec.shape[-1]
     dtype = u.dtype
     rq, crq = _row_quanta(dtype)
-    tr, tc, hr, hc = _geom(S, dtype)
+    tr, tc, hr, hc = _geom(S, dtype, fam="k2")
     Wrc, Wcc = tr // 2 + hr, tc // 2 + hc
     WFr, WFc = 2 * Wrc, 2 * Wcc
     nr = pl.cdiv(S, tr)
@@ -746,7 +764,7 @@ def _prolong_comp_only(ec, *, n, Sf):
     """(hi, err) = exact-pair P e_c, streamed (read e_c, write hi+err)."""
     S = Sf
     dtype = ec.dtype
-    tr, tc, hr, hc = _geom(S)
+    tr, tc, hr, hc = _geom(S, fam="k2")
     Wrc, Wcc = tr // 2 + hr, tc // 2 + hc
     WFr, WFc = 2 * Wrc, 2 * Wcc
     nr = pl.cdiv(S, tr)

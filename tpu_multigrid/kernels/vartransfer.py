@@ -219,7 +219,7 @@ def _var_prolong_smooth(u, b, ec, coef, *, n, steps, smoother, omega,
     S = u.shape[-1]
     dtype = u.dtype
     rq, crq = _row_quanta(dtype)
-    tr, tc, hr, hc = _geom(S, dtype)
+    tr, tc, hr, hc = _geom(S, dtype, fam="k2")
     Wrc, Wcc = tr // 2 + hr, tc // 2 + hc
     WFr, WFc = 2 * Wrc, 2 * Wcc
     nr = pl.cdiv(S, tr)
