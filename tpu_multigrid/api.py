@@ -124,12 +124,20 @@ def solve_poisson3d(
     rho ~0.13 vs ~0.35 for omega=2/3 Jacobi, whose weight is 2D-optimal).
     """
     if config is None:
-        config = MultigridConfig(finest_level=finest_level,
-                                 smoother="chebyshev", nu1=3, nu2=2)
+        import jax
+        config = MultigridConfig(
+            finest_level=finest_level, smoother="chebyshev", nu1=3, nu2=2,
+            # default to the streaming kernels on accelerator platforms
+            # (they are interpret-only on CPU)
+            use_pallas=jax.devices()[0].platform != "cpu")
     elif config.finest_level != finest_level:
         config = dataclasses.replace(config, finest_level=finest_level)
     from .problems import Poisson3DProblem
-    problem = Poisson3DProblem(config, forcing=forcing)
+    # Sublane/lane-aligned padded grids qualify for the Pallas streaming
+    # smoothers (kernels/stencil3d.py); lane padding costs no extra HBM
+    # (XLA pads the minor dim to the 128-lane tile internally anyway).
+    problem = Poisson3DProblem(config, forcing=forcing, align=8,
+                               min_pad_level=0, lane_align=128)
     return _run(problem, config, tol, max_cycles, num_cycles, use_fmg, jit)
 
 

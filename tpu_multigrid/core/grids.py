@@ -114,7 +114,8 @@ def coarse_dense_inverse(op, dtype=None) -> jnp.ndarray:
         shp.append(s.stop - s.start)
         m *= s.stop - s.start
     eye = jnp.eye(m, dtype=jnp.float32).reshape((m,) + tuple(shp))
-    grids = jnp.zeros((m,) + (S,) * d, jnp.float32)
+    gshape = getattr(op, "grid_shape", (S,) * d)
+    grids = jnp.zeros((m,) + tuple(gshape), jnp.float32)
     grids = grids.at[(slice(None),) + inter].set(eye)
     cols = jax.jit(jax.vmap(op.apply))(grids)[(slice(None),) + inter]
     cols = cols.reshape(m, m)
@@ -141,7 +142,8 @@ def coarse_solve(op, coarse_inv: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     shp = tuple(s.stop - s.start for s in inter)
     rhs = b[inter].reshape(-1).astype(coarse_inv.dtype)
     sol = (coarse_inv @ rhs).reshape(shp).astype(b.dtype)
-    return jnp.zeros((S,) * d, b.dtype).at[inter].set(sol)
+    gshape = getattr(op, "grid_shape", (S,) * d)
+    return jnp.zeros(tuple(gshape), b.dtype).at[inter].set(sol)
 
 
 def build_poisson_hierarchy(

@@ -69,12 +69,16 @@ class ConstStencilOp3D:
 
     ndim = 3
 
-    def __init__(self, n: int, S: int):
+    def __init__(self, n: int, S: int, Sx: int = None):
         self.n = int(n)
         self.S = int(S)
+        # Lane-axis padding may differ (multiple of 128 for the Pallas
+        # streaming kernels) — XLA pads the minor dim to the 128-lane tile
+        # internally anyway, so explicit Sx costs no extra HBM.
+        self.Sx = int(Sx) if Sx is not None else int(S)
 
     def tree_flatten(self):
-        return (), (self.n, self.S)
+        return (), (self.n, self.S, self.Sx)
 
     @classmethod
     def tree_unflatten(cls, aux, _children):
@@ -82,7 +86,7 @@ class ConstStencilOp3D:
 
     @property
     def grid_shape(self):
-        return (self.S, self.S, self.S)
+        return (self.S, self.S, self.Sx)
 
     def apply(self, u):
         from . import ops3d
@@ -101,7 +105,7 @@ class ConstStencilOp3D:
         raise ValueError(f"unknown smoother {smoother!r}")
 
     def __repr__(self):
-        return f"ConstStencilOp3D(n={self.n}, S={self.S})"
+        return f"ConstStencilOp3D(n={self.n}, S={self.S}, Sx={self.Sx})"
 
 
 def _shift(u, di, dj):

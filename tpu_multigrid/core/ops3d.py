@@ -34,17 +34,25 @@ import jax.numpy as jnp
 # Masks
 # ---------------------------------------------------------------------------
 
-def interior_mask3(S: int, n: int) -> jnp.ndarray:
-    i = jax.lax.broadcasted_iota(jnp.int32, (S, S, S), 0)
-    j = jax.lax.broadcasted_iota(jnp.int32, (S, S, S), 1)
-    k = jax.lax.broadcasted_iota(jnp.int32, (S, S, S), 2)
+def _shape3(S) -> tuple:
+    """Cubic int or (Sz, Sy, Sx) tuple -> 3-tuple.  Grids may be padded
+    per-axis (lane dim to 128, sublane to 8 for the Pallas kernels —
+    ``kernels/stencil3d.py``); padding is zero/masked like 2D."""
+    return (S, S, S) if isinstance(S, int) else tuple(S)
+
+
+def interior_mask3(S, n: int) -> jnp.ndarray:
+    shape = _shape3(S)
+    i = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    k = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
     lo, hi = 1, n - 1
     return ((i >= lo) & (i <= hi) & (j >= lo) & (j <= hi)
             & (k >= lo) & (k <= hi))
 
 
 def mask_interior3(u: jnp.ndarray, n: int) -> jnp.ndarray:
-    m = interior_mask3(u.shape[-1], n)
+    m = interior_mask3(u.shape[-3:], n)
     return jnp.where(m, u, jnp.zeros((), u.dtype))
 
 
@@ -73,7 +81,7 @@ def jacobi_sweeps3(u, b, n: int, omega, sweeps: int) -> jnp.ndarray:
     """Weighted Jacobi, D = 6I; ``omega`` float or per-sweep tuple."""
     if sweeps <= 0:
         return u
-    m = interior_mask3(u.shape[-1], n)
+    m = interior_mask3(u.shape[-3:], n)
     sixth = 1.0 / 6.0
 
     if isinstance(omega, tuple):
@@ -99,11 +107,11 @@ def redblack_gs_sweeps3(u, b, n: int, sweeps: int) -> jnp.ndarray:
     """Red-black Gauss-Seidel, 3D checkerboard coloring."""
     if sweeps <= 0:
         return u
-    S = u.shape[-1]
-    i = jax.lax.broadcasted_iota(jnp.int32, (S, S, S), 0)
-    j = jax.lax.broadcasted_iota(jnp.int32, (S, S, S), 1)
-    k = jax.lax.broadcasted_iota(jnp.int32, (S, S, S), 2)
-    inter = interior_mask3(S, n)
+    shape = u.shape[-3:]
+    i = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    k = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
+    inter = interior_mask3(shape, n)
     parity = (i + j + k) % 2
     sixth = jnp.asarray(1.0 / 6.0, u.dtype)
 
@@ -123,37 +131,47 @@ def redblack_gs_sweeps3(u, b, n: int, sweeps: int) -> jnp.ndarray:
 # Inter-grid transfers
 # ---------------------------------------------------------------------------
 
-def _conv3d(x: jnp.ndarray, w: jnp.ndarray, *, stride=1):
-    xb = x[None, None]
-    out = jax.lax.conv_general_dilated(
-        xb, w[None, None].astype(x.dtype),
-        window_strides=(stride,) * 3,
-        padding=((1, 1),) * 3,
-        preferred_element_type=(x.dtype if x.dtype != jnp.bfloat16
-                                else jnp.float32),
-        # f32 convs route through bf16 MXU passes by default on TPU
-        # (core.ops._conv2d note); HIGHEST keeps the accuracy path exact.
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    return out[0, 0].astype(x.dtype)
+def _blur_decimate(t: jnp.ndarray, ax: int) -> jnp.ndarray:
+    """[0.5, 1, 0.5] blur along ``ax`` then keep even indices.
+
+    Decimation is a parity reshape (``(m, 2, ...)[:, 0]``), never a strided
+    slice — XLA:TPU lowers stride-2 lane slices pathologically (the conv
+    formulation of this restriction measured 134 ms at 257^3 on v5e vs
+    ~1 ms for this path).  The lane axis routes through a transpose pair
+    like :func:`prolong3`.  Roll wrap-around only ever reads masked-zero
+    padding (inputs are masked residuals).
+    """
+    half = jnp.asarray(0.5, t.dtype)
+    t = t + half * (jnp.roll(t, 1, ax) + jnp.roll(t, -1, ax))
+    if ax == 2:
+        tt = t.transpose(2, 0, 1)
+        m = tt.shape[0] // 2
+        out = tt[: 2 * m].reshape(m, 2, tt.shape[1], tt.shape[2])[:, 0]
+        return out.transpose(1, 2, 0)
+    m = t.shape[ax] // 2
+    if ax == 0:
+        return t[: 2 * m].reshape(m, 2, t.shape[1], t.shape[2])[:, 0]
+    return t[:, : 2 * m].reshape(t.shape[0], m, 2, t.shape[2])[:, :, 0]
 
 
-def _fw3_kernel(dtype=jnp.float32) -> jnp.ndarray:
-    w1 = jnp.asarray([0.5, 1.0, 0.5], dtype)
-    w = w1[:, None, None] * w1[None, :, None] * w1[None, None, :]
-    return w * 0.5  # R = P^T / 2 (see module docstring)
+def restrict_fw3(rf: jnp.ndarray, nf: int, Sc) -> jnp.ndarray:
+    """Full-weighting restriction R = P^T/2, fine -> coarse padded grid.
 
-
-def restrict_fw3(rf: jnp.ndarray, nf: int, Sc: int) -> jnp.ndarray:
-    """Full-weighting restriction R = P^T/2, fine (Sf,)^3 -> coarse (Sc,)^3."""
+    Separable: per-axis [0.5, 1, 0.5] blur + even-index decimation (volume
+    halves each axis, so the whole restriction costs ~2 fine-grid passes),
+    scaled by the 0.5 FD-consistency factor (module docstring).
+    """
     nc = nf // 2
-    coarse = _conv3d(rf, _fw3_kernel(), stride=2)
-    side = coarse.shape[-1]
-    if side >= Sc:
-        coarse = coarse[:Sc, :Sc, :Sc]
-    else:
-        pad = Sc - side
-        coarse = jnp.pad(coarse, [(0, pad)] * 3)
+    shc = _shape3(Sc)
+    t = rf
+    for ax in (0, 1, 2):
+        t = _blur_decimate(t, ax)
+    coarse = jnp.asarray(0.5, rf.dtype) * t
+    coarse = coarse[tuple(slice(0, min(coarse.shape[ax], shc[ax]))
+                          for ax in range(3))]
+    pad = [(0, shc[ax] - coarse.shape[ax]) for ax in range(3)]
+    if any(p != (0, 0) for p in pad):
+        coarse = jnp.pad(coarse, pad)
     return mask_interior3(coarse, nc)
 
 
@@ -180,10 +198,10 @@ def prolong3(ec: jnp.ndarray, nc: int, Sf: int) -> jnp.ndarray:
     129^3, ~60x the streaming cost), while major-axis stack+reshape
     interleaves and a transpose pair stay bandwidth-bound.
     """
-    Sc = ec.shape[-1]
     nf = 2 * nc
-    m = min(Sc, (Sf + 1) // 2)
-    e = ec[:m, :m, :m]
+    shf = _shape3(Sf)
+    m = tuple(min(ec.shape[ax], (shf[ax] + 1) // 2) for ax in range(3))
+    e = ec[tuple(slice(0, m[ax]) for ax in range(3))]
 
     def phase(pi, pj, pk):
         v = e
@@ -204,14 +222,13 @@ def prolong3(ec: jnp.ndarray, nc: int, Sf: int) -> jnp.ndarray:
     for pk in (0, 1):
         t0 = _interleave_axis(phase(0, 0, pk), phase(1, 0, pk), 0)
         t1 = _interleave_axis(phase(0, 1, pk), phase(1, 1, pk), 0)
-        s.append(_interleave_axis(t0, t1, 1))          # (2m, 2m, m)
+        s.append(_interleave_axis(t0, t1, 1))        # (2m0, 2m1, m2)
     # x (lane axis): transpose x to the front, interleave, transpose back.
     f = _interleave_axis(s[0].transpose(2, 0, 1), s[1].transpose(2, 0, 1),
-                         0).transpose(1, 2, 0)          # (2m, 2m, 2m)
+                         0).transpose(1, 2, 0)        # (2m0, 2m1, 2m2)
 
-    side = 2 * m
-    if side >= Sf:
-        f = f[:Sf, :Sf, :Sf]
-    else:
-        f = jnp.pad(f, [(0, Sf - side)] * 3)
+    f = f[tuple(slice(0, min(2 * m[ax], shf[ax])) for ax in range(3))]
+    pad = [(0, shf[ax] - f.shape[ax]) for ax in range(3)]
+    if any(p != (0, 0) for p in pad):
+        f = jnp.pad(f, pad)
     return mask_interior3(f, nf)

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from ..config import MultigridConfig
 from ..core import ops
 from ..core.grids import Hierarchy, coarse_solve
-from ..core.operators import ConstStencilOp, VarStencilOp
+from ..core.operators import ConstStencilOp, ConstStencilOp3D, VarStencilOp
 
 
 # ---------------------------------------------------------------------------
@@ -87,6 +87,14 @@ def _smooth_raw(op, u, b, cfg: MultigridConfig, sweeps: int):
                 return _k.jacobi_sweeps(u, b, op.n, omega, sweeps)
             if smoother == "rbgs":
                 return _k.rbgs_sweeps(u, b, op.n, sweeps)
+    if cfg.use_pallas and isinstance(op, ConstStencilOp3D):
+        from ..kernels import stencil3d as _k3
+        steps = 2 * sweeps if smoother == "rbgs" else sweeps
+        if _k3.supported3(op.grid_shape, u.dtype, steps):
+            if smoother == "jacobi":
+                return _k3.jacobi_sweeps3(u, b, op.n, omega, sweeps)
+            if smoother == "rbgs":
+                return _k3.rbgs_sweeps3(u, b, op.n, sweeps)
     if _var_kernel_ok(op, cfg, u.dtype, sweeps):
         from ..kernels import varstencil as _v
         return _v.var_smooth(u, b, _v._flat_coef(op), op.n, sweeps,
@@ -99,6 +107,10 @@ def _residual(op, u, b, cfg: MultigridConfig):
         from ..kernels import stencil as _k
         if _k.supported(op.S, u.dtype, 1):
             return _k.residual(u, b, op.n)
+    if cfg.use_pallas and isinstance(op, ConstStencilOp3D):
+        from ..kernels import stencil3d as _k3
+        if _k3.supported3(op.grid_shape, u.dtype, 1):
+            return _k3.residual3(u, b, op.n)
     return op.residual(u, b)
 
 
@@ -119,6 +131,16 @@ def _smooth_residual(op, u, b, cfg: MultigridConfig, sweeps: int):
                 return _k.jacobi_sweeps_residual(u, b, op.n, omega, sweeps)
             if smoother == "rbgs":
                 return _k.rbgs_sweeps_residual(u, b, op.n, sweeps)
+    if (cfg.use_pallas and isinstance(op, ConstStencilOp3D) and sweeps > 0
+            and cfg.effective_smooth_dtype == u.dtype):
+        from ..kernels import stencil3d as _k3
+        steps = (2 * sweeps if smoother == "rbgs" else sweeps) + 1
+        if _k3.supported3(op.grid_shape, u.dtype, steps):
+            if smoother == "jacobi":
+                return _k3.jacobi_sweeps_residual3(u, b, op.n, omega,
+                                                   sweeps)
+            if smoother == "rbgs":
+                return _k3.rbgs_sweeps_residual3(u, b, op.n, sweeps)
     if _var_kernel_ok(op, cfg, u.dtype, sweeps):
         from ..kernels import varstencil as _v
         return _v.var_smooth_residual(u, b, _v._flat_coef(op), op.n, sweeps,
@@ -153,6 +175,11 @@ def _transfer_kernels_ok(Sf, Sc, cfg: MultigridConfig, dtype) -> bool:
 def _zeros(op, dtype):
     """Zero grid matching the operator's dimensionality (2D default)."""
     return jnp.zeros(getattr(op, "grid_shape", (op.S, op.S)), dtype)
+
+
+def _tshape(op):
+    """Transfer-target size argument: per-axis shape for 3D, S for 2D."""
+    return op.grid_shape if getattr(op, "ndim", 2) == 3 else op.S
 
 
 def _restrict(r, nf, Sc, cfg: MultigridConfig, ndim: int = 2, box=None):
@@ -280,7 +307,7 @@ def cycle(hier: Hierarchy, cfg: MultigridConfig, u, b, k: int = 0):
         u, rc = _fused_k1v(op, opc, cfg, u, b)
     else:
         u, r = _smooth_residual(op, u, b, cfg, cfg.nu1)
-        rc = _restrict(r, op.n, opc.S, cfg, getattr(op, "ndim", 2),
+        rc = _restrict(r, op.n, _tshape(opc), cfg, getattr(op, "ndim", 2),
                        box=getattr(opc, "box", None))
     ec = _zeros(opc, u.dtype)
     if cfg.cycle == "V":
@@ -296,7 +323,8 @@ def cycle(hier: Hierarchy, cfg: MultigridConfig, u, b, k: int = 0):
     elif fusedv:
         u = _fused_k2v(op, cfg, u, b, ec)
     else:
-        u = _prolong_add(u, ec, opc.n, op.S, cfg, getattr(op, "ndim", 2),
+        u = _prolong_add(u, ec, opc.n, _tshape(op), cfg,
+                         getattr(op, "ndim", 2),
                          box=getattr(op, "box", None))
         u = _smooth(op, u, b, cfg, cfg.nu2)
     return u
@@ -358,7 +386,8 @@ def fmg_rhs_hierarchy(hier: Hierarchy, cfg: MultigridConfig, b_fine,
         return list(b_levels)
     bs = [b_fine]
     for k in range(hier.num_levels - 1):
-        bs.append(_restrict(bs[-1], hier.levels[k].n, hier.levels[k + 1].S,
+        bs.append(_restrict(bs[-1], hier.levels[k].n,
+                            _tshape(hier.levels[k + 1]),
                             cfg, getattr(hier.levels[k], "ndim", 2),
                             box=getattr(hier.levels[k + 1], "box", None)))
     return bs
@@ -383,7 +412,8 @@ def fmg(hier: Hierarchy, cfg: MultigridConfig, b_fine,
         # kernel (as 0 + P u) when available — the jnp strided scatter is
         # ~400 ms per 8193^2 level on TPU.
         zero = _zeros(hier.levels[k], u.dtype)
-        u = _prolong_add(zero, u, hier.levels[k + 1].n, hier.levels[k].S,
+        u = _prolong_add(zero, u, hier.levels[k + 1].n,
+                         _tshape(hier.levels[k]),
                          cfg, getattr(hier.levels[k], "ndim", 2),
                          box=getattr(hier.levels[k], "box", None))
         for _ in range(cfg.nu0):

@@ -20,37 +20,55 @@ from ..core.grids import Hierarchy, coarse_dense_inverse, level_sizes
 from ..core.operators import ConstStencilOp3D
 
 
-def node_coordinates3(n: int, S: int, dtype=jnp.float32):
+def node_coordinates3(n: int, S, dtype=jnp.float32):
+    """Node coordinates on a padded (Sz, Sy, Sx) grid (cubic if S is int)."""
+    shape = ops3d._shape3(S)
     h = 1.0 / n
-    idx = jnp.arange(S, dtype=dtype) * h
-    x = jnp.broadcast_to(idx[None, None, :], (S, S, S))
-    y = jnp.broadcast_to(idx[None, :, None], (S, S, S))
-    z = jnp.broadcast_to(idx[:, None, None], (S, S, S))
+
+    def ax(sz):
+        return jnp.arange(sz, dtype=dtype) * h
+
+    x = jnp.broadcast_to(ax(shape[2])[None, None, :], shape)
+    y = jnp.broadcast_to(ax(shape[1])[None, :, None], shape)
+    z = jnp.broadcast_to(ax(shape[0])[:, None, None], shape)
     return x, y, z
 
 
-def poisson3d_rhs(n: int, S: int, f: Union[float, Callable] = 6.0,
+def poisson3d_rhs(n: int, S, f: Union[float, Callable] = 6.0,
                   dtype=jnp.float32) -> jnp.ndarray:
-    """(S, S, S) padded RHS grid: b = f(x, y, z) * h² on the interior.
+    """Padded RHS grid: b = f(x, y, z) * h² on the interior.
 
     Default constant forcing 6.0 mirrors the 2D module's f = 4 (the
     reference's constant, ``Poissons_SYCL.cpp:121``, scaled to make the
     dimension-count the natural constant); ``f`` may also be a callable
     f(x, y, z) evaluated at the nodes (manufactured-solution tests).
     """
+    shape = ops3d._shape3(S)
     h2 = (1.0 / n) ** 2
     if callable(f):
-        x, y, z = node_coordinates3(n, S, dtype)
+        x, y, z = node_coordinates3(n, shape, dtype)
         vals = f(x, y, z).astype(dtype) * h2
     else:
-        vals = jnp.full((S, S, S), float(f) * h2, dtype)
+        vals = jnp.full(shape, float(f) * h2, dtype)
     return ops3d.mask_interior3(vals, n)
 
 
 def build_poisson3d_hierarchy(config: MultigridConfig, *, align: int = 1,
-                              min_pad_level: int = 99) -> Hierarchy:
+                              min_pad_level: int = 0,
+                              lane_align: int = 1) -> Hierarchy:
+    """3D hierarchy; ``lane_align`` pads the minor (x) axis independently.
+
+    The Pallas streaming smoothers (``kernels/stencil3d.py``) need the
+    sublane sides (z, y) 8-aligned and the lane side 128-aligned; XLA pads
+    lanes to the 128 tile internally anyway, so ``lane_align=128`` costs no
+    extra HBM over ``align=8`` cubic grids.
+    """
     sizes = level_sizes(config, align=align, min_pad_level=min_pad_level)
-    levels = tuple(ConstStencilOp3D(n, S) for n, S in sizes)
+    rup = lambda v, q: (v + q - 1) // q * q
+    levels = tuple(
+        ConstStencilOp3D(n, S, rup(n + 1, lane_align) if lane_align > 1
+                         else S)
+        for n, S in sizes)
     coarse_inv = None
     if config.coarse_solver == "direct":
         coarse_inv = coarse_dense_inverse(levels[-1])
@@ -65,10 +83,12 @@ class Poisson3DProblem:
     forcing: Union[float, Callable] = 6.0
     align: int = 1
     min_pad_level: int = 99
+    lane_align: int = 1
 
     def __post_init__(self):
         self.hierarchy: Hierarchy = build_poisson3d_hierarchy(
-            self.config, align=self.align, min_pad_level=self.min_pad_level)
+            self.config, align=self.align,
+            min_pad_level=self.min_pad_level, lane_align=self.lane_align)
 
     @property
     def finest(self):
@@ -77,7 +97,7 @@ class Poisson3DProblem:
     def rhs(self, level_index: int = 0, dtype=None) -> jnp.ndarray:
         op = self.hierarchy.levels[level_index]
         dt = dtype if dtype is not None else self.config.dtype
-        return poisson3d_rhs(op.n, op.S, self.forcing, dt)
+        return poisson3d_rhs(op.n, op.grid_shape, self.forcing, dt)
 
     def rhs_all_levels(self, dtype=None):
         return [self.rhs(k, dtype) for k in range(self.hierarchy.num_levels)]
