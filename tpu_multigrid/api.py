@@ -134,9 +134,10 @@ def solve_poisson3d(
         config = dataclasses.replace(config, finest_level=finest_level)
     from .problems import Poisson3DProblem
     # Sublane/lane-aligned padded grids qualify for the Pallas streaming
-    # smoothers (kernels/stencil3d.py); lane padding costs no extra HBM
-    # (XLA pads the minor dim to the 128-lane tile internally anyway).
-    problem = Poisson3DProblem(config, forcing=forcing, align=8,
+    # kernels (align 16: the K1₃/K2₃ super-kernels need coarse-side y
+    # offsets 8-aligned, kernels/transfer3d.py); lane padding costs no
+    # extra HBM (XLA pads the minor dim to the 128-lane tile anyway).
+    problem = Poisson3DProblem(config, forcing=forcing, align=16,
                                min_pad_level=0, lane_align=128)
     return _run(problem, config, tol, max_cycles, num_cycles, use_fmg, jit)
 

@@ -89,6 +89,26 @@ def coarse_dense_inverse(op, dtype=None) -> jnp.ndarray:
     n, S = op.n, op.S
     box = getattr(op, "box", None)
     coef = getattr(op, "coef", None)
+    if (getattr(op, "ndim", 2) == 3 and coef is None and box is None):
+        # Closed-form 7-point assembly (h-independent: diag 6, off -1) —
+        # probing a 3D operator with unit grids would ship ~(n-1)^3 whole
+        # cubes through the device (OOM at n >= 16 on the tunnel).
+        m1 = n - 1
+        m = m1 ** 3
+        idx = np.arange(m).reshape(m1, m1, m1)
+        a = np.zeros((m, m))
+        a[np.arange(m), np.arange(m)] = 6.0
+        for ax in range(3):
+            lo = [slice(None)] * 3
+            hi = [slice(None)] * 3
+            lo[ax] = slice(0, -1)
+            hi[ax] = slice(1, None)
+            rows = idx[tuple(lo)].ravel()
+            cols = idx[tuple(hi)].ravel()
+            a[rows, cols] -= 1.0
+            a[cols, rows] -= 1.0
+        inv = np.linalg.inv(a)
+        return jnp.asarray(inv, dtype if dtype is not None else jnp.float32)
     if coef is not None and isinstance(coef, np.ndarray):
         bi0, bi1, bj0, bj1 = box if box is not None else (1, n - 1, 1, n - 1)
         ri, rj = bi1 - bi0 + 1, bj1 - bj0 + 1

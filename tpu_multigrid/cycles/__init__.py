@@ -283,6 +283,39 @@ def _fused_k2(op, cfg: MultigridConfig, u, b, ec, *, resnorm=False):
     return _t.prolong_smooth(u, b, ec, op.n, cfg.nu2, smoother, omega)
 
 
+def _use_super_kernels3(op, opc, cfg: MultigridConfig, dtype) -> bool:
+    """Whether the fused 3D super-kernels (K1₃/K2₃) apply at this level."""
+    if not (cfg.use_pallas and isinstance(op, ConstStencilOp3D)
+            and isinstance(opc, ConstStencilOp3D)):
+        return False
+    if cfg.smoother not in ("jacobi", "rbgs", "chebyshev"):
+        return False
+    if cfg.effective_smooth_dtype != dtype:
+        return False
+    if cfg.restriction != "fw" or cfg.prolongation != "bilinear":
+        return False
+    from ..kernels import transfer3d as _t3
+    mult = 2 if cfg.smoother == "rbgs" else 1
+    steps = mult * max(cfg.nu1, cfg.nu2)
+    return _t3.supported3(op.grid_shape, opc.grid_shape, steps, dtype)
+
+
+def _fused_k1_3d(op, opc, cfg: MultigridConfig, u, b):
+    from ..kernels import transfer3d as _t3
+    smoother, omega = _sm(cfg, cfg.nu1)
+    return _t3.smooth_restrict3(u, b, op.n, opc.grid_shape, cfg.nu1,
+                                smoother, omega)
+
+
+def _fused_k2_3d(op, cfg: MultigridConfig, u, b, ec, *, resnorm=False):
+    from ..kernels import transfer3d as _t3
+    smoother, omega = _sm(cfg, cfg.nu2)
+    if resnorm:
+        return _t3.prolong_smooth_resnorm3(u, b, ec, op.n, cfg.nu2,
+                                           smoother, omega)
+    return _t3.prolong_smooth3(u, b, ec, op.n, cfg.nu2, smoother, omega)
+
+
 def cycle(hier: Hierarchy, cfg: MultigridConfig, u, b, k: int = 0):
     """One multigrid cycle (V, W, or F per ``cfg.cycle``) at level index k.
 
@@ -301,10 +334,14 @@ def cycle(hier: Hierarchy, cfg: MultigridConfig, u, b, k: int = 0):
     opc = hier.levels[k + 1]
     fused = _use_super_kernels(op, opc, cfg, u.dtype)
     fusedv = (not fused) and _use_var_super_kernels(op, opc, cfg, u.dtype)
+    fused3 = (not (fused or fusedv)) and _use_super_kernels3(op, opc, cfg,
+                                                            u.dtype)
     if fused:
         u, rc = _fused_k1(op, opc, cfg, u, b)
     elif fusedv:
         u, rc = _fused_k1v(op, opc, cfg, u, b)
+    elif fused3:
+        u, rc = _fused_k1_3d(op, opc, cfg, u, b)
     else:
         u, r = _smooth_residual(op, u, b, cfg, cfg.nu1)
         rc = _restrict(r, op.n, _tshape(opc), cfg, getattr(op, "ndim", 2),
@@ -322,6 +359,8 @@ def cycle(hier: Hierarchy, cfg: MultigridConfig, u, b, k: int = 0):
         u = _fused_k2(op, cfg, u, b, ec)
     elif fusedv:
         u = _fused_k2v(op, cfg, u, b, ec)
+    elif fused3:
+        u = _fused_k2_3d(op, cfg, u, b, ec)
     else:
         u = _prolong_add(u, ec, opc.n, _tshape(op), cfg,
                          getattr(op, "ndim", 2),
@@ -349,11 +388,15 @@ def cycle_with_norm(hier: Hierarchy, cfg: MultigridConfig, u, b):
     opc = hier.levels[1]
     fused = _use_super_kernels(op, opc, cfg, u.dtype)
     fusedv = (not fused) and _use_var_super_kernels(op, opc, cfg, u.dtype)
-    if fused or fusedv:
+    fused3 = (not (fused or fusedv)) and _use_super_kernels3(op, opc, cfg,
+                                                            u.dtype)
+    if fused or fusedv or fused3:
         if fused:
             u, rc = _fused_k1(op, opc, cfg, u, b)
-        else:
+        elif fusedv:
             u, rc = _fused_k1v(op, opc, cfg, u, b)
+        else:
+            u, rc = _fused_k1_3d(op, opc, cfg, u, b)
         ec = _zeros(opc, u.dtype)
         ec = cycle(hier, cfg, ec, rc, 1)
         if cfg.cycle == "W":
@@ -362,7 +405,9 @@ def cycle_with_norm(hier: Hierarchy, cfg: MultigridConfig, u, b):
             ec = _vcycle_only(hier, cfg, ec, rc, 1)
         if fused:
             return _fused_k2(op, cfg, u, b, ec, resnorm=True)
-        return _fused_k2v(op, cfg, u, b, ec, resnorm=True)
+        if fusedv:
+            return _fused_k2v(op, cfg, u, b, ec, resnorm=True)
+        return _fused_k2_3d(op, cfg, u, b, ec, resnorm=True)
     u = cycle(hier, cfg, u, b)
     return u, ops.norm2(_residual(op, u, b, cfg))
 

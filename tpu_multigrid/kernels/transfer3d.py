@@ -1,0 +1,600 @@
+"""Fused 3D V-cycle super-kernels: smooth+residual+restrict (K1₃) and
+prolong+correct+smooth (K2₃).
+
+The 3D lift of ``kernels/transfer.py``: a V-cycle level visit becomes two
+kernel launches totalling ~6.5 HBM passes of the fine cube instead of ~12
+for the separate stencil3d smoothers + XLA transfers (and the XLA
+trilinear prolongation alone costs ~2.6 ms at 257³ — here it never leaves
+VMEM).
+
+Geometry (two-axis (z, y) tiling over non-cubic ``(Sz, Sy, Sx)`` grids,
+``kernels/stencil3d.py``):
+
+* x (lane) is never tiled; fine ``Sx % 128 == 0``, coarse ``Scx`` likewise.
+  The decimated x extent ``Sx // 2`` is lane-padded up to ``Scx`` in VMEM
+  before the coarse write, so coarse DMAs always cover full rows.
+* z is untiled in HBM — offsets are free; parity of window origins is kept
+  even (``TZ``, ``HZ`` even) so the restrict/prolong parity reshapes are
+  static.
+* y slices must be sublane-aligned *on both grids*: fine tile ``TY`` and
+  grid ``Sy`` are multiples of 16 and the y halo is 16, making every
+  coarse-side offset (``y/2``) a multiple of 8.
+
+In-kernel transfer machinery (Mosaic supplies no strided vector ops):
+restriction is the separable [½,1,½] blur (six rolls on the fused-row
+view) + per-axis parity decimation — leading-axis reshapes for z/y, the
+transpose+row trick for x (``transfer._row_deinterleave``); prolongation
+is eight roll-averaged parity phases merged by stack+reshape interleaves
+(z, y) and the transpose trick (x), the in-VMEM form of
+``core.ops3d.prolong3``.
+
+Reference: the strictly-2D V-cycle level visit at
+``Poissons_SYCL.cpp:575-627``; see SURVEY.md §3.4 for the cost model.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .stencil import _roll
+from .stencil3d import (WINDOW_BYTES, _jacobi_step3, _rbgs_step3,
+                        _residual_of3, _round_up, _row_bytes)
+from .transfer import _row_deinterleave, _row_interleave
+
+
+def _step_fn3(smoother, omega, wy):
+    if smoother == "jacobi":
+        return _jacobi_step3(omega if isinstance(omega, tuple)
+                             else float(omega), wy)
+    elif smoother == "rbgs":
+        return _rbgs_step3(wy)
+    raise ValueError(smoother)
+
+
+def _masks3(z0, y0, WZ, WY, Sx, n):
+    """(interior, parity) over the fused (WZ*WY, Sx) window view."""
+    fr = jax.lax.broadcasted_iota(jnp.int32, (WZ * WY, Sx), 0)
+    gz = z0 + fr // WY
+    gy = y0 + fr % WY
+    gx = jax.lax.broadcasted_iota(jnp.int32, (WZ * WY, Sx), 1)
+    interior = ((gz >= 1) & (gz <= n - 1) & (gy >= 1) & (gy <= n - 1)
+                & (gx >= 1) & (gx <= n - 1))
+    return interior, (gz + gy + gx) % 2
+
+
+# ---------------------------------------------------------------------------
+# K1₃ geometry
+# ---------------------------------------------------------------------------
+
+def _tiles_k1(shape, H: int, dtype):
+    """(TZ, HZ, TY, HY) for K1₃, or None.
+
+    Quanta: TZ/HZ even (static decimation parity), TY multiple of 16 with
+    HY = 16 (coarse y offsets stay 8-aligned).  Balanced two-axis halos
+    under the WINDOW_BYTES budget, with whole-axis fallbacks.
+    """
+    Sz, Sy, Sx = shape
+    rb = _row_bytes(Sx, dtype)
+    rows = WINDOW_BYTES // rb
+    HZ = _round_up(H, 2)
+    HY = 16
+    if rows >= Sz * Sy:
+        return Sz, 0, Sy, 0
+    if rows >= Sy * (2 * HZ + 2):          # full-y z-slabs
+        tz_full = min((rows // Sy - 2 * HZ) // 2 * 2, Sz - 2 * HZ, Sz)
+        red_full = (tz_full + 2 * HZ) / tz_full if tz_full >= 2 \
+            else float("inf")
+    else:
+        tz_full, red_full = 0, float("inf")
+    import math
+    a = HZ / HY
+    disc = (2 * HY * a + 2 * HZ) ** 2 + 4 * a * rows
+    ty = int((-(2 * HY * a + 2 * HZ) + math.sqrt(disc)) / (2 * a))
+    ty = min(_round_up(ty, 16) - 16, Sy - 2 * HY)
+    ty = ty // 16 * 16
+    if ty >= 16:
+        tz = min((rows // (ty + 2 * HY) - 2 * HZ) // 2 * 2, Sz - 2 * HZ)
+        red_two = ((tz + 2 * HZ) * (ty + 2 * HY)) / (tz * ty) \
+            if tz >= 2 else float("inf")
+    else:
+        tz, red_two = 0, float("inf")
+    if red_full <= red_two:
+        if tz_full < 2:
+            return None
+        return tz_full, (HZ if tz_full < Sz else 0), Sy, 0
+    if tz < 2:
+        return None
+    return tz, HZ, ty, HY
+
+
+def supported3(shape, shape_c, steps: int, dtype) -> bool:
+    """Whether K1₃/K2₃ apply for a fine/coarse level pair.
+
+    ``steps`` is the larger of the two smoothing step counts.
+    """
+    if isinstance(shape, int):
+        shape = (shape, shape, shape)
+    if isinstance(shape_c, int):
+        shape_c = (shape_c, shape_c, shape_c)
+    Sz, Sy, Sx = shape
+    Szc, Syc, Scx = shape_c
+    if jnp.dtype(dtype) != jnp.dtype(jnp.float32):
+        return False
+    if Sx % 128 or Scx % 128 or Sx < 256:
+        return False
+    if Sy % 16 or Syc % 8 or Sz % 2:
+        return False
+    if steps + 2 > 16:                      # y halo bound
+        return False
+    # coarse array must cover the decimated/required extents
+    if 2 * Szc < Sz or 2 * Syc < Sy or 2 * Scx < Sx:
+        return False
+    if _tiles_k1(shape, steps + 2, dtype) is None:
+        return False
+    if _tiles_k2(shape, steps + 1, dtype) is None:
+        return False
+    return True
+
+
+# ---------------------------------------------------------------------------
+# In-VMEM restriction: blur (fused view) + parity decimation
+# ---------------------------------------------------------------------------
+
+def _blur3(r, WY: int):
+    """Separable [0.5, 1, 0.5]³ blur on the fused (WZ*WY, Sx) view."""
+    R, C = r.shape
+    t = r + 0.5 * (_roll(r, 1, 1) + _roll(r, C - 1, 1))           # x
+    t = t + 0.5 * (_roll(t, 1, 0) + _roll(t, R - 1, 0))           # y
+    t = t + 0.5 * (_roll(t, WY % R, 0) + _roll(t, (R - WY) % R, 0))  # z
+    return t
+
+
+def _decimate3(t, WZ: int, WY: int):
+    """Even-index decimation per axis: (WZ*WY, Sx) -> (WZ/2 * WY/2, Sx/2).
+
+    Window origins are even on every axis, so "even global" == "even
+    local".  y first (fused-row deinterleave), then z (leading-axis
+    reshape), then x (transpose + row trick).
+    """
+    R, C = t.shape
+    t = _row_deinterleave(t)                        # y: (WZ*WY/2, C)
+    t = t.reshape(WZ // 2, 2, WY // 2, C)[:, 0]     # z: even planes
+    t = t.reshape(WZ // 2 * (WY // 2), C)
+    return _row_deinterleave(t.T).T                 # x: (.., C/2)
+
+
+def _prolong3_vmem(c, Wzc: int, Wyc: int):
+    """Trilinear prolongation on VMEM values: coarse (Wzc*Wyc, Cc) fused
+    view -> fine (2Wzc * 2Wyc, 2Cc) fused view (plane stride 2*Wyc).
+
+    Roll-averaged parity phases (wrap garbage lands outside the valid
+    region; the caller's masks zero it), merged by interleaves.
+    """
+    R, Cc = c.shape
+
+    def avg(v, ax, shift):
+        return 0.5 * (v + _roll(v, shift, ax))
+
+    # phase[pz][py][px] on the coarse window, fused view
+    ph = {}
+    for pz in (0, 1):
+        vz = c if pz == 0 else avg(c, 0, (R - Wyc) % R)      # z+1 = +Wyc rows
+        for py in (0, 1):
+            vy = vz if py == 0 else avg(vz, 0, R - 1)        # y+1 = +1 row
+            for px in (0, 1):
+                ph[(pz, py, px)] = vy if px == 0 else avg(vy, 1, Cc - 1)
+
+    out_px = []
+    for px in (0, 1):
+        # y-interleave within each z phase, then z-interleave
+        e = _row_interleave(ph[(0, 0, px)], ph[(0, 1, px)])  # (Wzc*2Wyc, Cc)
+        o = _row_interleave(ph[(1, 0, px)], ph[(1, 1, px)])
+        st = jnp.stack([e.reshape(Wzc, 2 * Wyc, Cc),
+                        o.reshape(Wzc, 2 * Wyc, Cc)], axis=1)
+        out_px.append(st.reshape(2 * Wzc * 2 * Wyc, Cc))
+    # x-interleave via transpose + row interleave + transpose
+    return _row_interleave(out_px[0].T, out_px[1].T).T
+
+
+# ---------------------------------------------------------------------------
+# K1₃: pre-smooth + residual + full-weighting restrict
+# ---------------------------------------------------------------------------
+
+def _smooth_restrict3(u, b, *, n, shape_c, steps, smoother, omega):
+    """Returns (u', rc): u after ``steps`` smoothing steps and the
+    restricted residual on the coarse grid.  ~3.3 HBM passes of the cube.
+    """
+    Sz, Sy, Sx = u.shape
+    Szc, Syc, Scx = shape_c
+    dtype = u.dtype
+    H = steps + 2                            # +1 residual ring, +1 blur ring
+    TZ, HZ, TY, HY = _tiles_k1(u.shape, H, dtype)
+    WZ, WY = TZ + 2 * HZ, TY + 2 * HY
+    ntz = pl.cdiv(Sz, TZ)
+    nty = pl.cdiv(Sy, TY)
+    nt = ntz * nty
+    nc = n // 2
+    Cx2 = Sx // 2
+
+    def kernel(u_hbm, b_hbm, out_u, out_rc, u_buf, b_buf, rc_buf,
+               in_sem, out_sem):
+        def coords(t):
+            tz = t // nty
+            ty = t % nty
+            z0 = jnp.clip(tz * TZ - HZ, 0, Sz - WZ)
+            y0 = pl.multiple_of(jnp.clip(ty * TY - HY, 0, Sy - WY), 16)
+            zo = jnp.clip(tz * TZ, 0, Sz - TZ)
+            yo = pl.multiple_of(jnp.clip(ty * TY, 0, Sy - TY), 16)
+            return z0, y0, zo, yo
+
+        def in_dmas(slot, t):
+            z0, y0, _, _ = coords(t)
+            return (
+                pltpu.make_async_copy(
+                    u_hbm.at[pl.ds(z0, WZ), pl.ds(y0, WY)], u_buf.at[slot],
+                    in_sem.at[slot, 0]),
+                pltpu.make_async_copy(
+                    b_hbm.at[pl.ds(z0, WZ), pl.ds(y0, WY)], b_buf.at[slot],
+                    in_sem.at[slot, 1]),
+            )
+
+        def out_dmas(slot, t):
+            z0, y0, zo, yo = coords(t)
+            oz = zo - z0
+            oy = pl.multiple_of(yo - y0, 16)
+            return (
+                pltpu.make_async_copy(
+                    u_buf.at[slot, pl.ds(oz, TZ), pl.ds(oy, TY)],
+                    out_u.at[pl.ds(zo, TZ), pl.ds(yo, TY)],
+                    out_sem.at[slot, 0]),
+                pltpu.make_async_copy(
+                    rc_buf.at[slot, pl.ds(oz // 2, TZ // 2),
+                              pl.ds(pl.multiple_of(oy // 2, 8), TY // 2)],
+                    out_rc.at[pl.ds(zo // 2, TZ // 2),
+                              pl.ds(pl.multiple_of(yo // 2, 8), TY // 2)],
+                    out_sem.at[slot, 1]),
+            )
+
+        for d in in_dmas(0, 0):
+            d.start()
+
+        def body(t, carry):
+            slot = t % 2
+            nxt = 1 - slot
+
+            @pl.when(t >= 1)
+            def _():
+                for d in out_dmas(nxt, t - 1):
+                    d.wait()
+
+            @pl.when(t + 1 < nt)
+            def _():
+                for d in in_dmas(nxt, t + 1):
+                    d.start()
+
+            for d in in_dmas(slot, t):
+                d.wait()
+
+            z0, y0, _, _ = coords(t)
+            interior, parity = _masks3(z0, y0, WZ, WY, Sx, n)
+            step = _step_fn3(smoother, omega, WY)
+            state = u_buf[slot].reshape(WZ * WY, Sx)
+            bwin = b_buf[slot].reshape(WZ * WY, Sx)
+            for j in range(steps):
+                state = step(state, bwin, interior, parity, j)
+            u_buf[slot] = state.reshape(WZ, WY, Sx)
+            r = _residual_of3(state, bwin, interior, WY)
+            # R = P^T/2: separable blur + even-even-even decimation, /2.
+            rc = 0.5 * _decimate3(_blur3(r, WY), WZ, WY)
+            # coarse mask in global coarse coordinates
+            fr = jax.lax.broadcasted_iota(
+                jnp.int32, (WZ // 2 * (WY // 2), Cx2), 0)
+            gz = z0 // 2 + fr // (WY // 2)
+            gy = y0 // 2 + fr % (WY // 2)
+            gx = jax.lax.broadcasted_iota(
+                jnp.int32, (WZ // 2 * (WY // 2), Cx2), 1)
+            cmask = ((gz >= 1) & (gz <= nc - 1) & (gy >= 1) & (gy <= nc - 1)
+                     & (gx >= 1) & (gx <= nc - 1))
+            rc = jnp.where(cmask, rc, jnp.zeros((), dtype))
+            if Scx > Cx2:                    # lane-pad to the coarse width
+                rc = jnp.concatenate(
+                    [rc, jnp.zeros((rc.shape[0], Scx - Cx2), dtype)], 1)
+            rc_buf[slot] = rc.reshape(WZ // 2, WY // 2, Scx)
+
+            for d in out_dmas(slot, t):
+                d.start()
+            return carry
+
+        jax.lax.fori_loop(0, nt, body, 0)
+        for d in out_dmas((nt - 1) % 2, nt - 1):
+            d.wait()
+
+    bytes_win = WZ * WY * _row_bytes(Sx, dtype)
+    return pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((Sz, Sy, Sx), dtype),
+                   jax.ShapeDtypeStruct((Szc, Syc, Scx), dtype)),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+                  pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=(pl.BlockSpec(memory_space=pltpu.ANY),
+                   pl.BlockSpec(memory_space=pltpu.ANY)),
+        scratch_shapes=[
+            pltpu.VMEM((2, WZ, WY, Sx), dtype),
+            pltpu.VMEM((2, WZ, WY, Sx), dtype),
+            pltpu.VMEM((2, WZ // 2, WY // 2, Scx), dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(int(10.5 * bytes_win) + 2 ** 21,
+                                 127 * 2 ** 20),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=int(nt * WZ * WY * Sx * (10 * steps + 20)),
+            bytes_accessed=int(Sz * Sy * Sx * 4 * 3.3),
+            transcendentals=0,
+        ),
+    )(u, b)
+
+
+# ---------------------------------------------------------------------------
+# K2₃: prolong + add correction + post-smooth (+ optional fused resnorm)
+# ---------------------------------------------------------------------------
+
+def _tiles_k2(shape, H: int, dtype):
+    """(TZ, TY, HZc, HYc) for K2₃, or None.
+
+    Fine tile (TZ, TY) with TZ even, TY mult 16; coarse halos
+    ``HZc = ceil((H+1)/2)`` (no alignment needed — z offsets are free) and
+    ``HYc = 8``.  The fine window is exactly 2x the coarse window.
+    """
+    Sz, Sy, Sx = shape
+    rb = _row_bytes(Sx, dtype)
+    rows = WINDOW_BYTES // rb
+    HZc = (H + 2) // 2
+    HYc = 8
+    if rows >= Sz * Sy:
+        return Sz, Sy, 0, 0
+    # fine window rows = (TZ + 4*HZc... ) * (TY + 4*HYc): solve balanced
+    hz_f, hy_f = 2 * HZc, 2 * HYc            # effective fine halos
+    if rows >= Sy * (2 * hz_f + 2):
+        tz_full = min((rows // Sy - 2 * hz_f) // 2 * 2, Sz - 2 * hz_f, Sz)
+        red_full = (tz_full + 2 * hz_f) / tz_full if tz_full >= 2 \
+            else float("inf")
+    else:
+        tz_full, red_full = 0, float("inf")
+    import math
+    a = hz_f / hy_f
+    disc = (2 * hy_f * a + 2 * hz_f) ** 2 + 4 * a * rows
+    ty = int((-(2 * hy_f * a + 2 * hz_f) + math.sqrt(disc)) / (2 * a))
+    ty = min(_round_up(ty, 16) - 16, Sy - 2 * hy_f)
+    ty = ty // 16 * 16
+    if ty >= 16:
+        tz = min((rows // (ty + 2 * hy_f) - 2 * hz_f) // 2 * 2,
+                 Sz - 2 * hz_f)
+        red_two = ((tz + 2 * hz_f) * (ty + 2 * hy_f)) / (tz * ty) \
+            if tz >= 2 else float("inf")
+    else:
+        tz, red_two = 0, float("inf")
+    if red_full <= red_two:
+        if tz_full < 2:
+            return None
+        return tz_full, Sy, (HZc if tz_full < Sz else 0), 0
+    if tz < 2:
+        return None
+    return tz, ty, HZc, HYc
+
+
+def _prolong_smooth3(u, b, ec, *, n, steps, smoother, omega,
+                     want_resnorm=False):
+    """u <- smooth(u + P e_c, b, steps); optionally also ||b - A u||²."""
+    Sz, Sy, Sx = u.shape
+    Szc, Syc, Scx = ec.shape
+    dtype = u.dtype
+    H = steps + (1 if want_resnorm else 0)
+    TZ, TY, HZc, HYc = _tiles_k2(u.shape, H, dtype)
+    full_z, full_y = TZ == Sz, TY == Sy
+    Wzc = Sz // 2 if full_z else TZ // 2 + 2 * HZc
+    Wyc = Sy // 2 if full_y else TY // 2 + 2 * HYc
+    WZ = Sz if full_z else 2 * Wzc
+    WY = Sy if full_y else 2 * Wyc
+    # The prolonged block is (2Wzc, 2Wyc) >= (WZ, WY); crop at use.
+    ntz = pl.cdiv(Sz, TZ)
+    nty = pl.cdiv(Sy, TY)
+    nt = ntz * nty
+    Cx2 = 2 * Scx
+
+    def kernel(u_hbm, b_hbm, ec_hbm, out_u, out_ss, u_buf, b_buf, c_buf,
+               ss_acc, in_sem, out_sem):
+        def coords(t):
+            tz = t // nty
+            ty = t % nty
+            zo = jnp.clip(tz * TZ, 0, Sz - TZ)
+            yo = pl.multiple_of(jnp.clip(ty * TY, 0, Sy - TY), 16)
+            # Clamp by the FINE bound: the fine window [2*c0, 2*c0 + W)
+            # must fit in the fine array; this also keeps the coarse
+            # window inside the coarse array since 2*Sc >= S (the 2D K2
+            # clamp argument, transfer.py::_prolong_smooth.coords).
+            if full_z:
+                z0c = 0
+            else:
+                z0c = jnp.clip(zo // 2 - HZc, 0, (Sz - WZ) // 2)
+            if full_y:
+                y0c = 0
+            else:
+                y0c = pl.multiple_of(
+                    jnp.clip(yo // 2 - HYc, 0, (Sy - WY) // 2), 8)
+            return zo, yo, z0c, y0c
+
+        def in_dmas(slot, t):
+            zo, yo, z0c, y0c = coords(t)
+            zf0 = 2 * z0c if not full_z else 0
+            yf0 = pl.multiple_of(2 * y0c, 16) if not full_y else 0
+            return (
+                pltpu.make_async_copy(
+                    u_hbm.at[pl.ds(zf0, WZ), pl.ds(yf0, WY)], u_buf.at[slot],
+                    in_sem.at[slot, 0]),
+                pltpu.make_async_copy(
+                    b_hbm.at[pl.ds(zf0, WZ), pl.ds(yf0, WY)], b_buf.at[slot],
+                    in_sem.at[slot, 1]),
+                pltpu.make_async_copy(
+                    ec_hbm.at[pl.ds(z0c, Wzc), pl.ds(y0c, Wyc)],
+                    c_buf.at[slot], in_sem.at[slot, 2]),
+            )
+
+        def out_dma(slot, t):
+            zo, yo, z0c, y0c = coords(t)
+            oz = zo - (2 * z0c if not full_z else 0)
+            oy = pl.multiple_of(yo - (2 * y0c if not full_y else 0), 16)
+            return pltpu.make_async_copy(
+                u_buf.at[slot, pl.ds(oz, TZ), pl.ds(oy, TY)],
+                out_u.at[pl.ds(zo, TZ), pl.ds(yo, TY)],
+                out_sem.at[slot])
+
+        for d in in_dmas(0, 0):
+            d.start()
+
+        def body(t, carry):
+            slot = t % 2
+            nxt = 1 - slot
+
+            @pl.when(t >= 1)
+            def _():
+                out_dma(nxt, t - 1).wait()
+
+            @pl.when(t + 1 < nt)
+            def _():
+                for d in in_dmas(nxt, t + 1):
+                    d.start()
+
+            for d in in_dmas(slot, t):
+                d.wait()
+
+            zo, yo, z0c, y0c = coords(t)
+            zf0 = 2 * z0c if not full_z else 0
+            yf0 = 2 * y0c if not full_y else 0
+            interior, parity = _masks3(zf0, yf0, WZ, WY, Sx, n)
+            corr = _prolong3_vmem(
+                c_buf[slot].reshape(Wzc * Wyc, Scx), Wzc, Wyc)
+            # crop the (2Wzc * 2Wyc, 2Scx) block to the fine window
+            corr = corr.reshape(2 * Wzc, 2 * Wyc, Cx2)[:WZ, :WY, :Sx]
+            corr = corr.reshape(WZ * WY, Sx)
+            state = jnp.where(interior,
+                              u_buf[slot].reshape(WZ * WY, Sx) + corr,
+                              jnp.zeros((), dtype))
+            bwin = b_buf[slot].reshape(WZ * WY, Sx)
+            step = _step_fn3(smoother, omega, WY)
+            for j in range(steps):
+                state = step(state, bwin, interior, parity, j)
+            u_buf[slot] = state.reshape(WZ, WY, Sx)
+            if want_resnorm:
+                tz = t // nty
+                ty = t % nty
+                fr = jax.lax.broadcasted_iota(jnp.int32, (WZ * WY, Sx), 0)
+                gz = zf0 + fr // WY
+                gy = yf0 + fr % WY
+                gx = jax.lax.broadcasted_iota(jnp.int32, (WZ * WY, Sx), 1)
+                claim = (interior
+                         & (gz >= tz * TZ) & (gz < (tz + 1) * TZ)
+                         & (gy >= ty * TY) & (gy < (ty + 1) * TY))
+                r = jnp.where(claim,
+                              _residual_of3(state, bwin, interior, WY),
+                              jnp.zeros((), dtype)).astype(jnp.float32)
+                ss_acc[0, 0] = ss_acc[0, 0] + jnp.sum(r * r)
+            out_dma(slot, t).start()
+            return carry
+
+        ss_acc[0, 0] = jnp.float32(0.0)
+        jax.lax.fori_loop(0, nt, body, 0)
+        out_dma((nt - 1) % 2, nt - 1).wait()
+        if want_resnorm:
+            out_ss[0, 0] = ss_acc[0, 0]
+
+    out_shape = [jax.ShapeDtypeStruct((Sz, Sy, Sx), dtype)]
+    out_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]
+    if want_resnorm:
+        out_shape.append(jax.ShapeDtypeStruct((1, 1), jnp.float32))
+        out_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+
+    kern = kernel if want_resnorm else (
+        lambda u_hbm, b_hbm, ec_hbm, out_u, *scr: kernel(
+            u_hbm, b_hbm, ec_hbm, out_u, None, *scr))
+
+    bytes_win = WZ * WY * _row_bytes(Sx, dtype)
+    result = pl.pallas_call(
+        kern,
+        out_shape=tuple(out_shape) if want_resnorm else out_shape[0],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 3,
+        out_specs=tuple(out_specs) if want_resnorm else out_specs[0],
+        scratch_shapes=[
+            pltpu.VMEM((2, WZ, WY, Sx), dtype),
+            pltpu.VMEM((2, WZ, WY, Sx), dtype),
+            pltpu.VMEM((2, Wzc, Wyc, Scx), dtype),
+            pltpu.SMEM((1, 1), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 3)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(int(11.5 * bytes_win) + 2 ** 21,
+                                 127 * 2 ** 20),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=int(nt * WZ * WY * Sx * (10 * steps + 16)),
+            bytes_accessed=int(Sz * Sy * Sx * 4 * 3.3),
+            transcendentals=0,
+        ),
+    )(u, b, ec)
+    if want_resnorm:
+        u_out, ss = result
+        return u_out, jnp.sqrt(ss[0, 0])
+    return result
+
+
+# ---------------------------------------------------------------------------
+# Public entry points
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("n", "shape_c", "sweeps",
+                                             "smoother", "omega"))
+def smooth_restrict3(u, b, n, shape_c, sweeps, smoother="jacobi",
+                     omega=2.0 / 3.0):
+    """``sweeps`` pre-smoothing sweeps, then residual + FW restriction."""
+    steps = 2 * sweeps if smoother == "rbgs" else sweeps
+    un, rc = _smooth_restrict3(u, b, n=n, shape_c=tuple(shape_c),
+                               steps=steps, smoother=smoother, omega=omega)
+    # The tile grid covers coarse indices [0, S/2) per axis; zero the
+    # remaining (non-physical) tail so the zero-outside-interior invariant
+    # holds for downstream ops (2D transfer.smooth_restrict does the same).
+    Sz, Sy, _ = u.shape
+    Szc, Syc, Scx = rc.shape
+    hz, hy = Sz // 2, Sy // 2
+    if Szc > hz:
+        rc = jax.lax.dynamic_update_slice(
+            rc, jnp.zeros((Szc - hz, Syc, Scx), rc.dtype), (hz, 0, 0))
+    if Syc > hy:
+        rc = jax.lax.dynamic_update_slice(
+            rc, jnp.zeros((hz, Syc - hy, Scx), rc.dtype), (0, hy, 0))
+    return un, rc
+
+
+@functools.partial(jax.jit, static_argnames=("n", "sweeps", "smoother",
+                                             "omega"))
+def prolong_smooth3(u, b, ec, n, sweeps, smoother="jacobi",
+                    omega=2.0 / 3.0):
+    steps = 2 * sweeps if smoother == "rbgs" else sweeps
+    return _prolong_smooth3(u, b, ec, n=n, steps=steps, smoother=smoother,
+                            omega=omega)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "sweeps", "smoother",
+                                             "omega"))
+def prolong_smooth_resnorm3(u, b, ec, n, sweeps, smoother="jacobi",
+                            omega=2.0 / 3.0):
+    steps = 2 * sweeps if smoother == "rbgs" else sweeps
+    return _prolong_smooth3(u, b, ec, n=n, steps=steps, smoother=smoother,
+                            omega=omega, want_resnorm=True)
