@@ -133,19 +133,38 @@ class VarStencilOp:
     kernels' masks are specialized to the default interior).
     """
 
-    def __init__(self, coef, inv_diag, n: int, S: int, box=None):
+    def __init__(self, coef, inv_diag, n: int, S: int, box=None,
+                 coef_sym=None):
         self.coef = coef
         self.inv_diag = inv_diag
         self.n = int(n)
         self.S = int(S)
         self.box = tuple(int(v) for v in box) if box is not None else None
+        # Optional precomputed (5, S, S) symmetric-storage planes for the
+        # Pallas var-stencil kernels (kernels/varstencil._flat_coef order:
+        # [diag, E, S, SE, SW]).  Built host-side at setup and uploaded
+        # with the hierarchy, so solves skip the per-program restack.
+        self.coef_sym = coef_sym
 
     def tree_flatten(self):
-        return (self.coef, self.inv_diag), (self.n, self.S, self.box)
+        return ((self.coef, self.inv_diag, self.coef_sym),
+                (self.n, self.S, self.box))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(children[0], children[1], *aux)
+        n, S, box = aux
+        return cls(children[0], children[1], n, S, box=box,
+                   coef_sym=children[2])
+
+    def with_sym_planes(self):
+        """Attach host-built symmetric planes (numpy coef only; no-op
+        otherwise)."""
+        import numpy as np
+        if self.coef_sym is None and isinstance(self.coef, np.ndarray):
+            c = self.coef
+            self.coef_sym = np.stack([c[1, 1], c[1, 2], c[2, 1],
+                                      c[2, 2], c[2, 0]])
+        return self
 
     def _mask(self, u):
         if self.box is not None:

@@ -246,8 +246,13 @@ def _flat_coef(op):
     """(3, 3, S, S) -> (5, S, S) symmetric-storage planes.
 
     Order: [diagonal, E(0,+1), S(+1,0), SE(+1,+1), SW(+1,-1)]; the kernel
-    derives W/N/NW/NE by in-VMEM shifts (see _expand_sym).
+    derives W/N/NW/NE by in-VMEM shifts (see _expand_sym).  Uses the
+    operator's setup-time ``coef_sym`` planes when present (uploaded with
+    the hierarchy — no per-program restack).
     """
+    sym = getattr(op, "coef_sym", None)
+    if sym is not None:
+        return jnp.asarray(sym)
     c = op.coef
     return jnp.stack([c[1, 1], c[1, 2], c[2, 1], c[2, 2], c[2, 0]])
 

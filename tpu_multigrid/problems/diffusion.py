@@ -69,6 +69,12 @@ class DiffusionProblem:
         hier = build_galerkin_hierarchy(
             fine_op, self.config, align=self.align,
             min_pad_level=self.min_pad_level)
+        # Precompute the Pallas kernels' (5, S, S) symmetric planes host-
+        # side so solves skip the per-program restack (ROADMAP #2).
+        if self.config.use_pallas:
+            for op in hier.levels:
+                if hasattr(op, "with_sym_planes"):
+                    op.with_sym_planes()
         # Upload the finished hierarchy ONCE: numpy leaves passed as jit
         # arguments would otherwise be re-transferred on every call.
         self.hierarchy: Hierarchy = jax.device_put(hier)
