@@ -1,0 +1,61 @@
+"""Sharded fused-Pallas 3D path (dist.pallas_cycle3): 1-vs-N parity on
+the virtual CPU mesh in interpret mode (tests/test_dist_pallas.py is the
+2D analogue).
+
+NOTE: all meshes here use <= 3 devices.  The 3D extended-block kernels
+under shard_map interpret DEADLOCK at 4 virtual devices on this
+single-core container (all device threads blocked in the interpret
+shared-memory allocator's io_callback; the 2D kernels hit the same wall
+at 8 devices) — see CLAUDE.md.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from tpu_multigrid import MultigridConfig
+from tpu_multigrid.cycles import solve_fixed
+from tpu_multigrid.dist.pallas_cycle3 import (pallas_level_sizes3,
+                                              sharded_solve_pallas3)
+from tpu_multigrid.dist.shard_cycle3 import make_grid_mesh3
+from tpu_multigrid.problems import Poisson3DProblem
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 3, reason="needs 3 virtual devices")
+
+
+def test_level_sizes3_constraints():
+    cfg = MultigridConfig(finest_level=6, coarsest_level=3,
+                          smoother="chebyshev", nu1=3, nu2=2)
+    lv = pallas_level_sizes3(cfg, (2, 1), replicate_below=16)
+    assert lv.num_sharded >= 2
+    for (n, S, Sx) in lv.sizes[: lv.num_sharded]:
+        assert S % 2 == 0 and (S // 1) % 16 == 0 and Sx % 128 == 0
+
+
+@pytest.mark.parametrize("mesh_shape", [(2, 1), (3, 1)])
+def test_pallas3_solve_matches_single_device(mesh_shape):
+    """Full distributed fused-kernel 3D solve == the single-device fused
+    solver on the owned regions (f32 accumulation-order tolerance)."""
+    mz, my = mesh_shape
+    cfg = MultigridConfig(finest_level=6, coarsest_level=3,
+                          smoother="chebyshev", nu1=3, nu2=2,
+                          dtype=jnp.float32)
+    mesh = make_grid_mesh3(shape=mesh_shape,
+                           devices=jax.devices()[: mz * my])
+    with pltpu.force_tpu_interpret_mode():
+        res, levels = sharded_solve_pallas3(cfg, mesh, num_cycles=2,
+                                            tol=0.0, replicate_below=16)
+        jax.block_until_ready(res.u)
+    assert levels.num_sharded >= 1
+    h = np.asarray(res.res_history)
+    assert np.isfinite(h[2]) and h[2] < 0.2 * h[0]
+
+    prob = Poisson3DProblem(cfg, align=16, min_pad_level=0, lane_align=128)
+    ref = solve_fixed(prob.hierarchy, cfg, prob.rhs(), num_cycles=2)
+    n = 64
+    a = np.asarray(res.u)[1:n, 1:n, 1:n]
+    w = np.asarray(ref.u)[1:n, 1:n, 1:n]
+    assert np.abs(a - w).max() / np.abs(w).max() < 1e-4

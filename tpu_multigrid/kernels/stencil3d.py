@@ -163,7 +163,11 @@ def _residual_of3(state, b, interior, Sy: int):
 # ---------------------------------------------------------------------------
 
 def _streamed3(u, b, *, n: int, steps: int, step_factory,
-               want_residual: bool):
+               want_residual: bool, origin=None):
+    """``origin``: optional (1, 2) int32 array of the block's global
+    (z, y) coordinates of element (0, 0, 0) — the distributed path runs
+    these kernels on ghost-extended local blocks whose masks must use
+    global coordinates (dist.pallas_cycle3).  None = origin (0, 0)."""
     Sz, Sy, Sx = u.shape
     dtype = u.dtype
     H = steps + (1 if want_residual else 0)
@@ -173,7 +177,7 @@ def _streamed3(u, b, *, n: int, steps: int, step_factory,
     nty = pl.cdiv(Sy, TY)
     nt = ntz * nty
 
-    def kernel(u_hbm, b_hbm, out_u, out_r_or_none, u_buf, b_buf,
+    def kernel(org_smem, u_hbm, b_hbm, out_u, out_r_or_none, u_buf, b_buf,
                in_sem, out_sem):
         def tile_coords(t):
             tz = t // nty
@@ -233,10 +237,10 @@ def _streamed3(u, b, *, n: int, steps: int, step_factory,
                 d.wait()
 
             z0, y0, _, _ = tile_coords(t)
-            # Fused-row coordinates over the (WZ*WY, Sx) window view.
+            # Fused-row GLOBAL coordinates over the (WZ*WY, Sx) view.
             fr = jax.lax.broadcasted_iota(jnp.int32, (WZ * WY, Sx), 0)
-            gz = z0 + fr // WY
-            gy = y0 + fr % WY
+            gz = z0 + org_smem[0, 0] + fr // WY
+            gy = y0 + org_smem[0, 1] + fr % WY
             gx = jax.lax.broadcasted_iota(jnp.int32, (WZ * WY, Sx), 1)
             interior = ((gz >= 1) & (gz <= n - 1) & (gy >= 1)
                         & (gy <= n - 1) & (gx >= 1) & (gx <= n - 1))
@@ -270,13 +274,17 @@ def _streamed3(u, b, *, n: int, steps: int, step_factory,
     bytes_win = WZ * WY * _row_bytes(Sx, dtype)
 
     kern = kernel if want_residual else (
-        lambda u_hbm, b_hbm, out_u, *scr: kernel(u_hbm, b_hbm, out_u, None,
-                                                 *scr))
+        lambda org, u_hbm, b_hbm, out_u, *scr: kernel(org, u_hbm, b_hbm,
+                                                      out_u, None, *scr))
+
+    if origin is None:
+        origin = jnp.zeros((1, 2), jnp.int32)
 
     result = pl.pallas_call(
         kern,
         out_shape=tuple(out_shape) if want_residual else out_shape[0],
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.ANY),
                   pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=tuple(out_specs) if want_residual else out_specs[0],
         scratch_shapes=[
@@ -296,7 +304,7 @@ def _streamed3(u, b, *, n: int, steps: int, step_factory,
                                * (2 + n_out_ch)),
             transcendentals=0,
         ),
-    )(u, b)
+    )(origin, u, b)
     return result
 
 
