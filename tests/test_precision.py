@@ -7,6 +7,7 @@ import numpy as np
 import pytest
 
 from tpu_multigrid import MultigridConfig, PoissonProblem, solve_until_tol
+from tpu_multigrid import precision
 from tpu_multigrid.precision import (ds_add, ds_residual, solve_refined,
                                      solve_refined_ds)
 from tpu_multigrid.core import ops
@@ -309,3 +310,95 @@ def test_bf16_inner_cycle_smoke():
     with pytest.raises(ValueError):
         solve_refined_ds(prob.hierarchy, cfg, prob.rhs(),
                          inner_dtype=jnp.bfloat16, ds_levels=3)
+
+
+# ---------------------------------------------------------------------------
+# 3D refinement (precision.py dimension dispatch)
+# ---------------------------------------------------------------------------
+
+def _prob3(level=4, dtype=jnp.float32):
+    from tpu_multigrid.problems import Poisson3DProblem
+    cfg = MultigridConfig(finest_level=level, coarsest_level=2,
+                          smoother="chebyshev", nu1=3, nu2=2, dtype=dtype)
+    prob = Poisson3DProblem(cfg, align=16, min_pad_level=0, lane_align=128)
+    return cfg, prob
+
+
+def test_ds_residual3_matches_f64(rng):
+    """The 3D compensated residual (6u split into the exact 4u + 2u) is
+    accurate to f32 rounding OF THE RESIDUAL'S OWN VALUE — near a
+    solution (tiny true residual) it still resolves it, while plain f32
+    evaluation carries ~eps*|6u| cancellation noise."""
+    from tpu_multigrid.core import ops3d
+    from tpu_multigrid import MultigridConfig
+    from tpu_multigrid.problems import Poisson3DProblem
+    from tpu_multigrid.cycles import solve_until_tol
+
+    cfg64 = MultigridConfig(finest_level=4, coarsest_level=2,
+                            smoother="chebyshev", nu1=3, nu2=2,
+                            dtype=jnp.float64)
+    prob = Poisson3DProblem(cfg64, align=16, min_pad_level=0,
+                            lane_align=128)
+    b64 = np.asarray(prob.rhs())
+    ref = solve_until_tol(prob.hierarchy, cfg64, prob.rhs(), tol=1e-13,
+                          max_cycles=60)
+    u64 = np.asarray(ref.u)
+    n = 16
+    hi = u64.astype(np.float32)
+    lo = (u64 - hi.astype(np.float64)).astype(np.float32)
+    b = jnp.asarray(b64, jnp.float32)
+    got = np.asarray(precision.ds_residual(
+        b, jnp.asarray(hi), jnp.asarray(lo), n), np.float64)
+    # f64 truth of the residual at the ds pair
+    u = hi.astype(np.float64) + lo.astype(np.float64)
+    nbr = sum(np.roll(u, d, a) for a in (0, 1, 2) for d in (1, -1))
+    want = np.asarray(b, np.float64) - 6.0 * u + nbr
+    want[~np.asarray(ops3d.interior_mask3(u.shape, n))] = 0.0
+    plain = np.asarray(ops3d.residual3(jnp.asarray(hi), b, n), np.float64)
+    assert np.linalg.norm(plain) > 50 * np.linalg.norm(want)
+    assert np.abs(got - want).max() < 1e-10
+
+
+def test_refined3_breaks_the_f32_floor():
+    cfg, prob = _prob3(level=5)
+    b = prob.rhs()
+    plain = solve_until_tol(prob.hierarchy, cfg, b, tol=1e-10,
+                            max_cycles=40)
+    hp = np.asarray(plain.res_history)
+    np_it = int(plain.iterations)
+    stall = hp[np_it] / hp[0]
+    assert stall > 1e-7          # the f32 floor really is shallow here
+
+    res = precision.solve_refined(prob.hierarchy, cfg, b, tol=1e-10,
+                                  max_iters=40)
+    hr = np.asarray(res.res_history)
+    nr = int(res.iterations)
+    assert bool(res.converged)
+    assert hr[nr] / hr[0] <= 1e-10
+
+
+def test_refined3_ts_matches_f64_oracle():
+    cfg, prob = _prob3(level=4)
+    b = prob.rhs()
+    uh, um, ul, hist, iters, ok = precision.solve_refined_ts(
+        prob.hierarchy, cfg, b, tol=1e-12, max_iters=40, ds_levels=2)
+    assert bool(ok)
+
+    cfg64, prob64 = _prob3(level=4, dtype=jnp.float64)
+    ref = solve_until_tol(prob64.hierarchy, cfg64, prob64.rhs(),
+                          tol=1e-13, max_cycles=60)
+    n = 16
+    w = np.asarray(ref.u)[1:n, 1:n, 1:n]
+    a = (np.asarray(uh, np.float64) + np.asarray(um, np.float64)
+         + np.asarray(ul, np.float64))[1:n, 1:n, 1:n]
+    assert np.abs(a - w).max() / np.abs(w).max() < 1e-11
+
+
+def test_refined3_api_entry():
+    import tpu_multigrid as mg
+    cfg, _ = _prob3(level=4)
+    res = mg.solve_poisson3d(4, config=cfg, tol=1e-10, refined=True)
+    assert bool(res.converged)
+    h = np.asarray(res.res_history)
+    ni = int(res.iterations)
+    assert h[ni] / h[0] <= 1e-10

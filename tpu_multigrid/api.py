@@ -114,6 +114,7 @@ def solve_poisson3d(
     max_cycles: int = 100,
     num_cycles: Optional[int] = None,
     use_fmg: bool = False,
+    refined: bool = False,
     jit: bool = True,
 ) -> SolveResult:
     """Solve -lap(u) = forcing on the unit cube, homogeneous Dirichlet BCs.
@@ -122,6 +123,11 @@ def solve_poisson3d(
     runs through the same V/W/F/FMG drivers (``core.ops3d``).  The
     recommended smoother in 3D is ``smoother="chebyshev"`` (measured
     rho ~0.13 vs ~0.35 for omega=2/3 Jacobi, whose weight is 2D-optimal).
+
+    ``refined=True`` runs compensated double-single iterative refinement
+    (``tpu_multigrid.precision``): the f32 residual floor in 3D scales
+    like eps*n² (~1e-3 relative at level 8), so any deeper tolerance
+    needs it.
     """
     if config is None:
         import jax
@@ -139,7 +145,8 @@ def solve_poisson3d(
     # extra HBM (XLA pads the minor dim to the 128-lane tile anyway).
     problem = Poisson3DProblem(config, forcing=forcing, align=16,
                                min_pad_level=0, lane_align=128)
-    return _run(problem, config, tol, max_cycles, num_cycles, use_fmg, jit)
+    return _run(problem, config, tol, max_cycles, num_cycles, use_fmg, jit,
+                refined=refined)
 
 
 def _run(problem, config, tol, max_cycles, num_cycles, use_fmg, use_jit,

@@ -56,12 +56,16 @@ def ds_add(hi, lo, y):
 
 
 def _neighbor_sum_compensated(u):
-    """Sum of the four shifted copies of u with Neumaier compensation.
+    """Sum of the 2d shifted copies of u with Neumaier compensation
+    (four in 2D, six in 3D — dispatched on ``u.ndim``).
 
     Returns (s, c) with s + c == exact sum to ~eps^2.
     """
-    terms = [jnp.roll(u, 1, axis=-2), jnp.roll(u, -1, axis=-2),
-             jnp.roll(u, 1, axis=-1), jnp.roll(u, -1, axis=-1)]
+    axes = range(-u.ndim, 0) if u.ndim == 3 else (-2, -1)
+    terms = []
+    for ax in axes:
+        terms.append(jnp.roll(u, 1, axis=ax))
+        terms.append(jnp.roll(u, -1, axis=ax))
     s = terms[0]
     c = jnp.zeros_like(u)
     for t in terms[1:]:
@@ -70,30 +74,62 @@ def _neighbor_sum_compensated(u):
     return s, c
 
 
+def _mask_nd(r, n):
+    if r.ndim == 3:
+        from .core import ops3d
+        return ops3d.mask_interior3(r, n)
+    return ops.mask_interior(r, n)
+
+
+def _nbr_nd(u):
+    if u.ndim == 3:
+        from .core import ops3d
+        return ops3d.neighbor_sum3(u)
+    return ops.neighbor_sum(u)
+
+
+def _diag_terms(u):
+    """-(diag * u) as a list of EXACT products: [-4u] in 2D; [-4u, -2u]
+    in 3D (6u itself rounds — 6 is not a power of two — but 4u and 2u are
+    exponent shifts, so the cascade can keep the split exact)."""
+    if u.ndim == 3:
+        return [-4.0 * u, -2.0 * u]
+    return [-4.0 * u]
+
+
 def ds_residual(b, u_hi, u_lo, n):
     """r = b - A(u_hi + u_lo) with ~eps^2 accuracy, returned as f32.
 
-    4*u_hi is exact (exponent shift); the neighbor sum of u_hi is
-    compensated; A(u_lo) in plain f32 contributes only an O(eps^2) error.
+    diag*u_hi enters as exact power-of-two products (2D: 4u; 3D: 4u + 2u
+    — see :func:`_diag_terms`); the neighbor sum of u_hi is compensated;
+    A(u_lo) in plain f32 contributes only an O(eps^2) error.  2D/3D
+    dispatch on ``b.ndim``.
     """
+    diag = 2.0 * b.ndim
     nbr_hi, nbr_c = _neighbor_sum_compensated(u_hi)
-    # r = b + nbr_hi - 4*u_hi  (the three large, cancelling terms)
-    s1, e1 = _two_sum(b, nbr_hi)
-    s2, e2 = _two_sum(s1, -4.0 * u_hi)
+    # r = b + nbr_hi - diag*u_hi  (the large, cancelling terms)
+    s, e1 = _two_sum(b, nbr_hi)
+    errs = [e1]
+    for t in _diag_terms(u_hi):
+        s, e = _two_sum(s, t)
+        errs.append(e)
     # Small corrections: compensation of the neighbor sum, the TwoSum
     # errors, and the full A(u_lo) term (u_lo is rough rounding noise, so
     # its f32 apply is eps-relative-accurate — no cancellation).
-    a_lo = 4.0 * u_lo - ops.neighbor_sum(u_lo)
-    # Cascade the five terms with TwoSum: a plain sum rounds at
-    # eps*max|term| ~ eps^2*|4u| per node, which against b ~ 4h^2 floors
-    # the achievable reduction at ~eps^2*n^2*|u| (the 5e-8 stall measured
-    # at 16385^2); the cascade leaves only eps-relative error in r itself.
-    s, c1 = _two_sum(s2, e1)
-    s, c2 = _two_sum(s, e2)
-    s, c3 = _two_sum(s, nbr_c)
-    s, c4 = _two_sum(s, -a_lo)
-    r = s + (c1 + (c2 + (c3 + c4)))
-    return ops.mask_interior(r.astype(b.dtype), n)
+    a_lo = diag * u_lo - _nbr_nd(u_lo)
+    # Cascade with TwoSum: a plain sum rounds at eps*max|term| ~
+    # eps^2*|diag*u| per node, which against b ~ f*h^2 floors the
+    # achievable reduction at ~eps^2*n^2*|u| (the 5e-8 stall measured at
+    # 16385^2); the cascade leaves only eps-relative error in r itself.
+    cs = []
+    for t in errs + [nbr_c, -a_lo]:
+        s, c = _two_sum(s, t)
+        cs.append(c)
+    tail = cs[-1]
+    for c in cs[-2::-1]:
+        tail = c + tail
+    r = s + tail
+    return _mask_nd(r.astype(b.dtype), n)
 
 
 def _two_sum_arrays(a, b):
@@ -139,6 +175,66 @@ def prolong_comp(ec, nc: int, Sf: int):
     return mask_interior(hi, nf), mask_interior(err, nf)
 
 
+def prolong_comp3(ec, nc: int, shape_f):
+    """Trilinear prolongation with an exact error term: P ec == hi + err.
+
+    3D analogue of :func:`prolong_comp`, built on the interleave machinery
+    (``core.ops3d.prolong3``; strided scatters are pathological on
+    XLA:TPU).  All P weights are dyadic (1, 1/2, 1/4, 1/8): the corner
+    sums are TwoSum-cascaded and the scalings are exponent shifts, so
+    ``hi + err`` equals P ec to ~eps^2.
+    """
+    from .core import ops3d
+
+    shf = ops3d._shape3(shape_f)
+    nf = 2 * nc
+    m = tuple(min(ec.shape[ax], (shf[ax] + 1) // 2) for ax in range(3))
+    e = ec[: m[0], : m[1], : m[2]]
+
+    def shifted(v, ax):
+        lo = [slice(None)] * 3
+        lo[ax] = slice(1, None)
+        pad = [(0, 0)] * 3
+        pad[ax] = (0, 1)
+        return jnp.pad(v[tuple(lo)], pad)
+
+    def phase(pz, py, px):
+        terms = [e]
+        for ax, pp in ((0, pz), (1, py), (2, px)):
+            if pp:
+                terms = terms + [shifted(t, ax) for t in terms]
+        s = terms[0]
+        errs = []
+        for t in terms[1:]:
+            s, e2 = _two_sum(s, t)
+            errs.append(e2)
+        scale = jnp.asarray(1.0 / len(terms), ec.dtype)
+        err = scale * sum(errs) if errs else jnp.zeros_like(s)
+        return scale * s, err
+
+    def interleave(ph):
+        ix = ops3d._interleave_axis
+        s = []
+        for pk in (0, 1):
+            t0 = ix(ph[(0, 0, pk)], ph[(1, 0, pk)], 0)
+            t1 = ix(ph[(0, 1, pk)], ph[(1, 1, pk)], 0)
+            s.append(ix(t0, t1, 1))
+        f = ix(s[0].transpose(2, 0, 1), s[1].transpose(2, 0, 1),
+               0).transpose(1, 2, 0)
+        f = f[tuple(slice(0, min(2 * m[ax], shf[ax])) for ax in range(3))]
+        pad = [(0, shf[ax] - f.shape[ax]) for ax in range(3)]
+        if any(p != (0, 0) for p in pad):
+            f = jnp.pad(f, pad)
+        return ops3d.mask_interior3(f, nf)
+
+    his, errs = {}, {}
+    for pz in (0, 1):
+        for py in (0, 1):
+            for px in (0, 1):
+                his[(pz, py, px)], errs[(pz, py, px)] = phase(pz, py, px)
+    return interleave(his), interleave(errs)
+
+
 def cycle_ds(hier: Hierarchy, cfg: MultigridConfig, r, k: int = 0,
              ds_levels: int = 3):
     """One V-cycle on the defect equation A e = r, returning e as a
@@ -176,19 +272,26 @@ def cycle_ds(hier: Hierarchy, cfg: MultigridConfig, r, k: int = 0,
         return e, jnp.zeros_like(e)
 
     opc = hier.levels[k + 1]
+    ndim = getattr(op, "ndim", 2)
     e0, r1 = _smooth_residual(op, jnp.zeros_like(r), r, cfg, cfg.nu1)
-    rc = _restrict(r1, op.n, opc.S, cfg)
+    from .cycles import _tshape
+    rc = _restrict(r1, op.n, _tshape(opc), cfg, ndim)
     ec_hi, ec_lo = cycle_ds(hier, cfg, rc, k + 1, ds_levels)
     # Prolong the pair.  On TPU the jnp strided-scatter prolongation is not
     # viable at 16385^2 (memory blowup / worker crash) — use the streamed
-    # kernels when the level qualifies.
+    # kernels when the level qualifies.  (3D prolong_comp3 is interleave-
+    # based and TPU-viable as plain jnp.)
     use_kernels = False
-    if cfg.use_pallas:
+    if cfg.use_pallas and ndim == 2:
         from .kernels import transfer as _t
         use_kernels = _t.supported(op.S, opc.S, 0, r.dtype)
     if use_kernels:
         p_hi, p_err = _t.prolong_comp_pallas(ec_hi, op.n, op.S)
         p_lo = _t.prolong_add_pallas(p_err, ec_lo, op.n)
+    elif ndim == 3:
+        from .core import ops3d
+        p_hi, p_err = prolong_comp3(ec_hi, opc.n, op.grid_shape)
+        p_lo = ops3d.prolong3(ec_lo, opc.n, op.grid_shape) + p_err
     else:
         p_hi, p_err = prolong_comp(ec_hi, opc.n, op.S)
         p_lo = ops.prolong(ec_lo, opc.n, op.S) + p_err
@@ -220,31 +323,39 @@ def ts_residual(b, u_hi, u_mid, u_lo, n):
     """r = b - A(u_hi + u_mid + u_lo) to ~eps^3 accuracy, returned f32.
 
     Why triple-single: a double-single iterate represents u to ~eps^2*|u|
-    per node; through A's per-node cancellation (b ~ 4h^2 while |u| ~ 1)
+    per node; through A's per-node cancellation (b ~ f*h^2 while |u| ~ 1)
     that floors the measurable relative reduction at ~eps^2*|u|*n^2/4 —
     the 1.25e-8 stall at 8193^2 and ~5e-8 at 16385^2 measured on-chip.
     The third component pushes the representation floor to ~eps^3*n^2,
     far below 1e-8 at any feasible grid.  A(u_mid) needs the compensated
     neighbor sum too (u_mid is rough, |A u_mid| ~ 8*eps*|u| evaluated in
     f32 would round at ~eps^2*|u| — exactly the old floor); A(u_lo) in
-    plain f32 is eps-relative-accurate and harmless.
+    plain f32 is eps-relative-accurate and harmless.  2D/3D dispatch on
+    ``b.ndim`` (3D splits 6u into the exact 4u + 2u, _diag_terms).
     """
+    diag = 2.0 * b.ndim
     nbr_h, c_h = _neighbor_sum_compensated(u_hi)
     nbr_m, c_m = _neighbor_sum_compensated(u_mid)
-    s1, e1 = _two_sum(b, nbr_h)
-    s2, e2 = _two_sum(s1, -4.0 * u_hi)
-    s3, e3 = _two_sum(s2, nbr_m)
-    s4, e4 = _two_sum(s3, -4.0 * u_mid)
-    a_l = 4.0 * u_lo - ops.neighbor_sum(u_lo)
-    s, c1 = _two_sum(s4, e1)
-    s, c2 = _two_sum(s, e2)
-    s, c3 = _two_sum(s, e3)
-    s, c4 = _two_sum(s, e4)
-    s, c5 = _two_sum(s, c_h)
-    s, c6 = _two_sum(s, c_m)
-    s, c7 = _two_sum(s, -a_l)
-    r = s + (c1 + (c2 + (c3 + (c4 + (c5 + (c6 + c7))))))
-    return ops.mask_interior(r.astype(b.dtype), n)
+    s, e1 = _two_sum(b, nbr_h)
+    errs = [e1]
+    for t in _diag_terms(u_hi):
+        s, e = _two_sum(s, t)
+        errs.append(e)
+    s, e3 = _two_sum(s, nbr_m)
+    errs.append(e3)
+    for t in _diag_terms(u_mid):
+        s, e = _two_sum(s, t)
+        errs.append(e)
+    a_l = diag * u_lo - _nbr_nd(u_lo)
+    cs = []
+    for t in errs + [c_h, c_m, -a_l]:
+        s, c = _two_sum(s, t)
+        cs.append(c)
+    tail = cs[-1]
+    for c in cs[-2::-1]:
+        tail = c + tail
+    r = s + tail
+    return _mask_nd(r.astype(b.dtype), n)
 
 
 def solve_refined_ts(hier: Hierarchy, cfg: MultigridConfig, b, *,
@@ -266,7 +377,7 @@ def solve_refined_ts(hier: Hierarchy, cfg: MultigridConfig, b, *,
     op = hier.levels[0]
     fixed = num_cycles is not None
     ncyc = num_cycles if fixed else max_iters
-    u_hi = jnp.zeros((op.S, op.S), b.dtype)
+    u_hi = jnp.zeros(getattr(op, "grid_shape", (op.S, op.S)), b.dtype)
     u_mid = jnp.zeros_like(u_hi)
     u_lo = jnp.zeros_like(u_hi)
     r = b
@@ -310,7 +421,7 @@ def _ds_residual_d(b, u_hi, u_lo, n, use_pallas):
     """ds_residual, via the fused streaming kernel when applicable (one
     launch, 4 HBM passes, no full-size temporaries — required at 16385^2
     where the jnp expression's temporaries exhaust HBM)."""
-    if use_pallas:
+    if use_pallas and b.ndim == 2:
         from .kernels import compres
         if compres.supported(b.shape[-1], b.dtype):
             return compres.ds_residual_pallas(b, u_hi, u_lo, n)
@@ -318,7 +429,7 @@ def _ds_residual_d(b, u_hi, u_lo, n, use_pallas):
 
 
 def _ts_residual_d(b, u_hi, u_mid, u_lo, n, use_pallas):
-    if use_pallas:
+    if use_pallas and b.ndim == 2:
         from .kernels import compres
         if compres.supported(b.shape[-1], b.dtype):
             return compres.ts_residual_pallas(b, u_hi, u_mid, u_lo, n)
@@ -388,7 +499,7 @@ def solve_refined_ds(hier: Hierarchy, cfg: MultigridConfig, b, *,
                 else jnp.zeros_like(u_hi))
         r = _ds_residual_d(b, u_hi, u_lo, op.n, cfg.use_pallas)
     else:
-        u_hi = jnp.zeros((op.S, op.S), b.dtype)
+        u_hi = jnp.zeros(getattr(op, "grid_shape", (op.S, op.S)), b.dtype)
         u_lo = jnp.zeros_like(u_hi)
         r = b
     r0 = ops.norm2(r)
