@@ -104,3 +104,25 @@ def test_api_refined_mode():
     assert bool(res.converged)
     h = np.asarray(res.res_history)
     assert h[int(res.iterations)] < 1e-9 * h[0] * 1.01
+
+
+def test_debug_guards_3d():
+    """The sanitizers dispatch on rank: 3D grids/operators/transfers."""
+    import numpy as np
+    import jax.numpy as jnp
+    from tpu_multigrid.core.operators import ConstStencilOp3D
+    from tpu_multigrid.utils import debug
+
+    op = ConstStencilOp3D(8, 16, 128)
+    debug.check_operator(op)
+    debug.check_transfer_pair(nf=8, ndim=3)
+    g = np.zeros((16, 16, 128), np.float32)
+    g[1:8, 1:8, 1:8] = 1.0
+    debug.check_grid(g, 8)
+    g[0, 0, 0] = 1.0
+    try:
+        debug.check_grid(g, 8)
+    except AssertionError:
+        pass
+    else:
+        raise AssertionError("boundary violation not caught")

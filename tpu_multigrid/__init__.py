@@ -9,16 +9,17 @@ over HBM-resident grids, with fused Pallas stencil kernels and 2D
 ``shard_map`` domain decomposition.
 """
 
-from .api import (extract_solution, solve_diffusion, solve_poisson,
-                  solve_poisson3d)
+from .api import (extract_solution, solve_diffusion, solve_helmholtz,
+                  solve_poisson, solve_poisson3d)
 from .config import REFERENCE_CONFIG, MultigridConfig
 from .core import (ConstStencilOp, Hierarchy, VarStencilOp,
                    build_galerkin_hierarchy, build_poisson_hierarchy, ops)
 from .cycles import SolveResult, cycle, fmg, solve_fixed, solve_until_tol
 from .krylov import pcg_solve
 from .problems import (AnisotropicPoissonProblem, DiffusionProblem,
-                       MixedBCPoissonProblem, Poisson3DProblem,
-                       PoissonProblem, poisson3d_rhs, poisson_rhs)
+                       HelmholtzProblem, MixedBCPoissonProblem,
+                       Poisson3DProblem, PoissonProblem, poisson3d_rhs,
+                       poisson_rhs)
 from .topo import (EllOp, TopoHierarchy, TopoTransfer,
                    build_structured_topo_hierarchy, fmg_topo, solve_topo,
                    vcycle_topo)
@@ -28,11 +29,13 @@ __version__ = "0.1.0"
 __all__ = [
     "MultigridConfig", "REFERENCE_CONFIG",
     "solve_poisson", "solve_diffusion", "solve_poisson3d",
+    "solve_helmholtz",
     "extract_solution",
     "SolveResult", "cycle", "fmg", "solve_fixed", "solve_until_tol",
     "pcg_solve",
     "PoissonProblem", "DiffusionProblem", "poisson_rhs",
     "Poisson3DProblem", "poisson3d_rhs", "MixedBCPoissonProblem",
+    "HelmholtzProblem",
     "AnisotropicPoissonProblem",
     "Hierarchy", "ConstStencilOp", "VarStencilOp",
     "build_poisson_hierarchy", "build_galerkin_hierarchy", "ops",

@@ -105,6 +105,39 @@ def solve_diffusion(
                 boundary=boundary)
 
 
+def solve_helmholtz(
+    finest_level: int = 10,
+    *,
+    shift: Union[float, Callable] = 1.0,
+    config: Optional[MultigridConfig] = None,
+    forcing: Union[float, Callable] = 4.0,
+    boundary=None,
+    tol: Optional[float] = 1e-8,
+    max_cycles: int = 100,
+    num_cycles: Optional[int] = None,
+    use_fmg: bool = False,
+    jit: bool = True,
+) -> SolveResult:
+    """Solve -lap(u) + shift*u = forcing (reaction-diffusion / shifted
+    Poisson), homogeneous or lifted Dirichlet BCs.
+
+    ``shift`` is a constant c >= 0 or a callable c(x, y) (mildly negative
+    shifts with 4 + c h^2 > 0 are accepted — the operator must stay
+    positive definite).  Runs on the variable-coefficient machinery, so
+    the fused Pallas var-stencil kernels and all drivers apply
+    (problems/helmholtz.py).
+    """
+    if config is None:
+        config = MultigridConfig(finest_level=finest_level)
+    elif config.finest_level != finest_level:
+        config = dataclasses.replace(config, finest_level=finest_level)
+    from .problems import HelmholtzProblem
+    problem = HelmholtzProblem(config, shift=shift, forcing=forcing,
+                               **_pad_kw(config))
+    return _run(problem, config, tol, max_cycles, num_cycles, use_fmg, jit,
+                boundary=boundary)
+
+
 def solve_poisson3d(
     finest_level: int = 6,
     *,

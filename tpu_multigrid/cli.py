@@ -136,7 +136,7 @@ def main(argv=None):
                             neumann=tuple(args.neumann),
                             neumann_value=args.neumann_value, **kw)
     elif args.command == "solve3d":
-        res = solve_poisson3d(args.level, **kw)
+        res = solve_poisson3d(args.level, refined=args.refined, **kw)
     elif args.command == "anisotropic":
         from .problems import AnisotropicPoissonProblem
         from .cycles import fmg as _fmg, solve_fixed, solve_until_tol

@@ -3,7 +3,8 @@ from .poisson3d import Poisson3DProblem, poisson3d_rhs
 from .diffusion import DiffusionProblem
 from .mixedbc import MixedBCPoissonProblem
 from .anisotropic import AnisotropicPoissonProblem
+from .helmholtz import HelmholtzProblem
 
 __all__ = ["PoissonProblem", "poisson_rhs", "DiffusionProblem",
            "Poisson3DProblem", "poisson3d_rhs", "MixedBCPoissonProblem",
-           "AnisotropicPoissonProblem"]
+           "AnisotropicPoissonProblem", "HelmholtzProblem"]

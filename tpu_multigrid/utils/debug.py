@@ -33,17 +33,21 @@ def debug_nans(enable: bool = True):
 
 
 def check_grid(u, n: int, *, name: str = "grid") -> None:
-    """Assert the padded-grid invariants: 2D square, finite, and zero
-    outside the interior."""
+    """Assert the padded-grid invariants: finite and zero outside the
+    interior.  2D grids must be square; 3D grids may be non-cubic
+    (lane-aligned (Sz, Sy, Sx) padding, core.ops3d)."""
     u = np.asarray(u)
-    if u.ndim != 2 or u.shape[0] != u.shape[1]:
-        raise AssertionError(f"{name}: expected square 2D grid, got {u.shape}")
-    if u.shape[0] < n + 1:
-        raise AssertionError(f"{name}: S={u.shape[0]} < n+1={n + 1}")
+    if u.ndim not in (2, 3):
+        raise AssertionError(f"{name}: expected 2D/3D grid, got {u.shape}")
+    if u.ndim == 2 and u.shape[0] != u.shape[1]:
+        raise AssertionError(f"{name}: expected square 2D grid, got "
+                             f"{u.shape}")
+    if min(u.shape) < n + 1:
+        raise AssertionError(f"{name}: shape {u.shape} < n+1={n + 1}")
     if not np.all(np.isfinite(u)):
         raise AssertionError(f"{name}: non-finite values present")
     mask = np.zeros(u.shape, bool)
-    mask[1:n, 1:n] = True
+    mask[(slice(1, n),) * u.ndim] = True
     bad = np.abs(u[~mask]).max() if (~mask).any() else 0.0
     if bad != 0.0:
         raise AssertionError(
@@ -53,11 +57,14 @@ def check_grid(u, n: int, *, name: str = "grid") -> None:
 
 def check_operator(op, rng=None) -> None:
     """Operator sanity: symmetry, positive diagonal, masked output, and a
-    nonzero action (the reference's zeroed restriction would fail here)."""
+    nonzero action (the reference's zeroed restriction would fail here).
+    Works for 2D and 3D operators (dispatches on ``grid_shape``)."""
     rng = rng or np.random.default_rng(0)
-    n, S = op.n, op.S
-    x = np.zeros((S, S)); x[1:n, 1:n] = rng.standard_normal((n - 1, n - 1))
-    y = np.zeros((S, S)); y[1:n, 1:n] = rng.standard_normal((n - 1, n - 1))
+    n = op.n
+    shape = tuple(getattr(op, "grid_shape", (op.S, op.S)))
+    inter = (slice(1, n),) * len(shape)
+    x = np.zeros(shape); x[inter] = rng.standard_normal((n - 1,) * len(shape))
+    y = np.zeros(shape); y[inter] = rng.standard_normal((n - 1,) * len(shape))
     xj, yj = jnp.asarray(x, jnp.float32), jnp.asarray(y, jnp.float32)
     ax, ay = op.apply(xj), op.apply(yj)
     if float(jnp.max(jnp.abs(ax))) == 0.0:
@@ -71,17 +78,25 @@ def check_operator(op, rng=None) -> None:
         raise AssertionError(f"operator not positive definite: <x,Ax>={xAx}")
 
 
-def check_transfer_pair(nf: int = 16, rng=None) -> None:
-    """R = P^T adjointness — the single test that would have caught the
-    reference's (1/16)=0 restriction bug."""
+def check_transfer_pair(nf: int = 16, rng=None, ndim: int = 2) -> None:
+    """R = c P^T adjointness (c = 1 in 2D, 1/2 in 3D — core.ops3d) — the
+    single test that would have caught the reference's (1/16)=0
+    restriction bug."""
     rng = rng or np.random.default_rng(0)
     Sf, Sc, nc = nf + 1, nf // 2 + 1, nf // 2
-    r = np.zeros((Sf, Sf)); r[1:nf, 1:nf] = rng.standard_normal((nf - 1, nf - 1))
-    e = np.zeros((Sc, Sc)); e[1:nc, 1:nc] = rng.standard_normal((nc - 1, nc - 1))
+    r = np.zeros((Sf,) * ndim)
+    r[(slice(1, nf),) * ndim] = rng.standard_normal((nf - 1,) * ndim)
+    e = np.zeros((Sc,) * ndim)
+    e[(slice(1, nc),) * ndim] = rng.standard_normal((nc - 1,) * ndim)
     rj, ej = jnp.asarray(r, jnp.float32), jnp.asarray(e, jnp.float32)
-    lhs = float(jnp.vdot(ops.restrict_fw(rj, nf, Sc), ej))
-    rhs = float(jnp.vdot(rj, ops.prolong(ej, nc, Sf)))
+    if ndim == 3:
+        from ..core import ops3d
+        lhs = float(jnp.vdot(ops3d.restrict_fw3(rj, nf, Sc), ej))
+        rhs = 0.5 * float(jnp.vdot(rj, ops3d.prolong3(ej, nc, Sf)))
+    else:
+        lhs = float(jnp.vdot(ops.restrict_fw(rj, nf, Sc), ej))
+        rhs = float(jnp.vdot(rj, ops.prolong(ej, nc, Sf)))
     if abs(lhs - rhs) > 1e-4 * (abs(lhs) + abs(rhs) + 1e-30):
-        raise AssertionError(f"R != P^T: <Rr,e>={lhs} != <r,Pe>={rhs}")
+        raise AssertionError(f"R != c*P^T: <Rr,e>={lhs} != c<r,Pe>={rhs}")
     if abs(lhs) < 1e-20:
         raise AssertionError("restriction output is identically zero")
