@@ -9,17 +9,17 @@ over HBM-resident grids, with fused Pallas stencil kernels and 2D
 ``shard_map`` domain decomposition.
 """
 
-from .api import (extract_solution, solve_diffusion, solve_helmholtz,
-                  solve_poisson, solve_poisson3d)
+from .api import (extract_solution, solve_diffusion, solve_diffusion3d,
+                  solve_helmholtz, solve_poisson, solve_poisson3d)
 from .config import REFERENCE_CONFIG, MultigridConfig
 from .core import (ConstStencilOp, Hierarchy, VarStencilOp,
                    build_galerkin_hierarchy, build_poisson_hierarchy, ops)
 from .cycles import SolveResult, cycle, fmg, solve_fixed, solve_until_tol
 from .krylov import pcg_solve
-from .problems import (AnisotropicPoissonProblem, DiffusionProblem,
-                       HelmholtzProblem, MixedBCPoissonProblem,
-                       Poisson3DProblem, PoissonProblem, poisson3d_rhs,
-                       poisson_rhs)
+from .problems import (AnisotropicPoissonProblem, Diffusion3DProblem,
+                       DiffusionProblem, HelmholtzProblem,
+                       MixedBCPoissonProblem, Poisson3DProblem,
+                       PoissonProblem, poisson3d_rhs, poisson_rhs)
 from .topo import (EllOp, TopoHierarchy, TopoTransfer,
                    build_structured_topo_hierarchy, fmg_topo, solve_topo,
                    vcycle_topo)
@@ -35,7 +35,7 @@ __all__ = [
     "pcg_solve",
     "PoissonProblem", "DiffusionProblem", "poisson_rhs",
     "Poisson3DProblem", "poisson3d_rhs", "MixedBCPoissonProblem",
-    "HelmholtzProblem",
+    "HelmholtzProblem", "Diffusion3DProblem", "solve_diffusion3d",
     "AnisotropicPoissonProblem",
     "Hierarchy", "ConstStencilOp", "VarStencilOp",
     "build_poisson_hierarchy", "build_galerkin_hierarchy", "ops",

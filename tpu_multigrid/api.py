@@ -182,6 +182,36 @@ def solve_poisson3d(
                 refined=refined)
 
 
+def solve_diffusion3d(
+    finest_level: int = 6,
+    *,
+    coefficient: Union[float, Callable] = 1.0,
+    config: Optional[MultigridConfig] = None,
+    forcing: Union[float, Callable] = 6.0,
+    tol: Optional[float] = 1e-8,
+    max_cycles: int = 100,
+    num_cycles: Optional[int] = None,
+    use_fmg: bool = False,
+    jit: bool = True,
+) -> SolveResult:
+    """Solve -div(a grad u) = forcing on the unit cube with per-cell
+    coefficients a(x, y, z) (problems/diffusion3d.py).
+
+    Runs the jnp 7-point flux-stencil path (the 3D Pallas kernels are
+    specialized to the constant stencil); coarse operators re-discretize
+    from 2x2x2 cell-averaged coefficients.
+    """
+    if config is None:
+        config = MultigridConfig(finest_level=finest_level,
+                                 smoother="chebyshev", nu1=3, nu2=2)
+    elif config.finest_level != finest_level:
+        config = dataclasses.replace(config, finest_level=finest_level)
+    from .problems import Diffusion3DProblem
+    problem = Diffusion3DProblem(config, coefficient=coefficient,
+                                 forcing=forcing)
+    return _run(problem, config, tol, max_cycles, num_cycles, use_fmg, jit)
+
+
 def _run(problem, config, tol, max_cycles, num_cycles, use_fmg, use_jit,
          refined: bool = False, boundary=None):
     hier = problem.hierarchy

@@ -517,3 +517,162 @@ def galerkin_coarsen(fine: VarStencilOp, Sc: int) -> VarStencilOp:
     diag = coef[1, 1]
     inv_diag = jnp.where(m, 1.0 / jnp.where(m, diag, jnp.ones((), dt)), 0.0).astype(dt)
     return VarStencilOp(coef, inv_diag, nc, Sc)
+
+
+@jax.tree_util.register_pytree_node_class
+class VarStencilOp3D:
+    """Variable-coefficient 7-point flux-stencil operator in 3D.
+
+    Stores the positive-direction edge transmissibilities ``tz``, ``ty``,
+    ``tx`` as node-shaped (Sz, Sy, Sx) arrays — ``tx[i, j, k]`` couples
+    node (i, j, k) to (i, j, k+1); the negative-direction coupling is the
+    shifted array (zero-invariant wrap onto masked padding).  ``a == 1``
+    reduces exactly to the 7-point Poisson stencil.  The jnp path serves
+    this operator (the Pallas 3D kernels are specialized to the constant
+    stencil); the cycle transfers dispatch on ``ndim``.
+    """
+
+    ndim = 3
+
+    def __init__(self, tz, ty, tx, inv_diag, n: int, S: int, Sx: int):
+        self.tz = tz
+        self.ty = ty
+        self.tx = tx
+        self.inv_diag = inv_diag
+        self.n = int(n)
+        self.S = int(S)
+        self.Sx = int(Sx)
+
+    def tree_flatten(self):
+        return ((self.tz, self.ty, self.tx, self.inv_diag),
+                (self.n, self.S, self.Sx))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+    @property
+    def grid_shape(self):
+        return (self.S, self.S, self.Sx)
+
+    def _mask(self, u):
+        from . import ops3d
+        return ops3d.mask_interior3(u, self.n)
+
+    def _diag(self, dtype):
+        d = (self.tx + jnp.roll(self.tx, 1, -1)
+             + self.ty + jnp.roll(self.ty, 1, -2)
+             + self.tz + jnp.roll(self.tz, 1, -3))
+        return d.astype(dtype)
+
+    def _off_diag_apply(self, u):
+        # coupling to +dir uses t at this node; to -dir the shifted t
+        acc = (self.tx * jnp.roll(u, -1, -1)
+               + jnp.roll(self.tx, 1, -1) * jnp.roll(u, 1, -1)
+               + self.ty * jnp.roll(u, -1, -2)
+               + jnp.roll(self.ty, 1, -2) * jnp.roll(u, 1, -2)
+               + self.tz * jnp.roll(u, -1, -3)
+               + jnp.roll(self.tz, 1, -3) * jnp.roll(u, 1, -3))
+        return acc.astype(u.dtype)
+
+    def apply(self, u):
+        out = self._diag(u.dtype) * u - self._off_diag_apply(u)
+        return self._mask(out.astype(u.dtype))
+
+    def residual(self, u, b):
+        return self._mask((b - self.apply(u)).astype(u.dtype))
+
+    def smooth(self, u, b, *, smoother: str, omega, sweeps: int):
+        if sweeps <= 0:
+            return u
+        from . import ops3d
+        m = ops3d.interior_mask3(u.shape[-3:], self.n)
+        inv_d = self.inv_diag.astype(u.dtype)
+        if smoother == "jacobi":
+            if isinstance(omega, tuple):
+                ws = tuple(omega[i % len(omega)] for i in range(sweeps))
+                v = u
+                for w in ws:
+                    vn = (jnp.asarray(1.0 - w, u.dtype) * v
+                          + jnp.asarray(w, u.dtype) * inv_d
+                          * (b + self._off_diag_apply(v)))
+                    v = jnp.where(m, vn, jnp.zeros((), u.dtype))
+                return v
+
+            w = jnp.asarray(omega, u.dtype)
+            om = jnp.asarray(1.0 - omega, u.dtype)
+
+            def body(_, v):
+                vn = om * v + w * inv_d * (b + self._off_diag_apply(v))
+                return jnp.where(m, vn, jnp.zeros((), u.dtype))
+
+            return jax.lax.fori_loop(0, sweeps, body, u,
+                                     unroll=min(sweeps, 4))
+        elif smoother == "rbgs":
+            shape = u.shape[-3:]
+            i = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+            j = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+            k = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
+            par = (i + j + k) % 2
+
+            def half(v, color):
+                vn = inv_d * (b + self._off_diag_apply(v))
+                return jnp.where(m & color, vn.astype(v.dtype), v)
+
+            def body(_, v):
+                v = half(v, par == 0)
+                return half(v, par == 1)
+
+            return jax.lax.fori_loop(0, sweeps, body, u,
+                                     unroll=min(sweeps, 4))
+        raise ValueError(f"unknown smoother {smoother!r}")
+
+    def __repr__(self):
+        return (f"VarStencilOp3D(n={self.n}, S={self.S}, Sx={self.Sx})")
+
+
+def diffusion_op3_host(cell_coeff, n: int, S: int, Sx: int):
+    """3D -div(a grad u) as a 7-point flux stencil, built in host numpy.
+
+    ``cell_coeff`` has shape (n, n, n): one coefficient per cell.  The
+    transmissibility of the edge from node (i,j,k) in the +x direction is
+    the arithmetic mean of the FOUR cells sharing that edge (the 3D
+    analogue of :func:`diffusion_op_host`'s two-cell mean); ``a == 1``
+    reduces exactly to the 7-point Poisson stencil.  All arrays stay in
+    host memory until the hierarchy enters jit (tunnel readback is ~1
+    MB/s — see diffusion_op_host).
+    """
+    import numpy as np
+
+    cells = np.asarray(cell_coeff)
+    if cells.shape != (n, n, n):
+        raise ValueError(f"cell_coeff must be ({n},{n},{n}), got "
+                         f"{cells.shape}")
+    dt = cells.dtype
+    shape = (S, S, Sx)
+    cpad = np.zeros((S + 1, S + 1, Sx + 1), dt)
+    cpad[1: n + 1, 1: n + 1, 1: n + 1] = cells
+
+    def cview(di, dj, dk):
+        return cpad[di: di + S, dj: dj + S, dk: dk + Sx]
+
+    # Edge (i,j,k)->(i,j,k+1): cells (i-1..i, j-1..j, k) -> cview offsets
+    # (0|1, 0|1, 1).  Analogously for y and z edges.
+    tx = 0.25 * (cview(0, 0, 1) + cview(0, 1, 1)
+                 + cview(1, 0, 1) + cview(1, 1, 1))
+    ty = 0.25 * (cview(0, 1, 0) + cview(0, 1, 1)
+                 + cview(1, 1, 0) + cview(1, 1, 1))
+    tz = 0.25 * (cview(1, 0, 0) + cview(1, 0, 1)
+                 + cview(1, 1, 0) + cview(1, 1, 1))
+
+    def rollp(t, ax):
+        return np.roll(t, 1, ax)
+
+    diag = (tx + rollp(tx, 2) + ty + rollp(ty, 1) + tz + rollp(tz, 0))
+    inter = np.zeros(shape, bool)
+    inter[1: n, 1: n, 1: n] = True
+    inv_diag = np.zeros(shape, dt)
+    inv_diag[inter] = 1.0 / diag[inter]
+    return VarStencilOp3D(tx=tx.astype(dt), ty=ty.astype(dt),
+                          tz=tz.astype(dt), inv_diag=inv_diag,
+                          n=n, S=S, Sx=Sx)

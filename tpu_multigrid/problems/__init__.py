@@ -4,7 +4,8 @@ from .diffusion import DiffusionProblem
 from .mixedbc import MixedBCPoissonProblem
 from .anisotropic import AnisotropicPoissonProblem
 from .helmholtz import HelmholtzProblem
+from .diffusion3d import Diffusion3DProblem
 
 __all__ = ["PoissonProblem", "poisson_rhs", "DiffusionProblem",
            "Poisson3DProblem", "poisson3d_rhs", "MixedBCPoissonProblem",
-           "AnisotropicPoissonProblem", "HelmholtzProblem"]
+           "AnisotropicPoissonProblem", "HelmholtzProblem", "Diffusion3DProblem"]
