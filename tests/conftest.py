@@ -28,3 +28,20 @@ import pytest
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Bound in-process XLA/LLVM state accumulation.
+
+    The XLA:CPU compiler intermittently SEGFAULTS late in the full suite
+    (~15 min of accumulated jit executables; observed repeatedly in
+    backend_compile_and_load compiling var-stencil smoother loops in the
+    alphabetically-last test module, each time at a different test).
+    Dropping compiled programs between modules keeps the process state
+    small; per-module recompiles of shared ops cost seconds.
+    """
+    yield
+    import jax
+
+    jax.clear_caches()

@@ -119,8 +119,10 @@ def test_cycle_pallas_matches_jnp_interpret():
     jaxpr = str(jax.make_jaxpr(
         lambda h, u, bb: cycle(h, cfg, u, bb))(prob.hierarchy, u0, b))
     assert "pallas_call" in jaxpr
+    run_cycle = jax.jit(lambda h, u, bb: cycle(h, cfg, u, bb))
     with pltpu.force_tpu_interpret_mode():
-        up = cycle(prob.hierarchy, cfg, u0, b)
+        up = run_cycle(prob.hierarchy, u0, b)
+        jax.block_until_ready(up)
     uj = cycle(prob.hierarchy, dataclasses.replace(cfg, use_pallas=False),
                u0, b)
     np.testing.assert_allclose(np.asarray(up), np.asarray(uj), atol=2e-6)

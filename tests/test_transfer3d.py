@@ -134,9 +134,17 @@ def test_fused_cycle_matches_jnp():
     assert not cycles._use_super_kernels3(op, opc, cfg, jnp.float32)
     b = prob.rhs()
     u0 = jnp.zeros_like(b)
+    # One jitted program per interpret call: EAGER cycles under interpret
+    # mode dispatch hundreds of ops that race interpret's device-barrier
+    # io_callbacks on this 1-core host (observed suite hangs with the
+    # main thread mid-trace and a callback thread stuck in
+    # update_clocks_for_device_barrier).
+    run_cycle = jax.jit(lambda h, u, bb: cycles.cycle(h, cfg, u, bb))
+    run_norm = jax.jit(
+        lambda h, u, bb: cycles.cycle_with_norm(h, cfg, u, bb))
     with pltpu.force_tpu_interpret_mode():
-        up = sync(cycles.cycle(prob.hierarchy, cfg, u0, b))
-        upn, nn = sync(cycles.cycle_with_norm(prob.hierarchy, cfg, u0, b))
+        up = sync(run_cycle(prob.hierarchy, u0, b))
+        upn, nn = sync(run_norm(prob.hierarchy, u0, b))
     cfgj = dataclasses.replace(cfg, use_pallas=False)
     uj = cycles.cycle(prob.hierarchy, cfgj, u0, b)
     wn = float(jnp.sqrt(jnp.sum(ops3d.residual3(

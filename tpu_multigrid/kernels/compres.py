@@ -160,8 +160,8 @@ def _comp_residual(arrays, *, n: int, window_fn):
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((S, S), dtype),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * k,
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * k,
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[pltpu.VMEM((2, WR, WC), dtype)] * k
         + [pltpu.SemaphoreType.DMA((2, k)),
            pltpu.SemaphoreType.DMA((2,))],

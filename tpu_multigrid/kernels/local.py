@@ -162,10 +162,10 @@ def _streamed_local(u, b, origin, *, n, steps, step_fn, want_residual):
             d.wait()
 
     out_shape = [jax.ShapeDtypeStruct((R, C), dtype)]
-    out_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]
+    out_specs = [pl.BlockSpec(memory_space=pl.ANY)]
     if want_residual:
         out_shape.append(jax.ShapeDtypeStruct((R, C), dtype))
-        out_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+        out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
     kern = kernel if want_residual else (
         lambda org, uh, bh, ou, *scr: kernel(org, uh, bh, ou, None, *scr))
 
@@ -173,8 +173,8 @@ def _streamed_local(u, b, origin, *, n, steps, step_fn, want_residual):
         kern,
         out_shape=tuple(out_shape) if want_residual else out_shape[0],
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                  pl.BlockSpec(memory_space=pltpu.ANY),
-                  pl.BlockSpec(memory_space=pltpu.ANY)],
+                  pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=tuple(out_specs) if want_residual else out_specs[0],
         scratch_shapes=[
             pltpu.VMEM((2, WR, C), dtype),
@@ -296,10 +296,10 @@ def _k1_local(u, b, origin, *, n, steps, smoother, omega):
         out_shape=(jax.ShapeDtypeStruct((R, C), dtype),
                    jax.ShapeDtypeStruct((Rc, Cc), dtype)),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                  pl.BlockSpec(memory_space=pltpu.ANY),
-                  pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=(pl.BlockSpec(memory_space=pltpu.ANY),
-                   pl.BlockSpec(memory_space=pltpu.ANY)),
+                  pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=(pl.BlockSpec(memory_space=pl.ANY),
+                   pl.BlockSpec(memory_space=pl.ANY)),
         scratch_shapes=[
             pltpu.VMEM((2, WFr, C), dtype),
             pltpu.VMEM((2, WFr, C), dtype),
@@ -420,8 +420,8 @@ def _k2_local(u, b, ec, origin, *, n, steps, smoother, omega,
         out_shape=(jax.ShapeDtypeStruct((R, C), dtype),
                    jax.ShapeDtypeStruct((1, 1), jnp.float32)),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
-                 + [pl.BlockSpec(memory_space=pltpu.ANY)] * 3,
-        out_specs=(pl.BlockSpec(memory_space=pltpu.ANY),
+                 + [pl.BlockSpec(memory_space=pl.ANY)] * 3,
+        out_specs=(pl.BlockSpec(memory_space=pl.ANY),
                    pl.BlockSpec(memory_space=pltpu.SMEM)),
         scratch_shapes=[
             pltpu.VMEM((2, WFr, C), dtype),

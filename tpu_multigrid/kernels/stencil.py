@@ -245,10 +245,10 @@ def _streamed(u, b, *, n: int, steps: int, step_fn, want_residual: bool):
             d.wait()
 
     out_shape = [jax.ShapeDtypeStruct((S, S), dtype)]
-    out_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]
+    out_specs = [pl.BlockSpec(memory_space=pl.ANY)]
     if want_residual:
         out_shape.append(jax.ShapeDtypeStruct((S, S), dtype))
-        out_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+        out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
 
     n_out_ch = 2 if want_residual else 1
     bytes_tile = WR * WC * jnp.dtype(dtype).itemsize
@@ -260,8 +260,8 @@ def _streamed(u, b, *, n: int, steps: int, step_fn, want_residual: bool):
     result = pl.pallas_call(
         kern,
         out_shape=tuple(out_shape) if want_residual else out_shape[0],
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
-                  pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=tuple(out_specs) if want_residual else out_specs[0],
         scratch_shapes=[
             pltpu.VMEM((2, WR, WC), dtype),

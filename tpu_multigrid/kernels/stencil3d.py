@@ -265,10 +265,10 @@ def _streamed3(u, b, *, n: int, steps: int, step_factory,
             d.wait()
 
     out_shape = [jax.ShapeDtypeStruct((Sz, Sy, Sx), dtype)]
-    out_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]
+    out_specs = [pl.BlockSpec(memory_space=pl.ANY)]
     if want_residual:
         out_shape.append(jax.ShapeDtypeStruct((Sz, Sy, Sx), dtype))
-        out_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+        out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
 
     n_out_ch = 2 if want_residual else 1
     bytes_win = WZ * WY * _row_bytes(Sx, dtype)
@@ -284,8 +284,8 @@ def _streamed3(u, b, *, n: int, steps: int, step_factory,
         kern,
         out_shape=tuple(out_shape) if want_residual else out_shape[0],
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                  pl.BlockSpec(memory_space=pltpu.ANY),
-                  pl.BlockSpec(memory_space=pltpu.ANY)],
+                  pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=tuple(out_specs) if want_residual else out_specs[0],
         scratch_shapes=[
             pltpu.VMEM((2, WZ, WY, Sx), dtype),

@@ -295,10 +295,10 @@ def _smooth_restrict(u, b, *, n, Sc, steps, smoother, omega):
         kernel,
         out_shape=(jax.ShapeDtypeStruct((S, S), dtype),
                    jax.ShapeDtypeStruct((Sc, Sc), dtype)),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
-                  pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=(pl.BlockSpec(memory_space=pltpu.ANY),
-                   pl.BlockSpec(memory_space=pltpu.ANY)),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=(pl.BlockSpec(memory_space=pl.ANY),
+                   pl.BlockSpec(memory_space=pl.ANY)),
         scratch_shapes=[
             pltpu.VMEM((2, WFr, WFc), dtype),
             pltpu.VMEM((2, WFr, WFc), dtype),
@@ -442,12 +442,12 @@ def _prolong_smooth(u, b, ec, *, n, steps, smoother, omega,
 
     out_shape = (jax.ShapeDtypeStruct((S, S), dtype),
                  jax.ShapeDtypeStruct((1, 1), jnp.float32))
-    out_specs = (pl.BlockSpec(memory_space=pltpu.ANY),
+    out_specs = (pl.BlockSpec(memory_space=pl.ANY),
                  pl.BlockSpec(memory_space=pltpu.SMEM))
     return pl.pallas_call(
         kernel,
         out_shape=out_shape,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 3,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
         out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((2, WFr, WFc), dtype),
@@ -599,8 +599,8 @@ def _restrict_only(r, *, n, Sc):
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((Sc, Sc), dtype),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((2, WFr, WFc), dtype),
             pltpu.VMEM((2, WFr // 2, WFc // 2), dtype),
@@ -693,8 +693,8 @@ def _prolong_add_only(u, ec, *, n):
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((S, S), dtype),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2,
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((2, WFr, WFc), dtype),
             pltpu.VMEM((2, Wrc, Wcc), dtype),
@@ -839,9 +839,9 @@ def _prolong_comp_only(ec, *, n, Sf):
         kernel,
         out_shape=(jax.ShapeDtypeStruct((S, S), dtype),
                    jax.ShapeDtypeStruct((S, S), dtype)),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=(pl.BlockSpec(memory_space=pltpu.ANY),
-                   pl.BlockSpec(memory_space=pltpu.ANY)),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=(pl.BlockSpec(memory_space=pl.ANY),
+                   pl.BlockSpec(memory_space=pl.ANY)),
         scratch_shapes=[
             pltpu.VMEM((2, Wrc, Wcc), dtype),
             pltpu.VMEM((2, WFr, WFc), dtype),

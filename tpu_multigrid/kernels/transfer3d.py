@@ -333,10 +333,10 @@ def _smooth_restrict3(u, b, *, n, shape_c, steps, smoother, omega,
         out_shape=(jax.ShapeDtypeStruct((Sz, Sy, Sx), dtype),
                    jax.ShapeDtypeStruct((Szc, Syc, Scx), dtype)),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                  pl.BlockSpec(memory_space=pltpu.ANY),
-                  pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=(pl.BlockSpec(memory_space=pltpu.ANY),
-                   pl.BlockSpec(memory_space=pltpu.ANY)),
+                  pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=(pl.BlockSpec(memory_space=pl.ANY),
+                   pl.BlockSpec(memory_space=pl.ANY)),
         scratch_shapes=[
             pltpu.VMEM((2, WZ, WY, Sx), dtype),
             pltpu.VMEM((2, WZ, WY, Sx), dtype),
@@ -530,7 +530,7 @@ def _prolong_smooth3(u, b, ec, *, n, steps, smoother, omega,
             out_ss[0, 0] = ss_acc[0, 0]
 
     out_shape = [jax.ShapeDtypeStruct((Sz, Sy, Sx), dtype)]
-    out_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]
+    out_specs = [pl.BlockSpec(memory_space=pl.ANY)]
     if want_resnorm:
         out_shape.append(jax.ShapeDtypeStruct((1, 1), jnp.float32))
         out_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
@@ -543,7 +543,7 @@ def _prolong_smooth3(u, b, ec, *, n, steps, smoother, omega,
     result = pl.pallas_call(
         kern,
         out_shape=tuple(out_shape) if want_resnorm else out_shape[0],
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 3,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
         out_specs=tuple(out_specs) if want_resnorm else out_specs[0],
         scratch_shapes=[
             pltpu.VMEM((2, WZ, WY, Sx), dtype),
@@ -774,8 +774,8 @@ def _prolong_smooth_local3(u, b, ec, origin, *, n, steps, smoother, omega,
         out_shape=(jax.ShapeDtypeStruct((Rz, Ry, Sx), dtype),
                    jax.ShapeDtypeStruct((1, 1), jnp.float32)),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
-                 + [pl.BlockSpec(memory_space=pltpu.ANY)] * 3,
-        out_specs=(pl.BlockSpec(memory_space=pltpu.ANY),
+                 + [pl.BlockSpec(memory_space=pl.ANY)] * 3,
+        out_specs=(pl.BlockSpec(memory_space=pl.ANY),
                    pl.BlockSpec(memory_space=pltpu.SMEM)),
         scratch_shapes=[
             pltpu.VMEM((2, WZ, WY, Sx), dtype),

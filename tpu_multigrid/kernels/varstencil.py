@@ -210,10 +210,10 @@ def _var_streamed(u, b, coef, *, n, steps, smoother, omega, want_residual):
             d.wait()
 
     out_shape = [jax.ShapeDtypeStruct((S, S), dtype)]
-    out_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]
+    out_specs = [pl.BlockSpec(memory_space=pl.ANY)]
     if want_residual:
         out_shape.append(jax.ShapeDtypeStruct((S, S), dtype))
-        out_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+        out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
 
     kern = kernel if want_residual else (
         lambda u_hbm, b_hbm, c_hbm, out_u, *scr: kernel(
@@ -222,7 +222,7 @@ def _var_streamed(u, b, coef, *, n, steps, smoother, omega, want_residual):
     return pl.pallas_call(
         kern,
         out_shape=tuple(out_shape) if want_residual else out_shape[0],
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 3,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
         out_specs=tuple(out_specs) if want_residual else out_specs[0],
         scratch_shapes=[
             pltpu.VMEM((2, WR, WC), dtype),

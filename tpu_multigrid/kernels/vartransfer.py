@@ -188,9 +188,9 @@ def _var_smooth_restrict(u, b, coef, *, n, Sc, steps, smoother, omega):
         kernel,
         out_shape=(jax.ShapeDtypeStruct((S, S), dtype),
                    jax.ShapeDtypeStruct((Sc, Sc), dtype)),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 3,
-        out_specs=(pl.BlockSpec(memory_space=pltpu.ANY),
-                   pl.BlockSpec(memory_space=pltpu.ANY)),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
+        out_specs=(pl.BlockSpec(memory_space=pl.ANY),
+                   pl.BlockSpec(memory_space=pl.ANY)),
         scratch_shapes=[
             pltpu.VMEM((2, WFr, WFc), dtype),
             pltpu.VMEM((2, WFr, WFc), dtype),
@@ -336,8 +336,8 @@ def _var_prolong_smooth(u, b, ec, coef, *, n, steps, smoother, omega,
         kernel,
         out_shape=(jax.ShapeDtypeStruct((S, S), dtype),
                    jax.ShapeDtypeStruct((1, 1), jnp.float32)),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 4,
-        out_specs=(pl.BlockSpec(memory_space=pltpu.ANY),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
+        out_specs=(pl.BlockSpec(memory_space=pl.ANY),
                    pl.BlockSpec(memory_space=pltpu.SMEM)),
         scratch_shapes=[
             pltpu.VMEM((2, WFr, WFc), dtype),

@@ -89,13 +89,23 @@ def stop_trace():
 
 
 def enable_compilation_cache(path: str = None):
-    """Enable JAX's persistent compilation cache.
+    """Enable JAX's persistent compilation cache (TPU platforms only).
 
     In this environment compiles route through a remote-compile tunnel at
     ~30-300 s per program; the on-disk cache makes repeated runs (bench,
     CLI, examples) start in seconds.  Verified working through the tunnel.
+
+    No-op when the selected platform is CPU: CPU compiles are fast, and
+    reading the shared cross-session cache from CPU runs has produced
+    deserialization SEGFAULTS in the test suite (observed in
+    compilation_cache.get_executable_and_time with entries accumulated
+    across sessions/platforms on this container).
     """
     import os
+    plats = (getattr(jax.config, "jax_platforms", None)
+             or os.environ.get("JAX_PLATFORMS", ""))
+    if plats.split(",")[0].strip() == "cpu":
+        return
     p = path or os.environ.get("JAX_COMPILATION_CACHE_DIR",
                                os.path.expanduser("~/.cache/jax_comp"))
     os.makedirs(p, exist_ok=True)
