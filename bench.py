@@ -26,6 +26,46 @@ except Exception:
     pass
 
 V5E_HBM_GBPS = 819.0  # v5e HBM bandwidth, GB/s
+# Practical streaming ceiling measured on this chip class (axpy, r1/r2
+# sessions): ~670 GB/s.  Absolute chip timings vary ~30% between sessions
+# (CLAUDE.md), so every run re-measures the axpy ceiling in-session and the
+# JSON carries both the fixed-constant normalization (vs_baseline) and one
+# rescaled by measured-vs-nominal ceiling (vs_baseline_session_norm).
+AXPY_NOMINAL_GBPS = 670.0
+
+
+def measure_axpy_gbps(S=8320, reps=3):
+    """Same-session streaming ceiling: 3-pass axpy at the bench's grid size.
+
+    Uses the identical two-iteration-count slope methodology as the V-cycle
+    timing (scalar readback = the only sync on the tunneled device), so the
+    ratio vcycle_vs_axpy is apples-to-apples.
+    """
+    u = jnp.zeros((S, S), jnp.float32)
+    b = jnp.ones((S, S), jnp.float32)
+
+    def make(k):
+        @jax.jit
+        def run(u, b):
+            out = jax.lax.fori_loop(
+                0, k, lambda i, s: s * 0.999 + b * 1e-6, u)
+            return out[0, 0] + out[1, 1]
+        return run
+
+    c1, c2 = 8, 40
+    r1, r2 = make(c1), make(c2)
+    float(r1(u, b)); float(r2(u, b))
+
+    def t(f):
+        t0 = time.perf_counter()
+        float(f(u, b))
+        return time.perf_counter() - t0
+
+    best = math.inf
+    for _ in range(reps):
+        best = min(best, (t(r2) - t(r1)) / (c2 - c1))
+    best = max(best, 1e-9)
+    return 3.0 * S * S * 4 / best / 1e9
 
 
 def vcycle_traffic_bytes(sizes, nu1, nu2, itemsize, smoother="jacobi"):
@@ -150,6 +190,15 @@ def run_bench(level, cycles, nu1, nu2, smoother, use_pallas, dtype, repeats,
         cycles_to_1e8 = (int(math.ceil(math.log(1e-8) / math.log(rho)))
                          if 0 < rho < 1 else None)
 
+    # Same-session calibration: the axpy streaming ceiling on this chip
+    # right now.  Separates chip-state drift from real regressions across
+    # rounds (VERDICT r2 weak #7).
+    # Always calibrate at full streaming size on the chip (tiny grids are
+    # latency-bound and would report a meaningless ceiling); CPU test runs
+    # stay small.
+    on_cpu = jax.devices()[0].platform == "cpu"
+    axpy_gbps = measure_axpy_gbps(S=min(op.S, 2048) if on_cpu else 8320)
+
     n = op.n
     dofs = (n - 1) ** 2
     dof_per_sec = dofs / best
@@ -166,6 +215,9 @@ def run_bench(level, cycles, nu1, nu2, smoother, use_pallas, dtype, repeats,
         "dof_per_sec": dof_per_sec,
         "effective_gbps": eff_gbps,
         "bandwidth_fraction": bw_frac,
+        "axpy_gbps": axpy_gbps,
+        "vcycle_vs_axpy": eff_gbps / axpy_gbps,
+        "session_ceiling_scale": axpy_gbps / AXPY_NOMINAL_GBPS,
         "target_dof_per_sec": target_dof_per_sec,
         "compile_s": compile_s,
         "reduction_per_cycle": round(rho, 4),
@@ -228,6 +280,13 @@ def main():
         "value": round(stats["dof_per_sec"], 1),
         "unit": "DOF/s",
         "vs_baseline": round(stats["dof_per_sec"] / stats["target_dof_per_sec"], 4),
+        # vs_baseline with the target rescaled by the *measured* session
+        # streaming ceiling (axpy) relative to the nominal 670 GB/s: on a
+        # slow-session chip this reads higher than vs_baseline, on a fast
+        # one lower.  Compare THIS number across rounds.
+        "vs_baseline_session_norm": round(
+            stats["dof_per_sec"] / stats["target_dof_per_sec"]
+            / stats["session_ceiling_scale"], 4),
         "detail": {k: (round(v, 4) if isinstance(v, float) else v)
                    for k, v in stats.items()},
     }
