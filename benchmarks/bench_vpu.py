@@ -41,7 +41,7 @@ def _iterate_kernel(op, iters):
     return kernel
 
 
-def loop_time(op, x, aux, n1=8, n2=40, reps=3):
+def loop_time(op, x, aux, n1=100, n2=4100, reps=7):
     def make(iters):
         f = pl.pallas_call(
             _iterate_kernel(op, iters),
@@ -56,12 +56,13 @@ def loop_time(op, x, aux, n1=8, n2=40, reps=3):
         return run
     r1, r2 = make(n1), make(n2)
     float(r1(x, aux)); float(r2(x, aux))
-    best = float("inf")
+    t1s, t2s = [], []
     for _ in range(reps):
-        t0 = time.perf_counter(); float(r1(x, aux)); t1 = time.perf_counter() - t0
-        t0 = time.perf_counter(); float(r2(x, aux)); t2 = time.perf_counter() - t0
-        best = min(best, (t2 - t1) / (n2 - n1))
-    return best
+        t0 = time.perf_counter(); float(r1(x, aux)); t1s.append(time.perf_counter() - t0)
+        t0 = time.perf_counter(); float(r2(x, aux)); t2s.append(time.perf_counter() - t0)
+    t1s.sort(); t2s.sort()
+    med1, med2 = t1s[len(t1s) // 2], t2s[len(t2s) // 2]
+    return (med2 - med1) / (n2 - n1)
 
 
 def main():
@@ -83,11 +84,14 @@ def main():
         print(f"{name:38s} {dt*1e6:9.2f} {dt/cells*1e9:8.3f}", flush=True)
 
     step = _jacobi_step(2.0 / 3.0)
-    gi = jax.lax.broadcasted_iota(jnp.int32, (R, C), 0)
-    gj = jax.lax.broadcasted_iota(jnp.int32, (R, C), 1)
-    # static-ish interior mask recomputed from the aux arg so it can't be
-    # hoisted out of the pallas body entirely (it IS loop-invariant, as in
-    # the production kernels)
+
+    def mask(shape):
+        # iotas computed inside the kernel body (capture is disallowed);
+        # loop-invariant, as in the production kernels
+        gi = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+        gj = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+        return ((gi >= 1) & (gi <= shape[0] - 2)
+                & (gj >= 1) & (gj <= shape[1] - 2))
 
     report("mul (1 op baseline)", lambda s, a: s * 1.000001)
     report("add aux", lambda s, a: s + a)
@@ -96,8 +100,7 @@ def main():
     report("nbr (4 rolls + 3 adds)", lambda s, a: _nbr(s))
 
     def jac(s, a):
-        interior = (gi >= 1) & (gi <= R - 2) & (gj >= 1) & (gj <= C - 2)
-        return step(s, a, interior, None, 0)
+        return step(s, a, mask(s.shape), None, 0)
     report("jacobi step (masked)", jac)
 
     def jac_nomask(s, a):
@@ -105,27 +108,50 @@ def main():
     report("jacobi step (unmasked)", jac_nomask)
 
     report("where(mask) only",
-           lambda s, a: jnp.where((gi >= 1) & (gi <= R - 2)
-                                  & (gj >= 1) & (gj <= C - 2),
-                                  s, jnp.zeros((), s.dtype)))
+           lambda s, a: jnp.where(mask(s.shape), s,
+                                  jnp.zeros((), s.dtype)))
     report("transpose pair (2x)", lambda s, a: (s.T * 1.000001).T)
 
     def rowint(s, a):
         return T._row_interleave(s[: R // 2] * 1.000001, s[R // 2:])
     report("row de+interleave (sublane)", rowint)
 
-    def dus_half(s, a):
-        return jax.lax.dynamic_update_slice(
-            s, s[: R // 2, : C // 2] * 1.000001, (0, 0))
-    report("slice+mul+dus (half window)", dus_half)
+    report("residual (masked)",
+           lambda s, a: jnp.where(mask(s.shape),
+                                  a - 4.0 * s + _nbr(s),
+                                  jnp.zeros((), s.dtype)))
+    report("fw_aggregate (shape-preserving)",
+           lambda s, a: T._fw_aggregate(s))
 
-    def even2_dus(s, a):
-        return jax.lax.dynamic_update_slice(s, T._even2(s), (0, 0))
-    report("even2 + dus", even2_dus)
+    # Shape-preserving round-trips (dynamic_update_slice does not lower in
+    # Mosaic): decimations are re-expanded with _interleave2, whose own cost
+    # is measured separately from static quarter slices and subtracted.
+    def int2_only(s, a):
+        return T._interleave2(s[: R // 2, : C // 2] * 1.000001,
+                              s[R // 2:, : C // 2],
+                              s[: R // 2, C // 2:],
+                              s[R // 2:, C // 2:])
+    report("interleave2 (from quarters)", int2_only)
 
-    def fw_dus(s, a):
-        return jax.lax.dynamic_update_slice(s, T._fw_even2(s), (0, 0))
-    report("fw_even2 + dus", fw_dus)
+    def even2_rt(s, a):
+        e = T._even2(s)
+        return T._interleave2(e, e, e, e)
+    report("even2 + interleave2 roundtrip", even2_rt)
+
+    def fw_even2_rt(s, a):
+        e = T._fw_even2(s)
+        return T._interleave2(e, e, e, e)
+    report("fw_even2 + interleave2 roundtrip", fw_even2_rt)
+
+    # Full K1 tile body (2 jacobi + residual + fw_even2), re-expanded.
+    def k1_body(s, a):
+        m = mask(s.shape)
+        st = step(s, a, m, None, 0)
+        st = step(st, a, m, None, 1)
+        r = jnp.where(m, a - 4.0 * st + _nbr(st), jnp.zeros((), s.dtype))
+        e = T._fw_even2(r)
+        return T._interleave2(e, e, e, e)
+    report("K1 body (2 jac + res + fw_even2)", k1_body)
 
     # prolong/even2 pair on a coarse carry
     c = x[: R // 2, : C // 2]
@@ -135,6 +161,17 @@ def main():
     dt = loop_time(prolong_even2, c, c)
     print(f"{'bilinear_prolong + even2 (coarse)':38s} {dt*1e6:9.2f} "
           f"{dt/cells*1e9:8.3f}", flush=True)
+
+    # Full K2 tile body on the fine carry (prolong consumes a static
+    # quarter-slice standing in for the coarse window).
+    def k2_body(s, a):
+        m = mask(s.shape)
+        corr = T._bilinear_prolong(s[: R // 2, : C // 2])
+        st = jnp.where(m, s + corr, jnp.zeros((), s.dtype))
+        st = step(st, a, m, None, 0)
+        st = step(st, a, m, None, 1)
+        return st
+    report("K2 body (prolong + add + 2 jac)", k2_body)
 
 
 if __name__ == "__main__":

@@ -32,6 +32,9 @@ def solve_poisson(
     refined: bool = False,
     neumann=(),
     neumann_value=0.0,
+    mesh=None,
+    u0=None,
+    dist_path: str = "jnp",
     jit: bool = True,
 ) -> SolveResult:
     """Solve -lap(u) = forcing on the unit square.
@@ -53,6 +56,13 @@ def solve_poisson(
         config = MultigridConfig(finest_level=finest_level)
     elif config.finest_level != finest_level:
         config = dataclasses.replace(config, finest_level=finest_level)
+    if mesh is not None:
+        return _solve_on_mesh(config, mesh, forcing=forcing, u0=u0,
+                              tol=tol, max_cycles=max_cycles,
+                              num_cycles=num_cycles, use_fmg=use_fmg,
+                              dist_path=dist_path, jit=jit,
+                              boundary=boundary, neumann=neumann,
+                              refined=refined)
     if neumann:
         if boundary is not None:
             raise ValueError("neumann sides cannot be combined with the "
@@ -81,6 +91,38 @@ def _pad_kw(config: MultigridConfig) -> dict:
     return {}
 
 
+def _solve_on_mesh(config, mesh, *, forcing, u0, tol, max_cycles,
+                   num_cycles, use_fmg, dist_path, jit,
+                   coefficient=None, boundary=None, neumann=(),
+                   refined=False) -> SolveResult:
+    """Route a solve onto a device mesh (dist.shard_cycle /
+    dist.pallas_cycle) with the single-chip API surface."""
+    if boundary is not None or neumann:
+        raise ValueError("mesh= does not support boundary lifting or "
+                         "neumann sides yet; use the single-device path")
+    if refined:
+        raise ValueError("mesh= does not support refined=True yet")
+    if tol is None and num_cycles is None:
+        raise ValueError("need either tol or num_cycles (both are None)")
+    if dist_path == "pallas":
+        if coefficient is not None:
+            raise ValueError('dist_path="pallas" supports the constant '
+                             'Poisson stencil only (use dist_path="jnp" '
+                             'for variable coefficients)')
+        from .dist.pallas_cycle import sharded_solve_pallas
+        res, _ = sharded_solve_pallas(
+            config, mesh, forcing=forcing, u0=u0, use_fmg=use_fmg,
+            tol=tol if tol is not None else 0.0,
+            max_cycles=max_cycles, num_cycles=num_cycles, jit=jit)
+        return res
+    from .dist.shard_cycle import sharded_solve
+    res, _ = sharded_solve(
+        config, mesh, forcing=forcing, coefficient=coefficient, u0=u0,
+        use_fmg=use_fmg, tol=tol if tol is not None else 0.0,
+        max_cycles=max_cycles, num_cycles=num_cycles, jit=jit)
+    return res
+
+
 def solve_diffusion(
     finest_level: int = 10,
     *,
@@ -92,6 +134,8 @@ def solve_diffusion(
     max_cycles: int = 100,
     num_cycles: Optional[int] = None,
     use_fmg: bool = False,
+    mesh=None,
+    u0=None,
     jit: bool = True,
 ) -> SolveResult:
     """Solve -div(a grad u) = forcing with per-cell coefficients a."""
@@ -99,6 +143,12 @@ def solve_diffusion(
         config = MultigridConfig(finest_level=finest_level)
     elif config.finest_level != finest_level:
         config = dataclasses.replace(config, finest_level=finest_level)
+    if mesh is not None:
+        return _solve_on_mesh(config, mesh, forcing=forcing, u0=u0,
+                              tol=tol, max_cycles=max_cycles,
+                              num_cycles=num_cycles, use_fmg=use_fmg,
+                              dist_path="jnp", jit=jit,
+                              coefficient=coefficient, boundary=boundary)
     problem = DiffusionProblem(config, coefficient=coefficient,
                                forcing=forcing, **_pad_kw(config))
     return _run(problem, config, tol, max_cycles, num_cycles, use_fmg, jit,

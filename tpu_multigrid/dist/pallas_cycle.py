@@ -227,15 +227,76 @@ def _vcycle_pallas(levels: ShardedLevels, hier: Hierarchy,
     return KL.prolong_smooth_ext(u, b, ec, origin, n, cfg.nu2, sm2, om2)
 
 
+def _extend_local(blk, n: int, lr: int, lc: int):
+    """Wrap an (lr, lc) owned block into a ghost-extended block with
+    refreshed ghosts."""
+    ext = jnp.zeros((lr + 2 * GR, lc + 2 * GC), blk.dtype)
+    ext = lax.dynamic_update_slice(ext, blk, (GR, GC))
+    return refresh_ghosts(ext, n, lr, lc)
+
+
+def _fmg_pallas(levels: ShardedLevels, hier: Hierarchy,
+                cfg: MultigridConfig, mesh_shape: Tuple[int, int], b_ext):
+    """Full multigrid on the fused-Pallas distributed path (in shard_map).
+
+    The RHS chain restricts shard-locally on owned views (operator-
+    independent, one-shot — jnp local ops are fine here); each level's
+    ``nu0`` correction cycles run through the fused K1/K2 extended-block
+    kernels (:func:`_vcycle_pallas`).
+    """
+    my, mx = mesh_shape
+    nlev = len(levels.sizes)
+    ns = levels.num_sharded
+
+    bs_ext = [b_ext]
+    for k in range(ns - 1):
+        n, S = levels.sizes[k]
+        r_own = L.restrict_fw_local(owned_view(bs_ext[-1]), n)
+        bs_ext.append(_extend_local(r_own, n // 2, S // 2 // my, S // 2 // mx))
+    bs_full = [L.gather_full(
+        L.restrict_fw_local(owned_view(bs_ext[-1]), levels.sizes[ns - 1][0]))]
+    for k in range(ns, nlev - 1):
+        from ..core import ops
+        bs_full.append(ops.restrict_fw(bs_full[-1], levels.sizes[k][0],
+                                       levels.sizes[k + 1][1]))
+
+    from ..core import ops
+    u_full = jnp.zeros_like(bs_full[-1])
+    u_full = _coarsest_solve(hier, cfg, u_full, bs_full[-1])
+    for k in range(nlev - 2, ns - 1, -1):
+        u_full = ops.prolong(u_full, levels.sizes[k + 1][0],
+                             levels.sizes[k][1])
+        for _ in range(cfg.nu0):
+            u_full = _replicated_cycle(hier, cfg, k, u_full, bs_full[k - ns])
+
+    n, S = levels.sizes[ns - 1]
+    lr, lc = S // my, S // mx
+    u_ext = scatter_owned(ops.prolong(u_full, levels.sizes[ns][0], S),
+                          lr, lc, dtype=b_ext.dtype)
+    for _ in range(cfg.nu0):
+        u_ext = _vcycle_pallas(levels, hier, cfg, mesh_shape, ns - 1,
+                               u_ext, bs_ext[ns - 1])
+    for k in range(ns - 2, -1, -1):
+        n, S = levels.sizes[k]
+        u_own = L.prolong_local(owned_view(u_ext), levels.sizes[k + 1][0])
+        u_ext = _extend_local(u_own, n, S // my, S // mx)
+        for _ in range(cfg.nu0):
+            u_ext = _vcycle_pallas(levels, hier, cfg, mesh_shape, k,
+                                   u_ext, bs_ext[k])
+    return u_ext
+
+
 def sharded_solve_pallas(config: MultigridConfig, mesh: Mesh, *,
-                         forcing: float = 4.0, tol: float = 1e-5,
+                         forcing=4.0, u0=None, use_fmg: bool = False,
+                         tol: float = 1e-5,
                          max_cycles: int = 100,
                          num_cycles: Optional[int] = None,
                          replicate_below: int = 256, jit: bool = True):
     """Distributed Poisson solve on the fused Pallas local-kernel path.
 
-    Mirrors shard_cycle.sharded_solve's contract; ``result.u`` is the
-    sharded global (S, S) array (owned regions assembled).
+    Mirrors shard_cycle.sharded_solve's contract (callable ``forcing``,
+    ``u0``, ``use_fmg``); ``result.u`` is the sharded global (S, S) array
+    (owned regions assembled).
     """
     my, mx = mesh.devices.shape
     levels, hier = build_pallas_poisson(config, mesh,
@@ -248,17 +309,21 @@ def sharded_solve_pallas(config: MultigridConfig, mesh: Mesh, *,
     n0, S0 = levels.sizes[0]
     lr, lc = S0 // my, S0 // mx
     h2 = (1.0 / n0) ** 2
+    dt = jnp.dtype(config.dtype)
     spec = P(*GRID_AXES)
+    gspec = NamedSharding(mesh, spec)
 
-    b_glob = jax.device_put(np.zeros((S0, S0), np.float32),
-                            NamedSharding(mesh, spec))
+    b_glob = jax.device_put(np.zeros((S0, S0), dt), gspec)
+    u0_glob = jax.device_put(
+        np.zeros((S0, S0), dt) if u0 is None else np.asarray(u0, dt), gspec)
 
-    @functools.partial(shard_map, mesh=mesh, in_specs=(spec,),
+    @functools.partial(shard_map, mesh=mesh, in_specs=(spec, spec),
                        out_specs=(spec, P(), P(), P()),
                        check_vma=False)
-    def run(b_loc):
-        # Extended RHS: f * h^2 on owned interior, ghosts refreshed once.
-        ext = jnp.zeros((lr + 2 * GR, lc + 2 * GC), jnp.float32)
+    def run(b_loc, u0_loc):
+        # Extended RHS: f(x, y) * h^2 on owned interior, ghosts refreshed
+        # once (matching problems.poisson.poisson_rhs node coordinates).
+        ext = jnp.zeros((lr + 2 * GR, lc + 2 * GC), dt)
         oy = lax.axis_index(GY) * lr - GR
         ox = lax.axis_index(GX) * lc - GC
         gi = lax.broadcasted_iota(jnp.int32, ext.shape, 0) + oy
@@ -268,13 +333,23 @@ def sharded_solve_pallas(config: MultigridConfig, mesh: Mesh, *,
                  & (gi < (lax.axis_index(GY) + 1) * lr)
                  & (gj >= lax.axis_index(GX) * lc)
                  & (gj < (lax.axis_index(GX) + 1) * lc))
-        b_ext = jnp.where(inter & owned,
-                          jnp.asarray(forcing * h2, jnp.float32),
-                          jnp.zeros((), jnp.float32))
+        if callable(forcing):
+            h = 1.0 / n0
+            x = gj.astype(dt) * jnp.asarray(h, dt)
+            y = gi.astype(dt) * jnp.asarray(h, dt)
+            vals = forcing(x, y).astype(dt) * jnp.asarray(h2, dt)
+        else:
+            vals = jnp.full(ext.shape, float(forcing) * h2, dt)
+        b_ext = jnp.where(inter & owned, vals, jnp.zeros((), dt))
         b_ext = refresh_ghosts(b_ext, n0, lr, lc)
 
-        u = jnp.zeros_like(b_ext)
-        r0 = L.norm2_local(owned_view(b_ext))
+        if use_fmg:
+            u = _fmg_pallas(levels, hier, config, (my, mx), b_ext)
+        else:
+            u = _extend_local(u0_loc, n0, lr, lc)
+        # Initial residual at the actual starting iterate (u0/FMG-aware).
+        r0 = L.norm2_local(L.residual_local(owned_view(u),
+                                            owned_view(b_ext), n0))
         target = jnp.asarray(tol, jnp.float32) * r0
         ncyc = num_cycles if num_cycles is not None else max_cycles
         hist = jnp.full((ncyc + 1,), jnp.nan, jnp.float32).at[0].set(r0)
@@ -301,6 +376,6 @@ def sharded_solve_pallas(config: MultigridConfig, mesh: Mesh, *,
 
     if jit:
         run = jax.jit(run)
-    u, hist, iters, conv = run(b_glob)
+    u, hist, iters, conv = run(b_glob, u0_glob)
     return SolveResult(u=u, res_history=hist, iterations=iters,
                        converged=conv), levels
