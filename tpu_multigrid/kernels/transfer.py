@@ -148,24 +148,38 @@ def _fw_even2(r):
     return _even2(_fw_aggregate(r))
 
 
+def _rep2_rows(a):
+    """(R, C) -> (2R, C) with each row doubled: a0 a0 a1 a1 ..."""
+    r, c = a.shape
+    return jnp.broadcast_to(a[:, None, :], (r, 2, c)).reshape(2 * r, c)
+
+
+def _repeat2x2(c):
+    """(R, C) -> (2R, 2C), each element filling a 2x2 block."""
+    rr = _rep2_rows(c)                   # (2R, C)
+    return _rep2_rows(rr.T).T            # (2R, 2C)
+
+
 def _bilinear_prolong(c):
     """(R, C) coarse -> (2R, 2C) fine bilinear interpolation.
 
-    fine[2i,2j]=c[i,j]; fine[2i+1,2j]=(c[i,j]+c[i+1,j])/2; etc.  Uses rolls
-    for the +1 neighbor (wrap rows land outside the valid region, which the
-    caller's masks zero).  bf16 inputs compute in f32 (Mosaic cannot
-    shape-cast bf16 vectors) and cast back.
+    fine[2i,2j]=c[i,j]; fine[2i+1,2j]=(c[i,j]+c[i+1,j])/2; etc.  Formulated
+    as nearest-neighbor 2x2 replication followed by two averaging rolls
+    (with E = repeat2x2(c): F = (E + roll_up(E))/2 averages the odd rows,
+    then the same on columns) — algebraically identical to interleaving the
+    four phase averages but ~1.6x cheaper on the VPU (broadcast-reshape
+    replication is cheap; the phase-interleave needed six transposes,
+    bench_vpu2: 22.6 vs 35.4 us on a 144x2432 coarse window).  Wrap rows
+    land outside the valid region, which the caller's masks zero.  bf16
+    inputs compute in f32 (Mosaic cannot shape-cast bf16 vectors) and cast
+    back.
     """
     if c.dtype != jnp.float32:
         return _bilinear_prolong(c.astype(jnp.float32)).astype(c.dtype)
-    R, C = c.shape
-    cdn = _roll(c, R - 1, 0)                   # c[i+1, j]
-    crt = _roll(c, C - 1, 1)                   # c[i, j+1]
-    cdr = _roll(crt, R - 1, 0)                 # c[i+1, j+1]
-    va = 0.5 * (c + cdn)
-    ha = 0.5 * (c + crt)
-    qa = 0.25 * (c + cdn + crt + cdr)
-    return _interleave2(c, va, ha, qa)
+    E = _repeat2x2(c)
+    R2, C2 = E.shape
+    F = 0.5 * (E + _roll(E, R2 - 1, 0))
+    return 0.5 * (F + _roll(F, C2 - 1, 1))
 
 
 def _step_fn(smoother, omega):
