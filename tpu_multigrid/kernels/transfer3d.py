@@ -44,7 +44,7 @@ from jax.experimental.pallas import tpu as pltpu
 from .stencil import _roll
 from .stencil3d import (WINDOW_BYTES, _jacobi_step3, _rbgs_step3,
                         _residual_of3, _round_up, _row_bytes)
-from .transfer import _row_deinterleave, _row_interleave
+from .transfer import _row_deinterleave
 
 
 def _step_fn3(smoother, omega, wy):
@@ -168,37 +168,34 @@ def _decimate3(t, WZ: int, WY: int):
     return _row_deinterleave(t.T).T                 # x: (.., C/2)
 
 
+def _rep2_rows_blk(a, blk: int):
+    """(R, C) -> (2R, C) doubling each contiguous block of ``blk`` rows:
+    blk=1 doubles every row (y replication on the fused view); blk=Wyc
+    doubles whole z-planes."""
+    r, c = a.shape
+    return jnp.broadcast_to(a.reshape(r // blk, 1, blk, c),
+                            (r // blk, 2, blk, c)).reshape(2 * r, c)
+
+
 def _prolong3_vmem(c, Wzc: int, Wyc: int):
     """Trilinear prolongation on VMEM values: coarse (Wzc*Wyc, Cc) fused
     view -> fine (2Wzc * 2Wyc, 2Cc) fused view (plane stride 2*Wyc).
 
-    Roll-averaged parity phases (wrap garbage lands outside the valid
-    region; the caller's masks zero it), merged by interleaves.
+    Formulated as nearest-neighbor 2x replication per axis followed by one
+    averaging roll per axis on the fine view (the 3D analogue of the 2D
+    kernel's repeat2x2+rolls form, transfer.py:_bilinear_prolong) —
+    algebraically identical to interleaving the eight parity-phase
+    averages but far fewer interleave/transpose stages on the VPU.  Wrap
+    garbage (including y-rolls crossing plane seams in the fused view)
+    lands outside the valid region, which the caller's masks zero.
     """
-    R, Cc = c.shape
-
-    def avg(v, ax, shift):
-        return 0.5 * (v + _roll(v, shift, ax))
-
-    # phase[pz][py][px] on the coarse window, fused view
-    ph = {}
-    for pz in (0, 1):
-        vz = c if pz == 0 else avg(c, 0, (R - Wyc) % R)      # z+1 = +Wyc rows
-        for py in (0, 1):
-            vy = vz if py == 0 else avg(vz, 0, R - 1)        # y+1 = +1 row
-            for px in (0, 1):
-                ph[(pz, py, px)] = vy if px == 0 else avg(vy, 1, Cc - 1)
-
-    out_px = []
-    for px in (0, 1):
-        # y-interleave within each z phase, then z-interleave
-        e = _row_interleave(ph[(0, 0, px)], ph[(0, 1, px)])  # (Wzc*2Wyc, Cc)
-        o = _row_interleave(ph[(1, 0, px)], ph[(1, 1, px)])
-        st = jnp.stack([e.reshape(Wzc, 2 * Wyc, Cc),
-                        o.reshape(Wzc, 2 * Wyc, Cc)], axis=1)
-        out_px.append(st.reshape(2 * Wzc * 2 * Wyc, Cc))
-    # x-interleave via transpose + row interleave + transpose
-    return _row_interleave(out_px[0].T, out_px[1].T).T
+    E = _rep2_rows_blk(c, Wyc)                  # z: (2Wzc*Wyc, Cc)
+    E = _rep2_rows_blk(E, 1)                    # y: (2Wzc*2Wyc, Cc)
+    E = _rep2_rows_blk(E.T, 1).T                # x: (2Wzc*2Wyc, 2Cc)
+    R2, C2 = E.shape
+    F = 0.5 * (E + _roll(E, C2 - 1, 1))                     # x average
+    F = 0.5 * (F + _roll(F, R2 - 1, 0))                     # y average
+    return 0.5 * (F + _roll(F, (R2 - 2 * Wyc) % R2, 0))     # z average
 
 
 # ---------------------------------------------------------------------------
