@@ -22,7 +22,7 @@ from tpu_multigrid.problems import Poisson3DProblem  # noqa: E402
 from tpu_multigrid import cycles                   # noqa: E402
 
 
-def vcycle_time(hier, cfg, u0, b, n1=1, n2=5, reps=3):
+def vcycle_time(hier, cfg, u0, b, n1=2, n2=12, reps=4):
     def make(iters):
         @jax.jit
         def run(hier, uu, bb):
@@ -33,14 +33,16 @@ def vcycle_time(hier, cfg, u0, b, n1=1, n2=5, reps=3):
     r1, r2 = make(n1), make(n2)
     float(r1(hier, u0, b))
     float(r2(hier, u0, b))
-    best = float("inf")
+    # Median slope: min over noisy (t2 - t1) differences is biased low
+    # (see bench.py).
+    slopes = []
     for _ in range(reps):
         t1 = time.perf_counter(); float(r1(hier, u0, b))
         t1 = time.perf_counter() - t1
         t2 = time.perf_counter(); float(r2(hier, u0, b))
         t2 = time.perf_counter() - t2
-        best = min(best, (t2 - t1) / (n2 - n1))
-    return best
+        slopes.append((t2 - t1) / (n2 - n1))
+    return sorted(slopes)[len(slopes) // 2]
 
 
 def main():

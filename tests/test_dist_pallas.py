@@ -125,3 +125,35 @@ def test_pallas_level_sizes_constraints():
     for (n, S) in lv.sharded:
         assert (S // 2) % 16 == 0 and (S // 4) % 256 == 0
     assert lv.num_sharded < len(lv.sizes)
+
+
+def test_lean_halo_bitwise_matches_full():
+    """halo="lean" (depth-reduced strips + elided pre-K2 u exchange) must be
+    BITWISE identical to halo="full": the elision claims K1's smoothing of
+    the extended strip leaves the inner ghost rings holding exactly what a
+    refresh would deliver (pallas_cycle._halo_depths), so any difference at
+    all falsifies the validity-depth accounting."""
+    cfg = MultigridConfig(finest_level=9, coarsest_level=3,
+                          dtype=jnp.float32)
+    lean, _ = _pallas(cfg, (2, 2), num_cycles=3, tol=0.0,
+                      replicate_below=64, halo="lean")
+    full, _ = _pallas(cfg, (2, 2), num_cycles=3, tol=0.0,
+                      replicate_below=64, halo="full")
+    np.testing.assert_array_equal(np.asarray(lean.res_history),
+                                  np.asarray(full.res_history))
+    np.testing.assert_array_equal(np.asarray(lean.u), np.asarray(full.u))
+
+
+def test_lean_halo_bitwise_matches_full_chebyshev_fmg():
+    """Same bitwise claim through the FMG driver and the chebyshev
+    smoother's step-indexed omegas (different s1/s2 split)."""
+    cfg = MultigridConfig(finest_level=9, coarsest_level=3,
+                          smoother="chebyshev", nu1=3, nu2=2,
+                          dtype=jnp.float32)
+    lean, _ = _pallas(cfg, (2, 2), num_cycles=2, tol=0.0,
+                      replicate_below=64, halo="lean", use_fmg=True)
+    full, _ = _pallas(cfg, (2, 2), num_cycles=2, tol=0.0,
+                      replicate_below=64, halo="full", use_fmg=True)
+    np.testing.assert_array_equal(np.asarray(lean.res_history),
+                                  np.asarray(full.res_history))
+    np.testing.assert_array_equal(np.asarray(lean.u), np.asarray(full.u))

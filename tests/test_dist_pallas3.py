@@ -59,3 +59,23 @@ def test_pallas3_solve_matches_single_device(mesh_shape):
     a = np.asarray(res.u)[1:n, 1:n, 1:n]
     w = np.asarray(ref.u)[1:n, 1:n, 1:n]
     assert np.abs(a - w).max() / np.abs(w).max() < 1e-4
+
+
+def test_lean_halo3_bitwise_matches_full():
+    """halo="lean" (depth-reduced z/y shells + elided pre-K2 u exchange)
+    must be BITWISE identical to halo="full" (see the 2D counterpart in
+    test_dist_pallas.py for the validity-depth argument)."""
+    cfg = MultigridConfig(finest_level=6, coarsest_level=3,
+                          smoother="chebyshev", nu1=3, nu2=2,
+                          dtype=jnp.float32)
+    mesh = make_grid_mesh3(shape=(2, 1), devices=jax.devices()[:2])
+    with pltpu.force_tpu_interpret_mode():
+        lean, _ = sharded_solve_pallas3(cfg, mesh, num_cycles=2, tol=0.0,
+                                        replicate_below=16, halo="lean")
+        jax.block_until_ready(lean.u)
+        full, _ = sharded_solve_pallas3(cfg, mesh, num_cycles=2, tol=0.0,
+                                        replicate_below=16, halo="full")
+        jax.block_until_ready(full.u)
+    np.testing.assert_array_equal(np.asarray(lean.res_history),
+                                  np.asarray(full.res_history))
+    np.testing.assert_array_equal(np.asarray(lean.u), np.asarray(full.u))

@@ -14,9 +14,14 @@ visit is:
    HBM passes;
 3. recursion (sharded) or all-gather + replicated coarse hierarchy (the
    same replicate-below-threshold switch as shard_cycle);
-4. ghost refresh of ``u`` and the prolonged correction, then one fused K2
-   launch (prolong + correct + nu2 sweeps, optionally + the owned-region
-   residual norm for the until-tol driver, psum'd across the mesh).
+4. ghost refresh of the prolonged correction, then one fused K2 launch
+   (prolong + correct + nu2 sweeps, optionally + the owned-region residual
+   norm for the until-tol driver, psum'd across the mesh).  Under the
+   default ``halo="lean"`` schedule u needs NO refresh here: K1 smooths
+   the whole extended strip, so its inner ghost rings already hold
+   bitwise-exactly what the exchange would deliver (:func:`_halo_depths`),
+   and every remaining exchange sends only the semantically needed depth
+   (~2x less halo traffic).
 
 Received ghost strips are masked against the *global* interior, so wrapped
 ppermute strips (mesh edges) and physical-boundary cells hold zeros — the
@@ -71,29 +76,73 @@ def _mask_strip(strip, oy, ox, n):
     return jnp.where(keep, strip, jnp.zeros((), strip.dtype))
 
 
-def refresh_ghosts(x, n: int, lr: int, lc: int):
-    """Refill all four ghost zones of an extended block from neighbors.
+def refresh_ghosts(x, n: int, lr: int, lc: int, dr: int = GR, dc: int = GC):
+    """Refill ghost zones of an extended block from neighbors.
 
-    Strips only — O(GR*C + R*GC) traffic, in-place dynamic updates.  Two
+    Strips only — O(dr*C + R*dc) traffic, in-place dynamic updates.  Two
     phases (rows, then columns including the refreshed ghost rows) so corner
     ghosts arrive via two hops.
+
+    ``dr``/``dc`` (static) bound the exchanged depth to the *inner* ``dr``
+    rows / ``dc`` cols of each ghost zone — the only part whose values can
+    influence valid kernel outputs.  The outer remainder keeps whatever the
+    last kernel launch wrote there (garbage inside the global interior,
+    zeros outside — the launch masks everything it writes), which only ever
+    feeds other garbage-region outputs.  Lean depths roughly halve halo
+    traffic at the standard smoothing counts (see ``_halo_depths``).
     """
     R, C = x.shape
+    dr, dc = min(dr, GR), min(dc, GC)
     oy = lax.axis_index(GY) * lr - GR
     ox = lax.axis_index(GX) * lc - GC
 
-    top = L._shift_from_prev(lax.slice(x, (R - 2 * GR, 0), (R - GR, C)), GY)
-    bot = L._shift_from_next(lax.slice(x, (GR, 0), (2 * GR, C)), GY)
-    x = lax.dynamic_update_slice(x, _mask_strip(top, oy, ox, n), (0, 0))
+    top = L._shift_from_prev(
+        lax.slice(x, (R - GR - dr, 0), (R - GR, C)), GY)
+    bot = L._shift_from_next(lax.slice(x, (GR, 0), (GR + dr, C)), GY)
+    x = lax.dynamic_update_slice(
+        x, _mask_strip(top, oy + GR - dr, ox, n), (GR - dr, 0))
     x = lax.dynamic_update_slice(x, _mask_strip(bot, oy + R - GR, ox, n),
                                  (R - GR, 0))
 
-    lf = L._shift_from_prev(lax.slice(x, (0, C - 2 * GC), (R, C - GC)), GX)
-    rt = L._shift_from_next(lax.slice(x, (0, GC), (R, 2 * GC)), GX)
-    x = lax.dynamic_update_slice(x, _mask_strip(lf, oy, ox, n), (0, 0))
+    lf = L._shift_from_prev(
+        lax.slice(x, (0, C - GC - dc), (R, C - GC)), GX)
+    rt = L._shift_from_next(lax.slice(x, (0, GC), (R, GC + dc)), GX)
+    x = lax.dynamic_update_slice(
+        x, _mask_strip(lf, oy, ox + GC - dc, n), (0, GC - dc))
     x = lax.dynamic_update_slice(x, _mask_strip(rt, oy, ox + C - GC, n),
                                  (0, C - GC))
     return x
+
+
+def _halo_depths(cfg: MultigridConfig, halo: str):
+    """(lean, dru, dcu, drt, dct): static ghost-exchange plan per level visit.
+
+    ``halo="lean"`` sends only the semantically needed ghost depth and
+    *skips the pre-K2 refresh of u entirely*: K1 smooths the whole
+    extended strip, so after its ``s1`` sweeps the inner ``GR - s1`` ghost
+    rings of u' hold bitwise-exactly what a refresh would deliver (each
+    ghost cell's dependency cone stays inside the block), and K2 only
+    consumes ``s2 <= GR - s1`` rings.  This removes one of the four
+    exchange phases per level visit — strictly better than overlapping it
+    with compute (VERDICT r2 #5) — and is validated bitwise against
+    ``halo="full"`` (tests/test_dist_pallas.py).
+
+    Depth accounting: the owned region of K1's restricted residual needs
+    exact inputs to ghost depth ``s1 + 2`` (s1 smoothing rings + residual
+    ring + FW-blur ring); K2 needs u' exact to depth ``s2``, hence u
+    exact to ``s1 + max(2, s2)``.  Depths are rounded up to the (8, 128)
+    layout quanta.  ``halo="full"`` reproduces the eager full-depth
+    exchange schedule.
+    """
+    mult = 2 if cfg.smoother == "rbgs" else 1
+    s1, s2 = mult * cfg.nu1, mult * cfg.nu2
+    need = s1 + max(2, s2)
+    lean = halo == "lean" and need <= GR
+    if not lean:
+        return False, GR, GC, GR, GC
+    dru = min(GR, -(-need // 8) * 8)
+    dcu = min(GC, -(-need // 128) * 128)
+    return True, dru, dcu, dru, dcu
 
 
 def owned_view(x):
@@ -177,12 +226,17 @@ def build_pallas_poisson(config: MultigridConfig, mesh: Mesh,
 
 def _vcycle_pallas(levels: ShardedLevels, hier: Hierarchy,
                    cfg: MultigridConfig, mesh_shape: Tuple[int, int],
-                   k: int, u, b, want_norm: bool = False):
+                   k: int, u, b, want_norm: bool = False,
+                   halo: str = "lean"):
     """V/W/F-cycle at sharded level k on extended blocks (inside shard_map).
 
     ``b``'s ghosts must be valid on entry (they are refreshed once when the
     level's RHS is created).  Returns u' (owned valid, ghosts stale), plus
     the global post-cycle residual norm when ``want_norm``.
+
+    ``halo``: ``"lean"`` (default) sends depth-reduced ghost strips and
+    elides the pre-K2 u exchange (see :func:`_halo_depths`); ``"full"``
+    refreshes every zone to full depth before every launch.
     """
     my, mx = mesh_shape
     n, S = levels.sizes[k]
@@ -190,18 +244,20 @@ def _vcycle_pallas(levels: ShardedLevels, hier: Hierarchy,
     origin = _ext_origin(lr, lc)
     sm1, om1 = _sm(cfg, cfg.nu1)
     sm2, om2 = _sm(cfg, cfg.nu2)
+    lean, dru, dcu, drt, dct = _halo_depths(cfg, halo)
 
-    u = refresh_ghosts(u, n, lr, lc)
+    u = refresh_ghosts(u, n, lr, lc, dru, dcu)
     u, rc = KL.smooth_restrict_ext(u, b, origin, n, cfg.nu1, sm1, om1)
 
     recurse_cnt = 2 if cfg.cycle in ("W", "F") else 1
     if k + 1 < levels.num_sharded:
-        rc = refresh_ghosts(rc, n // 2, lr // 2, lc // 2)
+        rc = refresh_ghosts(rc, n // 2, lr // 2, lc // 2, drt, dct)
         ec = jnp.zeros_like(rc)
         for i in range(recurse_cnt):
             sub = cfg if (cfg.cycle != "F" or i == 0) else \
                 dataclasses.replace(cfg, cycle="V")
-            ec = _vcycle_pallas(levels, hier, sub, mesh_shape, k + 1, ec, rc)
+            ec = _vcycle_pallas(levels, hier, sub, mesh_shape, k + 1, ec, rc,
+                                halo=halo)
     else:
         rc_full = gather_owned(rc)              # (S/2, S/2) replicated
         Sr = levels.sizes[k + 1][1]
@@ -217,8 +273,15 @@ def _vcycle_pallas(levels: ShardedLevels, hier: Hierarchy,
                                             rc_full)
         ec = scatter_owned(ec_full, lr // 2, lc // 2, dtype=u.dtype)
 
-    ec = refresh_ghosts(ec, n // 2, lr // 2, lc // 2)
-    u = refresh_ghosts(u, n, lr, lc)
+    # K2 reads only the inner (GR/2, GC/2) coarse ghost rings (kernels/
+    # local.py _k2_local's window starts at GR/2 / GC/2).
+    ec = refresh_ghosts(ec, n // 2, lr // 2, lc // 2,
+                        GR // 2 if lean else GR, GC // 2 if lean else GC)
+    if not lean:
+        # Eager mode: re-exchange u' ghosts.  In lean mode K1 already left
+        # the inner GR - s1 >= s2 rings bitwise-identical to what this
+        # exchange would deliver (_halo_depths), so the phase is elided.
+        u = refresh_ghosts(u, n, lr, lc)
     if want_norm:
         u, ss = KL.prolong_smooth_ext(u, b, ec, origin, n, cfg.nu2, sm2, om2,
                                       want_resnorm=True)
@@ -236,7 +299,8 @@ def _extend_local(blk, n: int, lr: int, lc: int):
 
 
 def _fmg_pallas(levels: ShardedLevels, hier: Hierarchy,
-                cfg: MultigridConfig, mesh_shape: Tuple[int, int], b_ext):
+                cfg: MultigridConfig, mesh_shape: Tuple[int, int], b_ext,
+                halo: str = "lean"):
     """Full multigrid on the fused-Pallas distributed path (in shard_map).
 
     The RHS chain restricts shard-locally on owned views (operator-
@@ -275,14 +339,14 @@ def _fmg_pallas(levels: ShardedLevels, hier: Hierarchy,
                           lr, lc, dtype=b_ext.dtype)
     for _ in range(cfg.nu0):
         u_ext = _vcycle_pallas(levels, hier, cfg, mesh_shape, ns - 1,
-                               u_ext, bs_ext[ns - 1])
+                               u_ext, bs_ext[ns - 1], halo=halo)
     for k in range(ns - 2, -1, -1):
         n, S = levels.sizes[k]
         u_own = L.prolong_local(owned_view(u_ext), levels.sizes[k + 1][0])
         u_ext = _extend_local(u_own, n, S // my, S // mx)
         for _ in range(cfg.nu0):
             u_ext = _vcycle_pallas(levels, hier, cfg, mesh_shape, k,
-                                   u_ext, bs_ext[k])
+                                   u_ext, bs_ext[k], halo=halo)
     return u_ext
 
 
@@ -291,12 +355,16 @@ def sharded_solve_pallas(config: MultigridConfig, mesh: Mesh, *,
                          tol: float = 1e-5,
                          max_cycles: int = 100,
                          num_cycles: Optional[int] = None,
-                         replicate_below: int = 256, jit: bool = True):
+                         replicate_below: int = 256, jit: bool = True,
+                         halo: str = "lean"):
     """Distributed Poisson solve on the fused Pallas local-kernel path.
 
     Mirrors shard_cycle.sharded_solve's contract (callable ``forcing``,
     ``u0``, ``use_fmg``); ``result.u`` is the sharded global (S, S) array
-    (owned regions assembled).
+    (owned regions assembled).  ``halo``: ``"lean"`` (default) exchanges
+    depth-reduced ghost strips and elides the pre-K2 u exchange (bitwise
+    identical to ``"full"``, ~2x less halo traffic and 3 instead of 4
+    exchange phases per level visit — see :func:`_halo_depths`).
     """
     my, mx = mesh.devices.shape
     levels, hier = build_pallas_poisson(config, mesh,
@@ -344,7 +412,8 @@ def sharded_solve_pallas(config: MultigridConfig, mesh: Mesh, *,
         b_ext = refresh_ghosts(b_ext, n0, lr, lc)
 
         if use_fmg:
-            u = _fmg_pallas(levels, hier, config, (my, mx), b_ext)
+            u = _fmg_pallas(levels, hier, config, (my, mx), b_ext,
+                            halo=halo)
         else:
             u = _extend_local(u0_loc, n0, lr, lc)
         # Initial residual at the actual starting iterate (u0/FMG-aware).
@@ -365,7 +434,7 @@ def sharded_solve_pallas(config: MultigridConfig, mesh: Mesh, *,
         def body(carry):
             u, i, rnorm, _, hist = carry
             u, rnew = _vcycle_pallas(levels, hier, config, (my, mx), 0,
-                                     u, b_ext, want_norm=True)
+                                     u, b_ext, want_norm=True, halo=halo)
             hist = hist.at[i + 1].set(rnew)
             return u, i + 1, rnew, rnorm, hist
 

@@ -58,27 +58,48 @@ def _mask_strip3(strip, oz, oy, n):
     return jnp.where(keep, strip, jnp.zeros((), strip.dtype))
 
 
-def refresh_ghosts3(x, n: int, lz: int, ly: int):
+def refresh_ghosts3(x, n: int, lz: int, ly: int,
+                    dz: int = GZ3, dy: int = GY3):
     """Refill the z and y ghost shells from mesh neighbors (strips only;
-    corners via two hops — z first, then y of the z-refreshed block)."""
+    corners via two hops — z first, then y of the z-refreshed block).
+
+    ``dz``/``dy`` (static) bound the exchange to the inner ``dz`` planes /
+    ``dy`` rows of each shell — the only part that can influence valid
+    kernel outputs (the 2D rationale, pallas_cycle.refresh_ghosts)."""
     Rz, Ry, Sx = x.shape
+    dz, dy = min(dz, GZ3), min(dy, GY3)
     oz = lax.axis_index(GZAX) * lz - GZ3
     oy = lax.axis_index(GYAX) * ly - GY3
 
-    top = L3._from_prev(lax.slice(x, (Rz - 2 * GZ3, 0, 0),
+    top = L3._from_prev(lax.slice(x, (Rz - GZ3 - dz, 0, 0),
                                   (Rz - GZ3, Ry, Sx)), GZAX)
-    bot = L3._from_next(lax.slice(x, (GZ3, 0, 0), (2 * GZ3, Ry, Sx)), GZAX)
-    x = lax.dynamic_update_slice(x, _mask_strip3(top, oz, oy, n), (0, 0, 0))
+    bot = L3._from_next(lax.slice(x, (GZ3, 0, 0), (GZ3 + dz, Ry, Sx)), GZAX)
+    x = lax.dynamic_update_slice(
+        x, _mask_strip3(top, oz + GZ3 - dz, oy, n), (GZ3 - dz, 0, 0))
     x = lax.dynamic_update_slice(x, _mask_strip3(bot, oz + Rz - GZ3, oy, n),
                                  (Rz - GZ3, 0, 0))
 
-    lf = L3._from_prev(lax.slice(x, (0, Ry - 2 * GY3, 0),
+    lf = L3._from_prev(lax.slice(x, (0, Ry - GY3 - dy, 0),
                                  (Rz, Ry - GY3, Sx)), GYAX)
-    rt = L3._from_next(lax.slice(x, (0, GY3, 0), (Rz, 2 * GY3, Sx)), GYAX)
-    x = lax.dynamic_update_slice(x, _mask_strip3(lf, oz, oy, n), (0, 0, 0))
+    rt = L3._from_next(lax.slice(x, (0, GY3, 0), (Rz, GY3 + dy, Sx)), GYAX)
+    x = lax.dynamic_update_slice(
+        x, _mask_strip3(lf, oz, oy + GY3 - dy, n), (0, GY3 - dy, 0))
     x = lax.dynamic_update_slice(x, _mask_strip3(rt, oz, oy + Ry - GY3, n),
                                  (0, Ry - GY3, 0))
     return x
+
+
+def _halo_depths3(cfg: MultigridConfig, halo: str):
+    """(lean, dz, dy): the 3D ghost-exchange plan (see the 2D
+    pallas_cycle._halo_depths for the validity-depth accounting; the z
+    quantum is 2 planes, y is 8 rows)."""
+    mult = 2 if cfg.smoother == "rbgs" else 1
+    s1, s2 = mult * cfg.nu1, mult * cfg.nu2
+    need = s1 + max(2, s2)
+    lean = halo == "lean" and need <= min(GZ3, GY3)
+    if not lean:
+        return False, GZ3, GY3
+    return True, min(GZ3, -(-need // 2) * 2), min(GY3, -(-need // 8) * 8)
 
 
 def owned_view3(x):
@@ -181,8 +202,12 @@ def _replicated_cycle3(hier, cfg, k0, u, b):
 
 def _vcycle_pallas3(levels: PallasLevels3, hier: Hierarchy,
                     cfg: MultigridConfig, mesh_shape: Tuple[int, int],
-                    k: int, u, b, want_norm: bool = False):
-    """V/W/F-cycle at sharded level k on extended blocks (in shard_map)."""
+                    k: int, u, b, want_norm: bool = False,
+                    halo: str = "lean"):
+    """V/W/F-cycle at sharded level k on extended blocks (in shard_map).
+
+    ``halo="lean"`` sends depth-reduced strips and elides the pre-K2 u
+    exchange (bitwise identical to "full" — tests/test_dist_pallas3.py)."""
     mz, my = mesh_shape
     n, S, Sx = levels.sizes[k]
     lz, ly = S // mz, S // my
@@ -191,20 +216,21 @@ def _vcycle_pallas3(levels: PallasLevels3, hier: Hierarchy,
     sm2, om2 = _sm(cfg, cfg.nu2)
     Scx = round_up(n // 2 + 1, 128)
     shape_lc = (lz // 2 + 2 * GZ3, ly // 2 + 2 * GY3, Scx)
+    lean, dz, dy = _halo_depths3(cfg, halo)
 
-    u = refresh_ghosts3(u, n, lz, ly)
+    u = refresh_ghosts3(u, n, lz, ly, dz, dy)
     u, rc = KT3.smooth_restrict_ext3(u, b, origin, n, shape_lc, cfg.nu1,
                                      sm1, om1, ghost=(GZ3, GY3))
 
     recurse_cnt = 2 if cfg.cycle in ("W", "F") else 1
     if k + 1 < levels.num_sharded:
-        rc = refresh_ghosts3(rc, n // 2, lz // 2, ly // 2)
+        rc = refresh_ghosts3(rc, n // 2, lz // 2, ly // 2, dz, dy)
         ec = jnp.zeros_like(rc)
         for i in range(recurse_cnt):
             sub = cfg if (cfg.cycle != "F" or i == 0) else \
                 dataclasses.replace(cfg, cycle="V")
             ec = _vcycle_pallas3(levels, hier, sub, mesh_shape, k + 1,
-                                 ec, rc)
+                                 ec, rc, halo=halo)
     else:
         rc_full = gather_owned3(rc)
         ec_full = jnp.zeros_like(rc_full)
@@ -218,8 +244,13 @@ def _vcycle_pallas3(levels: PallasLevels3, hier: Hierarchy,
                                              rc_full)
         ec = scatter_owned3(ec_full, lz // 2, ly // 2, dtype=u.dtype)
 
-    ec = refresh_ghosts3(ec, n // 2, lz // 2, ly // 2)
-    u = refresh_ghosts3(u, n, lz, ly)
+    # K2₃ reads only the inner (GZ3/2, GY3/2) coarse ghost rings
+    # (transfer3d._prolong_smooth_local3's window starts at ghost/2).
+    ec = refresh_ghosts3(ec, n // 2, lz // 2, ly // 2,
+                         GZ3 // 2 if lean else GZ3,
+                         GY3 // 2 if lean else GY3)
+    if not lean:
+        u = refresh_ghosts3(u, n, lz, ly)
     if want_norm:
         u, ss = KT3.prolong_smooth_ext3(u, b, ec, origin, n, cfg.nu2,
                                         sm2, om2, ghost=(GZ3, GY3),
@@ -234,8 +265,13 @@ def sharded_solve_pallas3(config: MultigridConfig, mesh: Mesh, *,
                           forcing: float = 6.0, tol: float = 1e-5,
                           max_cycles: int = 100,
                           num_cycles: Optional[int] = None,
-                          replicate_below: int = 32, jit: bool = True):
-    """Distributed 3D Poisson solve on the fused Pallas local-kernel path."""
+                          replicate_below: int = 32, jit: bool = True,
+                          halo: str = "lean"):
+    """Distributed 3D Poisson solve on the fused Pallas local-kernel path.
+
+    ``halo``: "lean" (default) exchanges depth-reduced ghost strips and
+    elides the pre-K2 u exchange; "full" refreshes every shell before
+    every launch.  Bitwise identical (tests/test_dist_pallas3.py)."""
     mz, my = mesh.devices.shape
     levels, hier = build_pallas_poisson3(config, mesh,
                                          replicate_below=replicate_below)
@@ -290,7 +326,7 @@ def sharded_solve_pallas3(config: MultigridConfig, mesh: Mesh, *,
         def body(carry):
             u, i, rnorm, _, hist = carry
             u, rnew = _vcycle_pallas3(levels, hier, config, (mz, my), 0,
-                                      u, b_ext, want_norm=True)
+                                      u, b_ext, want_norm=True, halo=halo)
             hist = hist.at[i + 1].set(rnew)
             return u, i + 1, rnew, rnorm, hist
 
