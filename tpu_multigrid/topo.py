@@ -58,20 +58,30 @@ class TopoTransfer:
     4.0 (matching R = P^T, which maps constants c -> 4c in 2D); the
     reference's WIP code injects unscaled (scale 1.0), which under-weights
     coarse corrections 4x — both are available, 4.0 is the default.
+
+    ``variational``: replace the injection restriction with the true
+    transpose R = P^T (a segment-sum over the same gather tables).  On any
+    *nested* P1 pair the re-assembled coarse operator equals the Galerkin
+    product P^T A_f P exactly, so this mode gives the variational method on
+    unstructured meshes (trimesh.py) where plain injection has no
+    row-sum normalization to lean on.
     """
 
-    def __init__(self, src0, src1, inj, restrict_scale: float = 4.0):
+    def __init__(self, src0, src1, inj, restrict_scale: float = 4.0,
+                 variational: bool = False):
         self.src0 = src0
         self.src1 = src1
         self.inj = inj
         self.restrict_scale = float(restrict_scale)
+        self.variational = bool(variational)
 
     def tree_flatten(self):
-        return (self.src0, self.src1, self.inj), (self.restrict_scale,)
+        return ((self.src0, self.src1, self.inj),
+                (self.restrict_scale, self.variational))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, restrict_scale=aux[0])
+        return cls(*children, restrict_scale=aux[0], variational=aux[1])
 
     @property
     def m_fine(self) -> int:
@@ -89,6 +99,17 @@ class TopoTransfer:
 
     def restrict(self, rf: jnp.ndarray) -> jnp.ndarray:
         """Fine space vector (m_f,) -> coarse space vector (m_c,)."""
+        if self.variational:
+            # R = P^T: scatter-add each fine dof's half-weight to both
+            # parents.  Eliminated parents alias the trailing slot m_c,
+            # which the final slice drops (the transpose of prolong's
+            # zero-padded gather).
+            half = jnp.asarray(0.5, rf.dtype) * rf
+            acc = (jax.ops.segment_sum(half, self.src0,
+                                       num_segments=self.m_coarse + 1)
+                   + jax.ops.segment_sum(half, self.src1,
+                                         num_segments=self.m_coarse + 1))
+            return acc[:self.m_coarse]
         return jnp.asarray(self.restrict_scale, rf.dtype) * rf[self.inj]
 
     def __repr__(self):
@@ -105,6 +126,7 @@ def transfer_from_metadata(
     m_fine: int,
     m_coarse: int,
     restrict_scale: float = 4.0,
+    variational: bool = False,
 ) -> TopoTransfer:
     """Build gather tables from reference-shaped metadata dicts.
 
@@ -146,7 +168,8 @@ def transfer_from_metadata(
         inj[cs] = fs
 
     return TopoTransfer(jnp.asarray(src0), jnp.asarray(src1),
-                        jnp.asarray(inj), restrict_scale)
+                        jnp.asarray(inj), restrict_scale,
+                        variational=variational)
 
 
 def structured_metadata(nf: int, perm_f: Optional[np.ndarray] = None,
@@ -327,9 +350,23 @@ def ell_from_coo(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray,
     vm = np.zeros(int(idx[-1]) + 1 if len(idx) else 0)
     np.add.at(vm, idx, v)
     rm, cm = r[keep], c[keep]
-    dense = np.zeros((m, m))
-    dense[rm, cm] = vm
-    return ell_from_dense(dense)
+    nz = vm != 0.0
+    rm, cm, vm = rm[nz], cm[nz], vm[nz]
+    counts = np.bincount(rm, minlength=m)
+    k = max(int(counts.max()) if m else 1, 1)
+    row_start = np.concatenate([[0], np.cumsum(counts)])
+    pos = np.arange(len(rm)) - row_start[rm]
+    cols_ell = np.full((m, k), m, np.int32)
+    vals_ell = np.zeros((m, k))
+    cols_ell[rm, pos] = cm
+    vals_ell[rm, pos] = vm
+    d = np.zeros(m)
+    diag = rm == cm
+    d[rm[diag]] = vm[diag]
+    if np.any(d == 0):
+        raise ValueError("zero diagonal entry")
+    return EllOp(jnp.asarray(cols_ell), jnp.asarray(vals_ell),
+                 jnp.asarray(1.0 / d))
 
 
 # ---------------------------------------------------------------------------
