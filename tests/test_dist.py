@@ -178,3 +178,31 @@ def test_sharded_fixed_count_runs_to_completion():
     h = np.asarray(res.res_history)
     assert int(res.iterations) == 30
     assert np.isfinite(h).all(), h
+
+
+def test_gspmd_solve_shares_layout_and_matches_explicit():
+    """GSPMD auto path on the explicit path's padded layout (VERDICT r2
+    #10): one build_sharded_problem hierarchy serves both, and the two
+    communication strategies produce the same solve."""
+    from tpu_multigrid.dist.mesh import gspmd_solve
+    from tpu_multigrid.dist.shard_cycle import build_sharded_problem
+
+    cfg = MultigridConfig(finest_level=6, coarsest_level=3,
+                          dtype=jnp.float32)
+    mesh = make_grid_mesh(shape=(2, 4), devices=jax.devices()[:8])
+    levels_hier = build_sharded_problem(cfg, mesh, replicate_below=8)
+    gres, glevels = gspmd_solve(cfg, mesh, num_cycles=5,
+                                levels_hier=levels_hier)
+    assert glevels == levels_hier[0]
+    eres, elevels = sharded_solve(cfg, mesh, num_cycles=5, tol=0.0,
+                                  replicate_below=8)
+    assert elevels == glevels
+    # The two communication strategies (GSPMD-inserted collectives vs
+    # explicit ppermute halos) reorder f32 reductions, so late-cycle
+    # residual norms agree only to a few e-4 relative; anchor the atol to
+    # the initial residual scale instead of chasing tiny absolute values.
+    gh = np.asarray(gres.res_history)
+    eh = np.asarray(eres.res_history)
+    np.testing.assert_allclose(gh, eh, rtol=2e-3, atol=1e-5 * eh[0])
+    np.testing.assert_allclose(np.asarray(gres.u), np.asarray(eres.u),
+                               rtol=1e-3, atol=1e-6)

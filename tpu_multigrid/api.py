@@ -50,7 +50,8 @@ def solve_poisson(
     reference, which hard-eliminates homogeneous boundary rows
     (``Poissons_SYCL.cpp:224,263``).  ``neumann`` names sides
     ("bottom"/"top"/"left"/"right") carrying ``du/dn = neumann_value``
-    instead of Dirichlet (problems/mixedbc.py; jnp path).
+    instead of Dirichlet (problems/mixedbc.py; box-masked K1v/K2v fused
+    kernels on TPU).
     """
     if config is None:
         config = MultigridConfig(finest_level=finest_level)
@@ -74,7 +75,8 @@ def solve_poisson(
         from .problems.mixedbc import MixedBCPoissonProblem
         problem = MixedBCPoissonProblem(config, neumann=neumann,
                                         forcing=forcing,
-                                        neumann_value=neumann_value)
+                                        neumann_value=neumann_value,
+                                        **_pad_kw(config))
         return _run(problem, config, tol, max_cycles, num_cycles, use_fmg,
                     jit)
     problem = PoissonProblem(config, forcing=forcing, **_pad_kw(config))

@@ -68,8 +68,6 @@ def _var_kernel_ok(op, cfg: MultigridConfig, dtype, sweeps: int) -> bool:
         return False
     if cfg.smoother not in ("jacobi", "rbgs", "chebyshev"):
         return False  # line smoothers run the jnp path
-    if getattr(op, "box", None) is not None:
-        return False  # kernel masks are specialized to the default interior
     if cfg.effective_smooth_dtype != dtype:
         return False
     from ..kernels import varstencil as _v
@@ -98,7 +96,8 @@ def _smooth_raw(op, u, b, cfg: MultigridConfig, sweeps: int):
     if _var_kernel_ok(op, cfg, u.dtype, sweeps):
         from ..kernels import varstencil as _v
         return _v.var_smooth(u, b, _v._flat_coef(op), op.n, sweeps,
-                             smoother, omega)
+                             smoother, omega,
+                             box=getattr(op, "box", None))
     return op.smooth(u, b, smoother=smoother, omega=omega, sweeps=sweeps)
 
 
@@ -188,9 +187,9 @@ def _restrict(r, nf, Sc, cfg: MultigridConfig, ndim: int = 2, box=None):
         return ops3d.restrict_fw3(r, nf, Sc)
     if cfg.restriction == "injection":
         return ops.restrict_injection(r, nf, Sc)
-    if box is None and _transfer_kernels_ok(r.shape[-1], Sc, cfg, r.dtype):
+    if _transfer_kernels_ok(r.shape[-1], Sc, cfg, r.dtype):
         from ..kernels import transfer as _t
-        return _t.restrict_fw_pallas(r, nf, Sc)
+        return _t.restrict_fw_pallas(r, nf, Sc, cbox=box)
     return ops.restrict_fw(r, nf, Sc, box=box)
 
 
@@ -207,10 +206,10 @@ def _prolong_add(u, e, nc, Sf, cfg: MultigridConfig, ndim: int = 2,
     if ndim == 3:
         from ..core import ops3d
         return u + ops3d.prolong3(e, nc, Sf)
-    if (box is None and cfg.prolongation == "bilinear"
+    if (cfg.prolongation == "bilinear"
             and _transfer_kernels_ok(Sf, e.shape[-1], cfg, u.dtype)):
         from ..kernels import transfer as _t
-        return _t.prolong_add_pallas(u, e, 2 * nc)
+        return _t.prolong_add_pallas(u, e, 2 * nc, box=box)
     return u + _prolong(e, nc, Sf, cfg, box=box)
 
 
@@ -242,9 +241,6 @@ def _use_var_super_kernels(op, opc, cfg: MultigridConfig, dtype) -> bool:
         return False
     if cfg.smoother not in ("jacobi", "rbgs", "chebyshev"):
         return False
-    if getattr(op, "box", None) is not None or \
-            getattr(opc, "box", None) is not None:
-        return False
     if cfg.effective_smooth_dtype != dtype:
         return False
     if cfg.restriction != "fw" or cfg.prolongation != "bilinear":
@@ -260,18 +256,23 @@ def _fused_k1v(op, opc, cfg: MultigridConfig, u, b):
     from ..kernels import vartransfer as _vt
     smoother, omega = _sm(cfg, cfg.nu1)
     return _vt.var_smooth_restrict_fused(u, b, _v._flat_coef(op), op.n,
-                                         opc.S, cfg.nu1, smoother, omega)
+                                         opc.S, cfg.nu1, smoother, omega,
+                                         box=getattr(op, "box", None),
+                                         cbox=getattr(opc, "box", None))
 
 
 def _fused_k2v(op, cfg: MultigridConfig, u, b, ec, *, resnorm=False):
     from ..kernels import varstencil as _v
     from ..kernels import vartransfer as _vt
     smoother, omega = _sm(cfg, cfg.nu2)
+    box = getattr(op, "box", None)
     if resnorm:
         return _vt.var_prolong_smooth_resnorm(u, b, ec, _v._flat_coef(op),
-                                              op.n, cfg.nu2, smoother, omega)
+                                              op.n, cfg.nu2, smoother, omega,
+                                              box=box)
     return _vt.var_prolong_smooth_fused(u, b, ec, _v._flat_coef(op),
-                                        op.n, cfg.nu2, smoother, omega)
+                                        op.n, cfg.nu2, smoother, omega,
+                                        box=box)
 
 
 def _fused_k2(op, cfg: MultigridConfig, u, b, ec, *, resnorm=False):

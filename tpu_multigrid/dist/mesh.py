@@ -60,3 +60,50 @@ def replicated(mesh: Mesh) -> NamedSharding:
 def place(x, mesh: Mesh):
     """Put a grid array on the mesh with (gy, gx) sharding."""
     return jax.device_put(x, grid_sharding(mesh))
+
+
+def gspmd_solve(config, mesh: Mesh, *, forcing=4.0, coefficient=None,
+                u0=None, tol: float = 1e-5, max_cycles: int = 100,
+                num_cycles=None, replicate_below: int = 64,
+                levels_hier=None, jit: bool = True):
+    """GSPMD auto-partitioned solve on the explicit path's padded layout.
+
+    The stock jnp cycle is jit-compiled over ``NamedSharding`` inputs and
+    XLA inserts the halo collectives.  The hierarchy is the SAME
+    ``build_sharded_problem`` layout the shard_map path uses (one shared
+    padded layout — ROADMAP #11 / VERDICT r2 #10; previously this path
+    re-padded the grid per mesh shape with its own ``PoissonProblem``):
+    pass ``levels_hier=(levels, hier)`` to share a single construction, or
+    let this build one.  Returns ``(SolveResult, ShardedLevels)`` like
+    :func:`dist.shard_cycle.sharded_solve`.
+    """
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from ..cycles import solve_fixed, solve_until_tol
+    from ..problems.poisson import poisson_rhs
+    from .shard_cycle import build_sharded_problem
+
+    if levels_hier is None:
+        levels, hier = build_sharded_problem(
+            config, mesh, coefficient=coefficient,
+            replicate_below=replicate_below)
+    else:
+        levels, hier = levels_hier
+    n0, S0 = levels.sizes[0]
+    dt = jnp.dtype(config.dtype)
+    # GSPMD partitions the plain jnp operators; the Pallas kernels belong
+    # to the explicit shard_map path (dist.pallas_cycle).
+    cfg = dataclasses.replace(config, use_pallas=False)
+    gs = grid_sharding(mesh)
+    b = jax.device_put(poisson_rhs(n0, S0, forcing, dt), gs)
+    u0p = None if u0 is None else jax.device_put(jnp.asarray(u0, dt), gs)
+    if num_cycles is not None:
+        fn = lambda h, bb, uu: solve_fixed(h, cfg, bb, num_cycles, u0=uu)
+    else:
+        fn = lambda h, bb, uu: solve_until_tol(h, cfg, bb, tol=tol,
+                                               max_cycles=max_cycles, u0=uu)
+    if jit:
+        fn = jax.jit(fn, static_argnums=())
+    return fn(hier, b, u0p), levels

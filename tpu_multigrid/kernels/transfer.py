@@ -128,14 +128,29 @@ def _interleave2(ee, oe, eo, oo):
     return _row_interleave(even_cols.T, odd_cols.T).T  # interleave columns
 
 
-def _fw_aggregate(r):
-    """Full-weighting aggregate (4r + 2*edges + corners)/4 at every node."""
+def _fw_aggregate(r, zero_wrap=None):
+    """Full-weighting aggregate (4r + 2*edges + corners)/4 at every node.
+
+    ``zero_wrap``: optional ``(row0_mask, col0_mask)`` bool arrays marking
+    cells whose global row / col index is 0.  The ``i-1``/``j-1`` rolls
+    wrap at the array's first row/col; with the default Dirichlet interior
+    the wrapped garbage lands on masked-out boundary rows, but boxes that
+    keep edge-0 unknowns (Neumann sides, problems/mixedbc.py) need the
+    wrapped term zeroed to match the jnp conv's zero padding.  Only the
+    low edges need this — the high edges sit in interior zero padding.
+    """
     R, C = r.shape
-    row3 = _roll(r, 1, 0) + 2.0 * r + _roll(r, R - 1, 0)
-    return 0.25 * (_roll(row3, 1, 1) + 2.0 * row3 + _roll(row3, C - 1, 1))
+    up = _roll(r, 1, 0)                                   # r[i-1, j]
+    if zero_wrap is not None and zero_wrap[0] is not None:
+        up = jnp.where(zero_wrap[0], jnp.zeros((), r.dtype), up)
+    row3 = up + 2.0 * r + _roll(r, R - 1, 0)
+    lt = _roll(row3, 1, 1)                                # row3[i, j-1]
+    if zero_wrap is not None and zero_wrap[1] is not None:
+        lt = jnp.where(zero_wrap[1], jnp.zeros((), r.dtype), lt)
+    return 0.25 * (lt + 2.0 * row3 + _roll(row3, C - 1, 1))
 
 
-def _fw_even2(r):
+def _fw_even2(r, zero_wrap=None):
     """Full-weighting aggregate + even-even subsample, bf16-safe.
 
     Mosaic cannot shape-cast bf16 vectors (the parity reshapes fail with
@@ -144,8 +159,24 @@ def _fw_even2(r):
     the narrow dtype, which is where the bf16 win lives.
     """
     if r.dtype != jnp.float32:
-        return _even2(_fw_aggregate(r.astype(jnp.float32))).astype(r.dtype)
-    return _even2(_fw_aggregate(r))
+        return _even2(_fw_aggregate(r.astype(jnp.float32),
+                                    zero_wrap)).astype(r.dtype)
+    return _even2(_fw_aggregate(r, zero_wrap))
+
+
+def _fw_zero_wrap(rf0, cf0, WR, WC, box):
+    """(row0_mask, col0_mask) for :func:`_fw_aggregate`, or None entries
+    when the box excludes the corresponding edge-0 unknowns."""
+    if box is None or (box[0] != 0 and box[2] != 0):
+        return None
+    row0 = col0 = None
+    if box[0] == 0:
+        gi = jax.lax.broadcasted_iota(jnp.int32, (WR, WC), 0) + rf0
+        row0 = gi == 0
+    if box[2] == 0:
+        gj = jax.lax.broadcasted_iota(jnp.int32, (WR, WC), 1) + cf0
+        col0 = gj == 0
+    return row0, col0
 
 
 def _rep2_rows(a):
@@ -190,11 +221,19 @@ def _step_fn(smoother, omega):
     raise ValueError(smoother)
 
 
-def _masks(rf0, cf0, WR, WC, n):
+def _masks(rf0, cf0, WR, WC, n, box=None):
+    """(unknown-mask, parity) for a window at global origin (rf0, cf0).
+
+    ``box``: optional static inclusive unknown box (i0, i1, j0, j1)
+    replacing the default Dirichlet interior ``1..n-1`` — mixed-BC
+    operators (problems/mixedbc.py) keep boundary rows as unknowns on the
+    Neumann sides.  Values only; DMA geometry is box-independent.
+    """
+    i0, i1, j0, j1 = box if box is not None else (1, n - 1, 1, n - 1)
     gi = jax.lax.broadcasted_iota(jnp.int32, (WR, WC), 0) + rf0
     gj = jax.lax.broadcasted_iota(jnp.int32, (WR, WC), 1) + cf0
-    interior = (gi >= 1) & (gi <= n - 1) & (gj >= 1) & (gj <= n - 1)
-    return interior, (gi + gj) % 2
+    inside = (gi >= i0) & (gi <= i1) & (gj >= j0) & (gj <= j1)
+    return inside, (gi + gj) % 2
 
 
 # ---------------------------------------------------------------------------
@@ -542,7 +581,7 @@ def prolong_smooth_resnorm(u, b, ec, n: int, sweeps: int,
 # still avoid XLA's pathological strided lowering), FMG's upward solution
 # interpolation, and injection/P1 experiments.
 
-def _restrict_only(r, *, n, Sc):
+def _restrict_only(r, *, n, Sc, cbox=None):
     """rc = FW-restrict(r): one streamed pass (read r, write rc)."""
     S = r.shape[-1]
     dtype = r.dtype
@@ -596,13 +635,19 @@ def _restrict_only(r, *, n, Sc):
 
             in_dma(slot, t).wait()
             _, _, rf0, cf0 = coords(t)
-            rc = _fw_even2(r_buf[slot])
+            # Box nesting preserves the low edges (fine i0 == coarse i0,
+            # core grids / cycles galerkin coarsening), so cbox carries
+            # enough to place the wrap fix on the FINE blur.
+            rc = _fw_even2(r_buf[slot],
+                           _fw_zero_wrap(rf0, cf0, WFr, WFc, cbox))
+            ci0, ci1, cj0, cj1 = (cbox if cbox is not None
+                                  else (1, nc_cells - 1, 1, nc_cells - 1))
             gi = (jax.lax.broadcasted_iota(jnp.int32, (WFr // 2, WFc // 2), 0)
                   + rf0 // 2)
             gj = (jax.lax.broadcasted_iota(jnp.int32, (WFr // 2, WFc // 2), 1)
                   + cf0 // 2)
-            cmask = ((gi >= 1) & (gi <= nc_cells - 1)
-                     & (gj >= 1) & (gj <= nc_cells - 1))
+            cmask = ((gi >= ci0) & (gi <= ci1)
+                     & (gj >= cj0) & (gj <= cj1))
             rc_buf[slot] = jnp.where(cmask, rc, jnp.zeros((), dtype))
             out_dma(slot, t).start()
             return carry
@@ -626,7 +671,7 @@ def _restrict_only(r, *, n, Sc):
     )(r)
 
 
-def _prolong_add_only(u, ec, *, n):
+def _prolong_add_only(u, ec, *, n, box=None):
     """u + P e_c as one streamed pass (the steps=0 K2 without b)."""
     S = u.shape[-1]
     Sc = ec.shape[-1]
@@ -694,7 +739,7 @@ def _prolong_add_only(u, ec, *, n):
 
             _, _, r0c, c0c = coords(t)
             rf0, cf0 = 2 * r0c, 2 * c0c
-            interior, _ = _masks(rf0, cf0, WFr, WFc, n)
+            interior, _ = _masks(rf0, cf0, WFr, WFc, n, box)
             corr = _bilinear_prolong(c_buf[slot])
             u_buf[slot] = jnp.where(interior, u_buf[slot] + corr,
                                     jnp.zeros((), dtype))
@@ -720,10 +765,13 @@ def _prolong_add_only(u, ec, *, n):
     )(u, ec)
 
 
-@functools.partial(jax.jit, static_argnames=("n", "Sc"))
-def restrict_fw_pallas(r, n: int, Sc: int):
-    """Standalone FW restriction (operator-independent)."""
-    rc = _restrict_only(r, n=n, Sc=Sc)
+@functools.partial(jax.jit, static_argnames=("n", "Sc", "cbox"))
+def restrict_fw_pallas(r, n: int, Sc: int, cbox=None):
+    """Standalone FW restriction (operator-independent).
+
+    ``cbox``: optional inclusive coarse unknown box (mixed-BC levels).
+    """
+    rc = _restrict_only(r, n=n, Sc=Sc, cbox=cbox)
     S = r.shape[-1]
     half = S // 2
     if Sc > half:
@@ -734,10 +782,13 @@ def restrict_fw_pallas(r, n: int, Sc: int):
     return rc
 
 
-@functools.partial(jax.jit, static_argnames=("n",))
-def prolong_add_pallas(u, ec, n: int):
-    """Standalone u + P e_c (operator-independent)."""
-    return _prolong_add_only(u, ec, n=n)
+@functools.partial(jax.jit, static_argnames=("n", "box"))
+def prolong_add_pallas(u, ec, n: int, box=None):
+    """Standalone u + P e_c (operator-independent).
+
+    ``box``: optional inclusive fine unknown box (mixed-BC levels).
+    """
+    return _prolong_add_only(u, ec, n=n, box=box)
 
 
 # ---------------------------------------------------------------------------

@@ -84,14 +84,49 @@ def _expand_sym(c_buf):
     return diag, planes
 
 
-def _offdiag_apply(planes, v):
+def _offdiag_apply(planes, v, low0=None):
+    """sum(coef * shifted v) over the 8 neighbor planes.
+
+    ``low0``: optional ``(row0_mask, col0_mask)`` marking cells at global
+    row/col 0 (either entry may be None).  The derived planes
+    (:func:`_expand_sym`) and the state shifts both WRAP at the window
+    edge; with the default Dirichlet interior every wrapped value lands on
+    a masked or halo cell, but a box keeping edge-0 unknowns (Neumann
+    sides) makes global row/col 0 real unknowns whose ``i-1``/``j-1``
+    terms must be zero (no such neighbor, and the wrapped coefficient is
+    garbage).  Windows clamped at the array start are the only place
+    global edge 0 appears; interior windows' wraps stay in the halo
+    shrink budget.
+    """
     acc = jnp.zeros_like(v)
     for coef, di, dj in planes:
-        acc = acc + coef * _shift(v, di, dj)
+        t = coef * _shift(v, di, dj)
+        if low0 is not None:
+            if di < 0 and low0[0] is not None:
+                t = jnp.where(low0[0], jnp.zeros((), v.dtype), t)
+            if dj < 0 and low0[1] is not None:
+                t = jnp.where(low0[1], jnp.zeros((), v.dtype), t)
+        acc = acc + t
     return acc
 
 
-def _var_streamed(u, b, coef, *, n, steps, smoother, omega, want_residual):
+def _low0_masks(r0, c0, WR, WC, box):
+    """(row0, col0) masks for :func:`_offdiag_apply`, or None when the box
+    excludes the edge-0 unknowns (then wraps never reach live cells)."""
+    if box is None or (box[0] != 0 and box[2] != 0):
+        return None
+    row0 = col0 = None
+    if box[0] == 0:
+        gi = jax.lax.broadcasted_iota(jnp.int32, (WR, WC), 0) + r0
+        row0 = gi == 0
+    if box[2] == 0:
+        gj = jax.lax.broadcasted_iota(jnp.int32, (WR, WC), 1) + c0
+        col0 = gj == 0
+    return row0, col0
+
+
+def _var_streamed(u, b, coef, *, n, steps, smoother, omega, want_residual,
+                  box=None):
     S = u.shape[-1]
     dtype = u.dtype
     tr, tc, hr, hc = _geom(S)
@@ -166,13 +201,16 @@ def _var_streamed(u, b, coef, *, n, steps, smoother, omega, want_residual):
             coef_dma(t).wait()
 
             _, _, r0, c0 = coords(t)
+            i0, i1, j0, j1 = box if box is not None else (1, n - 1,
+                                                          1, n - 1)
             gi = jax.lax.broadcasted_iota(jnp.int32, (WR, WC), 0) + r0
             gj = jax.lax.broadcasted_iota(jnp.int32, (WR, WC), 1) + c0
-            interior = ((gi >= 1) & (gi <= n - 1)
-                        & (gj >= 1) & (gj <= n - 1))
+            interior = ((gi >= i0) & (gi <= i1)
+                        & (gj >= j0) & (gj <= j1))
             parity = (gi + gj) % 2
 
             diag, planes = _expand_sym(c_buf)
+            low0 = _low0_masks(r0, c0, WR, WC, box)
             invd = jnp.where(diag != 0.0, 1.0 / jnp.where(diag != 0.0, diag,
                                                           jnp.ones((), dtype)),
                              jnp.zeros((), dtype))
@@ -183,16 +221,16 @@ def _var_streamed(u, b, coef, *, n, steps, smoother, omega, want_residual):
                     w = (omega[j % len(omega)] if isinstance(omega, tuple)
                          else omega)
                     upd = ((1.0 - w) * state + w * invd
-                           * (bwin - _offdiag_apply(planes, state)))
+                           * (bwin - _offdiag_apply(planes, state, low0)))
                     state = jnp.where(interior, upd.astype(dtype),
                                       jnp.zeros((), dtype))
                 else:  # rbgs half-sweep on color j % 2
-                    upd = invd * (bwin - _offdiag_apply(planes, state))
+                    upd = invd * (bwin - _offdiag_apply(planes, state, low0))
                     color = interior & (parity == (j % 2))
                     state = jnp.where(color, upd.astype(dtype), state)
             u_buf[slot] = state
             if want_residual:
-                r = bwin - diag * state - _offdiag_apply(planes, state)
+                r = bwin - diag * state - _offdiag_apply(planes, state, low0)
                 b_buf[slot] = jnp.where(interior, r.astype(dtype),
                                         jnp.zeros((), dtype))
 
@@ -258,22 +296,25 @@ def _flat_coef(op):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("n", "sweeps", "smoother", "omega"))
+                   static_argnames=("n", "sweeps", "smoother", "omega",
+                                    "box"))
 def var_smooth(u, b, coef9, n: int, sweeps: int, smoother: str = "jacobi",
-               omega: float = 2.0 / 3.0):
+               omega: float = 2.0 / 3.0, box=None):
     if sweeps <= 0:
         return u
     steps = 2 * sweeps if smoother == "rbgs" else sweeps
     return _var_streamed(u, b, coef9, n=n, steps=steps, smoother=smoother,
                          omega=omega if isinstance(omega, tuple) else float(omega),
-                         want_residual=False)
+                         want_residual=False, box=box)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("n", "sweeps", "smoother", "omega"))
+                   static_argnames=("n", "sweeps", "smoother", "omega",
+                                    "box"))
 def var_smooth_residual(u, b, coef9, n: int, sweeps: int,
-                        smoother: str = "jacobi", omega: float = 2.0 / 3.0):
+                        smoother: str = "jacobi", omega: float = 2.0 / 3.0,
+                        box=None):
     steps = 2 * sweeps if smoother == "rbgs" else sweeps
     return _var_streamed(u, b, coef9, n=n, steps=steps, smoother=smoother,
                          omega=omega if isinstance(omega, tuple) else float(omega),
-                         want_residual=True)
+                         want_residual=True, box=box)

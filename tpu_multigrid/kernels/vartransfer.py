@@ -30,9 +30,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .transfer import (_bilinear_prolong, _fw_even2, _geom, _masks,
-                       _row_quanta)
-from .varstencil import _expand_sym, _offdiag_apply
+from .transfer import (_bilinear_prolong, _fw_even2, _fw_zero_wrap, _geom,
+                       _masks, _row_quanta)
+from .varstencil import _expand_sym, _low0_masks, _offdiag_apply
 
 
 def supported(Sf: int, Sc: int, steps: int, dtype) -> bool:
@@ -57,14 +57,14 @@ def _invd_of(diag, dtype):
 
 
 def _var_sweep(state, bwin, invd, planes, interior, parity, j,
-               smoother, omega, dtype):
+               smoother, omega, dtype, low0=None):
     if smoother == "jacobi":
         w = omega[j % len(omega)] if isinstance(omega, tuple) else omega
         upd = ((1.0 - w) * state
-               + w * invd * (bwin - _offdiag_apply(planes, state)))
+               + w * invd * (bwin - _offdiag_apply(planes, state, low0)))
         return jnp.where(interior, upd.astype(dtype), jnp.zeros((), dtype))
     # rbgs: half-sweep on color j % 2
-    upd = invd * (bwin - _offdiag_apply(planes, state))
+    upd = invd * (bwin - _offdiag_apply(planes, state, low0))
     color = interior & (parity == (j % 2))
     return jnp.where(color, upd.astype(dtype), state)
 
@@ -73,7 +73,8 @@ def _var_sweep(state, bwin, invd, planes, interior, parity, j,
 # K1v: var smooth + residual + FW restrict
 # ---------------------------------------------------------------------------
 
-def _var_smooth_restrict(u, b, coef, *, n, Sc, steps, smoother, omega):
+def _var_smooth_restrict(u, b, coef, *, n, Sc, steps, smoother, omega,
+                         box=None, cbox=None):
     S = u.shape[-1]
     dtype = u.dtype
     rq, crq = _row_quanta(dtype)
@@ -152,24 +153,27 @@ def _var_smooth_restrict(u, b, coef, *, n, Sc, steps, smoother, omega):
             coef_dma(t).wait()
 
             _, _, rf0, cf0 = coords(t)
-            interior, parity = _masks(rf0, cf0, WFr, WFc, n)
+            interior, parity = _masks(rf0, cf0, WFr, WFc, n, box)
             diag, planes = _expand_sym(c_buf)
+            low0 = _low0_masks(rf0, cf0, WFr, WFc, box)
             invd = _invd_of(diag, dtype)
             state = u_buf[slot]
             bwin = b_buf[slot]
             for j in range(steps):
                 state = _var_sweep(state, bwin, invd, planes, interior,
-                                   parity, j, smoother, omega, dtype)
+                                   parity, j, smoother, omega, dtype, low0)
             u_buf[slot] = state
-            r = bwin - diag * state - _offdiag_apply(planes, state)
+            r = bwin - diag * state - _offdiag_apply(planes, state, low0)
             r = jnp.where(interior, r.astype(dtype), jnp.zeros((), dtype))
-            rc = _fw_even2(r)
+            rc = _fw_even2(r, _fw_zero_wrap(rf0, cf0, WFr, WFc, box))
+            ci0, ci1, cj0, cj1 = (cbox if cbox is not None
+                                  else (1, nc_cells - 1, 1, nc_cells - 1))
             gi = (jax.lax.broadcasted_iota(jnp.int32, (WFr // 2, WFc // 2), 0)
                   + rf0 // 2)
             gj = (jax.lax.broadcasted_iota(jnp.int32, (WFr // 2, WFc // 2), 1)
                   + cf0 // 2)
-            cmask = ((gi >= 1) & (gi <= nc_cells - 1)
-                     & (gj >= 1) & (gj <= nc_cells - 1))
+            cmask = ((gi >= ci0) & (gi <= ci1)
+                     & (gj >= cj0) & (gj <= cj1))
             rc_buf[slot] = jnp.where(cmask, rc, jnp.zeros((), dtype))
 
             for d in out_dmas(slot, t):
@@ -215,7 +219,7 @@ def _var_smooth_restrict(u, b, coef, *, n, Sc, steps, smoother, omega):
 # ---------------------------------------------------------------------------
 
 def _var_prolong_smooth(u, b, ec, coef, *, n, steps, smoother, omega,
-                        want_resnorm=False):
+                        want_resnorm=False, box=None):
     S = u.shape[-1]
     dtype = u.dtype
     rq, crq = _row_quanta(dtype)
@@ -294,8 +298,9 @@ def _var_prolong_smooth(u, b, ec, coef, *, n, steps, smoother, omega,
 
             _, _, r0c, c0c = coords(t)
             rf0, cf0 = 2 * r0c, 2 * c0c
-            interior, parity = _masks(rf0, cf0, WFr, WFc, n)
+            interior, parity = _masks(rf0, cf0, WFr, WFc, n, box)
             diag, planes = _expand_sym(c_buf)
+            low0 = _low0_masks(rf0, cf0, WFr, WFc, box)
             invd = _invd_of(diag, dtype)
             corr = _bilinear_prolong(e_buf[slot])
             state = jnp.where(interior, u_buf[slot] + corr,
@@ -303,7 +308,7 @@ def _var_prolong_smooth(u, b, ec, coef, *, n, steps, smoother, omega,
             bwin = b_buf[slot]
             for j in range(steps):
                 state = _var_sweep(state, bwin, invd, planes, interior,
-                                   parity, j, smoother, omega, dtype)
+                                   parity, j, smoother, omega, dtype, low0)
             u_buf[slot] = state
             if want_resnorm:
                 ti = t // ncols
@@ -317,7 +322,8 @@ def _var_prolong_smooth(u, b, ec, coef, *, n, steps, smoother, omega,
                          & (gj >= tj * tc) & (gj < (tj + 1) * tc))
                 r = jnp.where(
                     claim,
-                    bwin - diag * state - _offdiag_apply(planes, state),
+                    bwin - diag * state - _offdiag_apply(planes, state,
+                                                         low0),
                     jnp.zeros((), dtype)).astype(jnp.float32)
                 ss_acc[0, 0] = ss_acc[0, 0] + jnp.sum(r * r)
             out_dma(slot, t).start()
@@ -364,15 +370,21 @@ def _var_prolong_smooth(u, b, ec, coef, *, n, steps, smoother, omega,
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.jit,
-                   static_argnames=("n", "Sc", "sweeps", "smoother", "omega"))
+                   static_argnames=("n", "Sc", "sweeps", "smoother", "omega",
+                                    "box", "cbox"))
 def var_smooth_restrict_fused(u, b, coef5, n: int, Sc: int, sweeps: int,
                               smoother: str = "jacobi",
-                              omega=2.0 / 3.0):
-    """K1v: sweeps var-stencil smoothing steps + residual + FW restrict."""
+                              omega=2.0 / 3.0, box=None, cbox=None):
+    """K1v: sweeps var-stencil smoothing steps + residual + FW restrict.
+
+    ``box``/``cbox``: optional inclusive fine/coarse unknown boxes
+    (mixed-BC hierarchies; transfer._masks).
+    """
     steps = 2 * sweeps if smoother == "rbgs" else sweeps
     om = omega if isinstance(omega, tuple) else float(omega)
     un, rc = _var_smooth_restrict(u, b, coef5, n=n, Sc=Sc, steps=steps,
-                                  smoother=smoother, omega=om)
+                                  smoother=smoother, omega=om,
+                                  box=box, cbox=cbox)
     S = u.shape[-1]
     half = S // 2
     if Sc > half:
@@ -384,25 +396,29 @@ def var_smooth_restrict_fused(u, b, coef5, n: int, Sc: int, sweeps: int,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("n", "sweeps", "smoother", "omega"))
+                   static_argnames=("n", "sweeps", "smoother", "omega",
+                                    "box"))
 def var_prolong_smooth_fused(u, b, ec, coef5, n: int, sweeps: int,
-                             smoother: str = "jacobi", omega=2.0 / 3.0):
+                             smoother: str = "jacobi", omega=2.0 / 3.0,
+                             box=None):
     """K2v: u <- var-smooth(u + P e_c, b, sweeps)."""
     steps = 2 * sweeps if smoother == "rbgs" else sweeps
     om = omega if isinstance(omega, tuple) else float(omega)
     un, _ = _var_prolong_smooth(u, b, ec, coef5, n=n, steps=steps,
-                                smoother=smoother, omega=om)
+                                smoother=smoother, omega=om, box=box)
     return un
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("n", "sweeps", "smoother", "omega"))
+                   static_argnames=("n", "sweeps", "smoother", "omega",
+                                    "box"))
 def var_prolong_smooth_resnorm(u, b, ec, coef5, n: int, sweeps: int,
-                               smoother: str = "jacobi", omega=2.0 / 3.0):
+                               smoother: str = "jacobi", omega=2.0 / 3.0,
+                               box=None):
     """K2v + fused post-smooth residual norm (until-tol driver)."""
     steps = 2 * sweeps if smoother == "rbgs" else sweeps
     om = omega if isinstance(omega, tuple) else float(omega)
     un, ss = _var_prolong_smooth(u, b, ec, coef5, n=n, steps=steps,
                                  smoother=smoother, omega=om,
-                                 want_resnorm=True)
+                                 want_resnorm=True, box=box)
     return un, jnp.sqrt(ss[0, 0])

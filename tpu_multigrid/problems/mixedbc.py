@@ -120,7 +120,9 @@ def _row_weights(n: int, S: int, neumann: FrozenSet[str], dtype=np.float64):
 
 def build_mixed_hierarchy(config: MultigridConfig,
                           neumann: Iterable[str],
-                          coarsening: str = "galerkin") -> Hierarchy:
+                          coarsening: str = "galerkin",
+                          align: int = 1,
+                          min_pad_level: int = 99) -> Hierarchy:
     """Mixed-BC hierarchy (boxes nest: fine 2i <-> coarse i, so every level
     keeps the Neumann sides' boundary unknowns).
 
@@ -134,7 +136,8 @@ def build_mixed_hierarchy(config: MultigridConfig,
     from ..core.operators import galerkin_coarsen_host
 
     neumann = frozenset(neumann)
-    sizes = level_sizes(config)
+    sizes = level_sizes(config, align=align,
+                        min_pad_level=min_pad_level)
     fine = mixed_poisson_op(sizes[0][0], sizes[0][1], neumann,
                             dtype=np.dtype(jnp.dtype(config.dtype).name))
     levels = [fine]
@@ -159,11 +162,14 @@ class MixedBCPoissonProblem:
     neumann: Iterable[str] = ()
     forcing: Union[float, Callable] = 4.0
     neumann_value: Union[float, Callable] = 0.0
+    align: int = 1
+    min_pad_level: int = 99
 
     def __post_init__(self):
         self.neumann = frozenset(self.neumann)
         self.hierarchy: Hierarchy = build_mixed_hierarchy(
-            self.config, self.neumann)
+            self.config, self.neumann, align=self.align,
+            min_pad_level=self.min_pad_level)
 
     @property
     def finest(self):
