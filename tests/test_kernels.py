@@ -161,6 +161,84 @@ def test_transfer_supported_gates():
     assert not T.supported(8448, 4352, 15, jnp.float32)  # halo too shallow
 
 
+@pytest.mark.parametrize("smoother,steps", [("jacobi", 2), ("rbgs", 4),
+                                            ("jacobi", 7)])
+def test_super_kernels_column_tiled_core_shrink(monkeypatch, smoother,
+                                                steps):
+    """Column-TILED windows (kc0 in {0, 128, 256}) through the compute-core
+    shrink (transfer._core_geom): the production column-tile path only
+    engages at S >= TC + 512, far too big for interpret mode, so narrow TC
+    to force multi-column tiling at S=1280.  steps=7 exceeds the row-core
+    contamination budget (steps + 2 > hr//2 = 8) and must take the
+    row-fallback (CHr == hr) while still column-shrinking."""
+    S, Sc, n = 1280, 768, 1024
+    monkeypatch.setattr(T, "TC", 256)
+    assert T._geom(S, jnp.float32) == (256, 256, 16, 256)
+    u, b = _grids(S, n)
+    with pltpu.force_tpu_interpret_mode():
+        gu, grc = T._smooth_restrict(u, b, n=n, Sc=Sc, steps=steps,
+                                     smoother=smoother, omega=2 / 3)
+    if smoother == "rbgs":
+        wu = ops.redblack_gs_sweeps(u, b, n, steps // 2)
+    else:
+        wu = ops.jacobi_sweeps(u, b, n, 2 / 3, steps)
+    wrc = ops.restrict_fw(ops.residual(wu, b, n), n, Sc)
+    half = S // 2
+    np.testing.assert_allclose(np.asarray(gu), np.asarray(wu),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(grc)[:half, :half],
+                               np.asarray(wrc)[:half, :half],
+                               rtol=1e-5, atol=1e-5)
+
+    nc = n // 2
+    rng = np.random.default_rng(7)
+    e = np.zeros((Sc, Sc), np.float32)
+    e[1:nc, 1:nc] = rng.standard_normal((nc - 1, nc - 1))
+    e = jnp.asarray(e)
+    with pltpu.force_tpu_interpret_mode():
+        gu2, gss = T._prolong_smooth(u, b, e, n=n, steps=steps,
+                                     smoother=smoother, omega=2 / 3,
+                                     want_resnorm=True)
+    corrected = u + ops.prolong(e, nc, S)
+    if smoother == "rbgs":
+        wu2 = ops.redblack_gs_sweeps(corrected, b, n, steps // 2)
+    else:
+        wu2 = ops.jacobi_sweeps(corrected, b, n, 2 / 3, steps)
+    np.testing.assert_allclose(np.asarray(gu2), np.asarray(wu2),
+                               rtol=1e-5, atol=1e-5)
+    wss = float(ops.norm2(ops.residual(wu2, b, n))) ** 2
+    np.testing.assert_allclose(float(gss[0, 0]), wss, rtol=1e-4)
+
+
+def test_delta_form_bf16_smoothing_on_fused_tier():
+    """BASELINE config 3 (bf16 smoothing) through the super-kernels
+    (kernels/transfer.py::_delta_steps): the fused delta-form cycle must
+    match the unfused delta-form cycle (cycles._smooth), which previously
+    was the ONLY path smooth_dtype=bf16 could take."""
+    import dataclasses
+    import jax
+    from tpu_multigrid import MultigridConfig, PoissonProblem
+    from tpu_multigrid.cycles import _use_super_kernels, cycle_with_norm
+
+    cfg_j = MultigridConfig(finest_level=9, coarsest_level=4,
+                            dtype=jnp.float32, smooth_dtype=jnp.bfloat16,
+                            use_pallas=False)
+    cfg_p = dataclasses.replace(cfg_j, use_pallas=True)
+    prob = PoissonProblem(cfg_p, align=256, min_pad_level=8)
+    hier = prob.hierarchy
+    assert _use_super_kernels(hier.levels[0], hier.levels[1], cfg_p,
+                              jnp.dtype(jnp.float32))
+    b = prob.rhs()
+    u0 = jnp.zeros_like(b)
+    u_j, n_j = cycle_with_norm(hier, cfg_j, u0, b)
+    with pltpu.force_tpu_interpret_mode():
+        u_p, n_p = cycle_with_norm(hier, cfg_p, u0, b)
+    # bf16 sweep registers: tolerances at the bf16 rounding scale.
+    np.testing.assert_allclose(np.asarray(u_p), np.asarray(u_j),
+                               rtol=5e-2, atol=1e-4 * float(n_j))
+    np.testing.assert_allclose(float(n_p), float(n_j), rtol=5e-2)
+
+
 def test_full_pallas_vcycle_matches_jnp_cycle_interpret():
     """Whole-cycle equivalence: use_pallas=True vs False on one V-cycle."""
     import jax

@@ -213,26 +213,37 @@ def _prolong_add(u, e, nc, Sf, cfg: MultigridConfig, ndim: int = 2,
     return u + _prolong(e, nc, Sf, cfg, box=box)
 
 
+def _sdt_kernel(cfg: MultigridConfig, dtype):
+    """Static ``smooth_dtype`` arg for the const-stencil super-kernels:
+    None for uniform precision, the narrow dtype for delta-form mixed
+    precision (kernels/transfer.py::_delta_steps)."""
+    sdt = jnp.dtype(cfg.effective_smooth_dtype)
+    return None if sdt == jnp.dtype(dtype) else sdt
+
+
 def _use_super_kernels(op, opc, cfg: MultigridConfig, dtype) -> bool:
     """Whether the fused Pallas V-cycle super-kernels apply at this level."""
     if not (cfg.use_pallas and isinstance(op, ConstStencilOp)):
         return False
     if cfg.smoother not in ("jacobi", "rbgs", "chebyshev"):
         return False
-    if cfg.effective_smooth_dtype != dtype:
-        return False
+    delta = _sdt_kernel(cfg, dtype) is not None
+    if delta and jnp.dtype(dtype) != jnp.dtype(jnp.float32):
+        return False  # delta form keeps an f32 iterate under narrow sweeps
     if cfg.restriction != "fw" or cfg.prolongation != "bilinear":
         return False
     from ..kernels import transfer as _t
     mult = 2 if cfg.smoother == "rbgs" else 1
-    steps = mult * max(cfg.nu1, cfg.nu2)
+    # Delta form's defect evaluation deepens the chain by one ring.
+    steps = mult * max(cfg.nu1, cfg.nu2) + (1 if delta else 0)
     return _t.supported(op.S, opc.S, steps, dtype)
 
 
 def _fused_k1(op, opc, cfg: MultigridConfig, u, b):
     from ..kernels import transfer as _t
     smoother, omega = _sm(cfg, cfg.nu1)
-    return _t.smooth_restrict(u, b, op.n, opc.S, cfg.nu1, smoother, omega)
+    return _t.smooth_restrict(u, b, op.n, opc.S, cfg.nu1, smoother, omega,
+                              smooth_dtype=_sdt_kernel(cfg, u.dtype))
 
 
 def _use_var_super_kernels(op, opc, cfg: MultigridConfig, dtype) -> bool:
@@ -278,10 +289,12 @@ def _fused_k2v(op, cfg: MultigridConfig, u, b, ec, *, resnorm=False):
 def _fused_k2(op, cfg: MultigridConfig, u, b, ec, *, resnorm=False):
     from ..kernels import transfer as _t
     smoother, omega = _sm(cfg, cfg.nu2)
+    sd = _sdt_kernel(cfg, u.dtype)
     if resnorm:
         return _t.prolong_smooth_resnorm(u, b, ec, op.n, cfg.nu2,
-                                         smoother, omega)
-    return _t.prolong_smooth(u, b, ec, op.n, cfg.nu2, smoother, omega)
+                                         smoother, omega, smooth_dtype=sd)
+    return _t.prolong_smooth(u, b, ec, op.n, cfg.nu2, smoother, omega,
+                             smooth_dtype=sd)
 
 
 def _use_super_kernels3(op, opc, cfg: MultigridConfig, dtype) -> bool:

@@ -227,7 +227,7 @@ def build_pallas_poisson(config: MultigridConfig, mesh: Mesh,
 def _vcycle_pallas(levels: ShardedLevels, hier: Hierarchy,
                    cfg: MultigridConfig, mesh_shape: Tuple[int, int],
                    k: int, u, b, want_norm: bool = False,
-                   halo: str = "lean"):
+                   halo: str = "lean", u_ghosts_fresh: bool = False):
     """V/W/F-cycle at sharded level k on extended blocks (inside shard_map).
 
     ``b``'s ghosts must be valid on entry (they are refreshed once when the
@@ -237,6 +237,12 @@ def _vcycle_pallas(levels: ShardedLevels, hier: Hierarchy,
     ``halo``: ``"lean"`` (default) sends depth-reduced ghost strips and
     elides the pre-K2 u exchange (see :func:`_halo_depths`); ``"full"``
     refreshes every zone to full depth before every launch.
+
+    ``u_ghosts_fresh`` (static): the caller guarantees ``u``'s ghost rings
+    already hold what a refresh would deliver, so the pre-K1 exchange is
+    elided bitwise-identically.  True at every downward-pass sub-level
+    entry (``ec`` is freshly zero — exchanging strips of zeros is a no-op)
+    and after :func:`_extend_local` (full-depth refresh just ran).
     """
     my, mx = mesh_shape
     n, S = levels.sizes[k]
@@ -246,7 +252,8 @@ def _vcycle_pallas(levels: ShardedLevels, hier: Hierarchy,
     sm2, om2 = _sm(cfg, cfg.nu2)
     lean, dru, dcu, drt, dct = _halo_depths(cfg, halo)
 
-    u = refresh_ghosts(u, n, lr, lc, dru, dcu)
+    if not u_ghosts_fresh:
+        u = refresh_ghosts(u, n, lr, lc, dru, dcu)
     u, rc = KL.smooth_restrict_ext(u, b, origin, n, cfg.nu1, sm1, om1)
 
     recurse_cnt = 2 if cfg.cycle in ("W", "F") else 1
@@ -257,7 +264,7 @@ def _vcycle_pallas(levels: ShardedLevels, hier: Hierarchy,
             sub = cfg if (cfg.cycle != "F" or i == 0) else \
                 dataclasses.replace(cfg, cycle="V")
             ec = _vcycle_pallas(levels, hier, sub, mesh_shape, k + 1, ec, rc,
-                                halo=halo)
+                                halo=halo, u_ghosts_fresh=(i == 0))
     else:
         rc_full = gather_owned(rc)              # (S/2, S/2) replicated
         Sr = levels.sizes[k + 1][1]
@@ -344,9 +351,10 @@ def _fmg_pallas(levels: ShardedLevels, hier: Hierarchy,
         n, S = levels.sizes[k]
         u_own = L.prolong_local(owned_view(u_ext), levels.sizes[k + 1][0])
         u_ext = _extend_local(u_own, n, S // my, S // mx)
-        for _ in range(cfg.nu0):
+        for j in range(cfg.nu0):
             u_ext = _vcycle_pallas(levels, hier, cfg, mesh_shape, k,
-                                   u_ext, bs_ext[k], halo=halo)
+                                   u_ext, bs_ext[k], halo=halo,
+                                   u_ghosts_fresh=(j == 0))
     return u_ext
 
 

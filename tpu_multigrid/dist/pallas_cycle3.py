@@ -203,11 +203,14 @@ def _replicated_cycle3(hier, cfg, k0, u, b):
 def _vcycle_pallas3(levels: PallasLevels3, hier: Hierarchy,
                     cfg: MultigridConfig, mesh_shape: Tuple[int, int],
                     k: int, u, b, want_norm: bool = False,
-                    halo: str = "lean"):
+                    halo: str = "lean", u_ghosts_fresh: bool = False):
     """V/W/F-cycle at sharded level k on extended blocks (in shard_map).
 
     ``halo="lean"`` sends depth-reduced strips and elides the pre-K2 u
-    exchange (bitwise identical to "full" — tests/test_dist_pallas3.py)."""
+    exchange (bitwise identical to "full" — tests/test_dist_pallas3.py).
+    ``u_ghosts_fresh``: the caller guarantees u's ghosts are already what a
+    refresh would deliver (downward-pass ec is freshly zero), eliding the
+    pre-K1 exchange bitwise-identically."""
     mz, my = mesh_shape
     n, S, Sx = levels.sizes[k]
     lz, ly = S // mz, S // my
@@ -218,7 +221,8 @@ def _vcycle_pallas3(levels: PallasLevels3, hier: Hierarchy,
     shape_lc = (lz // 2 + 2 * GZ3, ly // 2 + 2 * GY3, Scx)
     lean, dz, dy = _halo_depths3(cfg, halo)
 
-    u = refresh_ghosts3(u, n, lz, ly, dz, dy)
+    if not u_ghosts_fresh:
+        u = refresh_ghosts3(u, n, lz, ly, dz, dy)
     u, rc = KT3.smooth_restrict_ext3(u, b, origin, n, shape_lc, cfg.nu1,
                                      sm1, om1, ghost=(GZ3, GY3))
 
@@ -230,7 +234,7 @@ def _vcycle_pallas3(levels: PallasLevels3, hier: Hierarchy,
             sub = cfg if (cfg.cycle != "F" or i == 0) else \
                 dataclasses.replace(cfg, cycle="V")
             ec = _vcycle_pallas3(levels, hier, sub, mesh_shape, k + 1,
-                                 ec, rc, halo=halo)
+                                 ec, rc, halo=halo, u_ghosts_fresh=(i == 0))
     else:
         rc_full = gather_owned3(rc)
         ec_full = jnp.zeros_like(rc_full)

@@ -221,6 +221,38 @@ def _step_fn(smoother, omega):
     raise ValueError(smoother)
 
 
+# The 256-column / 16-row DMA halos exist for offset *alignment*; the
+# smoothing steps only need steps+2 rings of halo semantically.  The step
+# chain therefore runs on a CORE slice of the VMEM window — the output
+# region plus an (8-row, 128-col) compute halo at dynamically-offset but
+# tiling-aligned positions — cutting ~10-14% of per-step VPU work at the
+# production geometries.  The residual/FW/prolong passes stay full-window:
+# their outputs pin 256-alignment on the coarse side, and the stale strips
+# they read (core-excluded cells hold pre-smoothing state) are >= CH-2
+# cells away from anything the output DMAs copy.  Measured negative at
+# tiny CH is roll wrap-around: contamination moves 1 ring per step, so the
+# shrink is gated on steps + 2 <= CH.
+def _core_geom(tr, tc, hr, hc, depth, dtype):
+    """(CHr, CHc, row_quantum): compute-core halos for the step chain.
+
+    ``depth``: ring-contamination depth of the in-core chain — ``steps``
+    for direct smoothing, ``steps + 1`` for delta form (the defect
+    evaluation is one more ring).  Falls back to the full DMA halos (no
+    shrink) per axis when the depth exceeds the core halo's contamination
+    budget or the axis has no halo (full-extent windows)."""
+    q = 16 if _is_bf16(dtype) else 8
+    chr_ = hr // 2 if (hr and depth + 2 <= hr // 2) else hr
+    chc = 128 if (hc and depth + 2 <= 128) else hc
+    return chr_, chc, q
+
+
+def _core_offsets(off_r, off_c, CHr, CHc, WFr, WFc, KWr, KWc, q):
+    """Aligned VMEM offsets of the compute core inside the DMA window."""
+    kr0 = pl.multiple_of(jnp.clip(off_r - CHr, 0, WFr - KWr), q)
+    kc0 = pl.multiple_of(jnp.clip(off_c - CHc, 0, WFc - KWc), 128)
+    return kr0, kc0
+
+
 def _masks(rf0, cf0, WR, WC, n, box=None):
     """(unknown-mask, parity) for a window at global origin (rf0, cf0).
 
@@ -240,9 +272,33 @@ def _masks(rf0, cf0, WR, WC, n, box=None):
 # K1: pre-smooth + residual + full-weighting restrict
 # ---------------------------------------------------------------------------
 
-def _smooth_restrict(u, b, *, n, Sc, steps, smoother, omega):
+def _delta_steps(uk, bk, ik, pk, steps, step, smooth_dtype):
+    """Delta-form mixed-precision sweep chain on a window core.
+
+    BASELINE config 3 (bf16 smoothing) in its numerically sound form
+    (cycles._smooth, ROADMAP r2 #3): the f32 iterate never loses mantissa
+    bits — compute the defect d = b - A u in f32, smooth e = 0 against d
+    in ``smooth_dtype``, add e back in f32.  All HBM traffic and VMEM
+    buffers stay f32; only the sweep-chain registers are narrow.  The
+    defect adds one residual evaluation per window, so this exists for
+    parity with the unfused delta path (and to measure whether narrow
+    sweeps ever win on-chip), not as a projected speedup.
+    """
+    d = jnp.where(ik, bk - 4.0 * uk + _nbr(uk),
+                  jnp.zeros((), uk.dtype)).astype(smooth_dtype)
+    e = jnp.zeros_like(d)
+    for j in range(steps):
+        e = step(e, d, ik, pk, j)
+    return jnp.where(ik, uk + e.astype(uk.dtype), jnp.zeros((), uk.dtype))
+
+
+def _smooth_restrict(u, b, *, n, Sc, steps, smoother, omega,
+                     smooth_dtype=None):
     """Returns (u', rc): u after ``steps`` smoothing steps, and the
     restricted residual on the (Sc, Sc) coarse grid.  ~3.3 HBM passes.
+
+    ``smooth_dtype``: optional narrower dtype for the sweep chain
+    (delta-form mixed precision, :func:`_delta_steps`).
 
     Replaces the reference's smooth -> residual-gemv-chain -> host-loop
     restriction sequence (``Poissons_SYCL.cpp:581,604-611``).
@@ -252,6 +308,10 @@ def _smooth_restrict(u, b, *, n, Sc, steps, smoother, omega):
     rq, crq = _row_quanta(dtype)
     tr, tc, hr, hc = _geom(S, dtype)
     WFr, WFc = tr + 2 * hr, tc + 2 * hc
+    delta = smooth_dtype is not None and smooth_dtype != dtype
+    CHr, CHc, cq = _core_geom(tr, tc, hr, hc, steps + (1 if delta else 0),
+                              dtype)
+    KWr, KWc = tr + 2 * CHr, tc + 2 * CHc
     nr = pl.cdiv(S, tr)
     ncols = pl.cdiv(S, tc)
     nt = nr * ncols
@@ -318,14 +378,26 @@ def _smooth_restrict(u, b, *, n, Sc, steps, smoother, omega):
             for d in in_dmas(slot, t):
                 d.wait()
 
-            _, _, rf0, cf0 = coords(t)
-            interior, parity = _masks(rf0, cf0, WFr, WFc, n)
-            state = u_buf[slot]
-            bwin = b_buf[slot]
-            for j in range(steps):
-                state = step(state, bwin, interior, parity, j)
-            u_buf[slot] = state
-            r = _residual_of(state, bwin, interior)
+            ro, co, rf0, cf0 = coords(t)
+            # Smoothing steps on the compute core only (output + small
+            # aligned halo); residual/FW below read the full window, whose
+            # core-excluded strips hold stale (pre-smoothing) state that
+            # never reaches the output DMA regions.
+            kr0, kc0 = _core_offsets(ro - rf0, co - cf0, CHr, CHc,
+                                     WFr, WFc, KWr, KWc, cq)
+            if steps > 0:
+                ik, pk = _masks(rf0 + kr0, cf0 + kc0, KWr, KWc, n)
+                state = u_buf[slot, pl.ds(kr0, KWr), pl.ds(kc0, KWc)]
+                bk = b_buf[slot, pl.ds(kr0, KWr), pl.ds(kc0, KWc)]
+                if smooth_dtype is not None and smooth_dtype != dtype:
+                    state = _delta_steps(state, bk, ik, pk, steps, step,
+                                         smooth_dtype)
+                else:
+                    for j in range(steps):
+                        state = step(state, bk, ik, pk, j)
+                u_buf[slot, pl.ds(kr0, KWr), pl.ds(kc0, KWc)] = state
+            interior, _ = _masks(rf0, cf0, WFr, WFc, n)
+            r = _residual_of(u_buf[slot], b_buf[slot], interior)
             # Full-weighting + even-even subsample; mask with coarse coords.
             rc = _fw_even2(r)
             gi = (jax.lax.broadcasted_iota(jnp.int32, (WFr // 2, WFc // 2), 0)
@@ -375,7 +447,7 @@ def _smooth_restrict(u, b, *, n, Sc, steps, smoother, omega):
 # ---------------------------------------------------------------------------
 
 def _prolong_smooth(u, b, ec, *, n, steps, smoother, omega,
-                    want_resnorm=False):
+                    want_resnorm=False, smooth_dtype=None):
     """u <- smooth(u + P e_c, b, steps).  ~3.3 HBM passes.
 
     Replaces the reference's host-loop ``interpolation2d`` + device
@@ -394,6 +466,10 @@ def _prolong_smooth(u, b, ec, *, n, steps, smoother, omega,
     # Coarse window: its 2x prolongation IS the fine working window.
     Wrc, Wcc = tr // 2 + hr, tc // 2 + hc          # fine window = (2Wrc, 2Wcc)
     WFr, WFc = 2 * Wrc, 2 * Wcc
+    delta = smooth_dtype is not None and smooth_dtype != dtype
+    CHr, CHc, cq = _core_geom(tr, tc, hr, hc, steps + (1 if delta else 0),
+                              dtype)
+    KWr, KWc = tr + 2 * CHr, tc + 2 * CHc
     nr = pl.cdiv(S, tr)
     ncols = pl.cdiv(S, tc)
     nt = nr * ncols
@@ -459,22 +535,36 @@ def _prolong_smooth(u, b, ec, *, n, steps, smoother, omega,
             for d in in_dmas(slot, t):
                 d.wait()
 
-            _, _, r0c, c0c = coords(t)
+            ro, co, r0c, c0c = coords(t)
             rf0, cf0 = 2 * r0c, 2 * c0c
-            interior, parity = _masks(rf0, cf0, WFr, WFc, n)
+            interior, _ = _masks(rf0, cf0, WFr, WFc, n)
             corr = _bilinear_prolong(c_buf[slot])
-            state = jnp.where(interior, u_buf[slot] + corr,
-                              jnp.zeros((), dtype))
-            bwin = b_buf[slot]
-            for j in range(steps):
-                state = step(state, bwin, interior, parity, j)
-            u_buf[slot] = state
+            u_buf[slot] = jnp.where(interior, u_buf[slot] + corr,
+                                    jnp.zeros((), dtype))
+            # Post-smoothing on the compute core only; core-excluded strips
+            # keep the corrected-but-unsmoothed state, which neither the
+            # output DMA nor the claim-masked resnorm region reads.
+            kr0, kc0 = _core_offsets(ro - rf0, co - cf0, CHr, CHc,
+                                     WFr, WFc, KWr, KWc, cq)
+            if steps > 0:
+                ik, pk = _masks(rf0 + kr0, cf0 + kc0, KWr, KWc, n)
+                state = u_buf[slot, pl.ds(kr0, KWr), pl.ds(kc0, KWc)]
+                bk = b_buf[slot, pl.ds(kr0, KWr), pl.ds(kc0, KWc)]
+                if smooth_dtype is not None and smooth_dtype != dtype:
+                    state = _delta_steps(state, bk, ik, pk, steps, step,
+                                         smooth_dtype)
+                else:
+                    for j in range(steps):
+                        state = step(state, bk, ik, pk, j)
+                u_buf[slot, pl.ds(kr0, KWr), pl.ds(kc0, KWc)] = state
             if want_resnorm:
                 # Accumulate ||b - A u||^2 over this tile's disjoint claim
                 # region (unclamped bounds, so edge-overlap regions are not
                 # double-counted).
                 ti = t // ncols
                 tj = t % ncols
+                state = u_buf[slot]
+                bwin = b_buf[slot]
                 gi = (jax.lax.broadcasted_iota(jnp.int32, (WFr, WFc), 0)
                       + rf0)
                 gj = (jax.lax.broadcasted_iota(jnp.int32, (WFr, WFc), 1)
@@ -526,13 +616,18 @@ def _prolong_smooth(u, b, ec, *, n, steps, smoother, omega,
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.jit,
-                   static_argnames=("n", "Sc", "sweeps", "smoother", "omega"))
+                   static_argnames=("n", "Sc", "sweeps", "smoother", "omega",
+                                    "smooth_dtype"))
 def smooth_restrict(u, b, n: int, Sc: int, sweeps: int,
-                    smoother: str = "jacobi", omega: float = 2.0 / 3.0):
-    """sweeps pre-smoothing sweeps, then residual + FW restriction."""
+                    smoother: str = "jacobi", omega: float = 2.0 / 3.0,
+                    smooth_dtype=None):
+    """sweeps pre-smoothing sweeps, then residual + FW restriction.
+
+    ``smooth_dtype``: optional narrower sweep-chain dtype (delta form)."""
     steps = 2 * sweeps if smoother == "rbgs" else sweeps
     un, rc = _smooth_restrict(u, b, n=n, Sc=Sc, steps=steps,
-                              smoother=smoother, omega=omega)
+                              smoother=smoother, omega=omega,
+                              smooth_dtype=smooth_dtype)
     # The kernel's tile grid covers coarse indices [0, S/2); zero the
     # remaining (non-physical) tail so the zero-outside-interior invariant
     # holds for downstream ops.
@@ -547,28 +642,32 @@ def smooth_restrict(u, b, n: int, Sc: int, sweeps: int,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("n", "sweeps", "smoother", "omega"))
+                   static_argnames=("n", "sweeps", "smoother", "omega",
+                                    "smooth_dtype"))
 def prolong_smooth(u, b, ec, n: int, sweeps: int,
-                   smoother: str = "jacobi", omega: float = 2.0 / 3.0):
+                   smoother: str = "jacobi", omega: float = 2.0 / 3.0,
+                   smooth_dtype=None):
     """u <- smooth(u + P e_c, b) with `sweeps` post-smoothing sweeps."""
     steps = 2 * sweeps if smoother == "rbgs" else sweeps
     un, _ = _prolong_smooth(u, b, ec, n=n, steps=steps,
-                            smoother=smoother, omega=omega)
+                            smoother=smoother, omega=omega,
+                            smooth_dtype=smooth_dtype)
     return un
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("n", "sweeps", "smoother", "omega"))
+                   static_argnames=("n", "sweeps", "smoother", "omega",
+                                    "smooth_dtype"))
 def prolong_smooth_resnorm(u, b, ec, n: int, sweeps: int,
                            smoother: str = "jacobi",
-                           omega: float = 2.0 / 3.0):
+                           omega: float = 2.0 / 3.0, smooth_dtype=None):
     """Like :func:`prolong_smooth` but also returns ||b - A u'||_2, fusing
     the until-tol convergence check into the kernel (zero extra HBM
     traffic vs a separate residual + norm pass)."""
     steps = 2 * sweeps if smoother == "rbgs" else sweeps
     un, ss = _prolong_smooth(u, b, ec, n=n, steps=steps,
                              smoother=smoother, omega=omega,
-                             want_resnorm=True)
+                             want_resnorm=True, smooth_dtype=smooth_dtype)
     return un, jnp.sqrt(ss[0, 0])
 
 
