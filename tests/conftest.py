@@ -45,3 +45,107 @@ def _clear_jax_caches_per_module():
     import jax
 
     jax.clear_caches()
+
+
+# ---------------------------------------------------------------------------
+# Slow tier (VERDICT r2 weak #8): the heaviest tests — measured >= 11 s on
+# this 1-core host (r3 full-suite run with --durations) — are deselected by
+# default so the core suite stays under ~5 min anywhere.  pytest prints the
+# deselection count; run EVERYTHING with
+#     python -m pytest tests/ -q -m "slow or not slow"
+# (the full suite remains the pre-commit bar; see CLAUDE.md).  Every module
+# keeps fast tests in the core tier, so quick runs still touch all
+# subsystems.  New heavyweight tests should be added to this list.
+# ---------------------------------------------------------------------------
+
+_SLOW_TESTS = frozenset([
+    "test_anisotropic.py::TestSolve::test_isotropic_zebra_still_works",
+    "test_anisotropic.py::TestSolve::test_matches_dense_solve",
+    "test_anisotropic.py::TestSolve::test_point_smoother_stalls_zebra_does_not",
+    "test_anisotropic.py::TestSolve::test_transposed_anisotropy_uses_zebra_y",
+    "test_anisotropic.py::TestSolve::test_zebra_mesh_independent",
+    "test_cycles.py::test_cycle_with_norm_fused_path_interpret[F]",
+    "test_cycles.py::test_cycle_with_norm_fused_path_interpret[V]",
+    "test_cycles.py::test_cycle_with_norm_fused_path_interpret[W]",
+    "test_cycles.py::test_fmg_until_tol_with_history",
+    "test_diffusion3d.py::test_convergence_mesh_independent_with_contrast",
+    "test_diffusion3d.py::test_manufactured_solution_order",
+    "test_dist_pallas.py::test_lean_halo_bitwise_matches_full",
+    "test_dist_pallas.py::test_lean_halo_bitwise_matches_full_chebyshev_fmg",
+    "test_dist_pallas.py::test_pallas_sharded_matches_jnp_sharded[mesh_shape0]",
+    "test_dist_pallas.py::test_pallas_sharded_matches_jnp_sharded[mesh_shape1]",
+    "test_dist_pallas.py::test_pallas_sharded_matches_jnp_sharded[mesh_shape2]",
+    "test_dist_pallas.py::test_pallas_sharded_matches_jnp_sharded[mesh_shape3]",
+    "test_dist_pallas.py::test_pallas_sharded_matches_single_device_solution",
+    "test_dist_pallas.py::test_pallas_sharded_smoothers[chebyshev]",
+    "test_dist_pallas.py::test_pallas_sharded_smoothers[rbgs]",
+    "test_dist_pallas.py::test_pallas_sharded_until_tol",
+    "test_dist_pallas.py::test_pallas_sharded_wf_cycles[F]",
+    "test_dist_pallas.py::test_pallas_sharded_wf_cycles[W]",
+    "test_dist_pallas3.py::test_lean_halo3_bitwise_matches_full",
+    "test_dist_pallas3.py::test_pallas3_solve_matches_single_device[mesh_shape0]",
+    "test_dist_pallas3.py::test_pallas3_solve_matches_single_device[mesh_shape1]",
+    "test_dist_var.py::test_sharded_fmg_matches_global_fmg",
+    "test_dist_var.py::test_sharded_fmg_matches_single_device[None]",
+    "test_dist_var.py::test_sharded_fmg_matches_single_device[_jump]",
+    "test_dist_var.py::test_sharded_u0_resume",
+    "test_dist_var.py::test_sharded_var_solve_converges",
+    "test_dist_var.py::test_sharded_var_solve_matches_single_device[mesh_shape0]",
+    "test_dist_var.py::test_sharded_var_solve_matches_single_device[mesh_shape1]",
+    "test_graft_entry.py::test_dryrun_multichip_green[8]",
+    "test_helmholtz.py::test_api_entry",
+    "test_helmholtz.py::test_convergence_mesh_independent_and_at_least_poisson_fast",
+    "test_helmholtz.py::test_manufactured_solution_order",
+    "test_helmholtz.py::test_variable_and_negative_shift",
+    "test_kernels.py::test_full_pallas_vcycle_matches_jnp_cycle_interpret",
+    "test_kernels.py::test_super_kernels_bf16[rbgs]",
+    "test_kernels3d.py::test_cycle_pallas_matches_jnp_interpret",
+    "test_krylov.py::test_pcg_converges_faster_than_plain_cycles",
+    "test_krylov.py::test_pcg_robust_on_hard_coefficients",
+    "test_mixedbc.py::TestPallasKernelPath::test_fused_kernels_engaged_and_match_jnp",
+    "test_mixedbc.py::TestPallasKernelPath::test_low_edge_box_tiled_windows_match_jnp",
+    "test_mixedbc.py::TestPallasKernelPath::test_pallas_solve_converges_low_edge_neumann",
+    "test_mixedbc.py::TestSolve::test_convergence_mesh_independent[neumann0]",
+    "test_mixedbc.py::TestSolve::test_convergence_mesh_independent[neumann1]",
+    "test_mixedbc.py::TestSolve::test_convergence_mesh_independent[neumann2]",
+    "test_mixedbc.py::TestSolve::test_fmg_mixed",
+    "test_mixedbc.py::TestSolve::test_manufactured_homogeneous_neumann_order",
+    "test_mixedbc.py::TestSolve::test_manufactured_inhomogeneous_neumann_exact",
+    "test_oracle_parity.py::test_diffusion_discontinuous_coefficient_converges",
+    "test_oracle_parity.py::test_diffusion_matches_oracle",
+    "test_oracle_parity.py::test_manufactured_solution_discretization_order",
+    "test_oracle_parity.py::test_poisson_larger_grids_match_oracle[7]",
+    "test_oracle_parity.py::test_reference_fmg_schedule_parity",
+    "test_poisson3d.py::TestSolve3d::test_api_entry",
+    "test_poisson3d.py::TestSolve3d::test_convergence_mesh_independent",
+    "test_poisson3d.py::TestSolve3d::test_fmg_reaches_discretization_accuracy",
+    "test_poisson3d.py::TestSolve3d::test_manufactured_solution_order",
+    "test_poisson3d.py::TestSolve3d::test_padded_levels",
+    "test_poisson3d.py::TestSolve3d::test_vcycle_convergence_factor",
+    "test_precision.py::test_bf16_inner_cycle_smoke",
+    "test_precision.py::test_cycle_ds_matches_plain_refined",
+    "test_precision.py::test_ds_residual3_matches_f64",
+    "test_precision.py::test_refined3_api_entry",
+    "test_precision.py::test_refined3_breaks_the_f32_floor",
+    "test_precision.py::test_refined3_ts_matches_f64_oracle",
+    "test_precision.py::test_refined_api_honors_fmg_and_num_cycles",
+    "test_precision.py::test_refined_checkpoint_roundtrip_preserves_trajectory",
+    "test_precision.py::test_refined_solve_breaks_the_f32_floor",
+    "test_precision.py::test_ts_refinement_reaches_deeper_than_ds",
+    "test_transfer3d.py::test_fused_cycle_matches_jnp",
+    "test_transfer3d.py::test_k1_smooth_restrict[tiled]",
+    "test_trimesh.py::TestSolve::test_h_independent_rate_lshape",
+    "test_utils.py::test_checkpoint_roundtrip_and_resume",
+    "test_varstencil_kernels.py::test_var_smooth_matches_op[jacobi-1536-1500]",
+    "test_varstencil_kernels.py::test_var_smooth_matches_op[jacobi-256-250]",
+    "test_vartransfer_kernels.py::test_full_cycle_var_super_kernels_match_jnp",
+])
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        nodeid = item.nodeid
+        if nodeid.startswith("tests/"):
+            nodeid = nodeid[len("tests/"):]
+        if nodeid in _SLOW_TESTS:
+            item.add_marker(pytest.mark.slow)
