@@ -268,12 +268,28 @@ def main():
                           cheb_lo=args.cheb_lo)
     except Exception:
         if use_pallas:
-            # Fall back to the pure-XLA path rather than report nothing.
-            stats = run_bench(args.level, args.cycles, args.nu1, args.nu2,
-                              args.smoother, False, jnp.float32,
-                              args.repeats, coarsest=args.coarsest,
-                              cheb_lo=args.cheb_lo)
-            stats["pallas_fallback"] = True
+            # First fallback tier: fused kernels WITHOUT the compute-core
+            # shrink (full DMA-halo windows, the r2-proven geometry) — so a
+            # Mosaic regression in the dynamic core slicing costs ~5%, not
+            # the ~100x of the pure-XLA path.
+            try:
+                from tpu_multigrid.kernels import transfer as _t
+                _t._core_geom = lambda tr, tc, hr, hc, depth, dtype: (
+                    hr, hc, 16 if _t._is_bf16(dtype) else 8)
+                jax.clear_caches()
+                stats = run_bench(args.level, args.cycles, args.nu1,
+                                  args.nu2, args.smoother, True, jnp.float32,
+                                  args.repeats, coarsest=args.coarsest,
+                                  cheb_lo=args.cheb_lo)
+                stats["core_shrink_fallback"] = True
+            except Exception:
+                # Last resort: the pure-XLA path rather than report nothing.
+                stats = run_bench(args.level, args.cycles, args.nu1,
+                                  args.nu2, args.smoother, False,
+                                  jnp.float32, args.repeats,
+                                  coarsest=args.coarsest,
+                                  cheb_lo=args.cheb_lo)
+                stats["pallas_fallback"] = True
         else:
             raise
 
