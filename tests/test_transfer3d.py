@@ -119,6 +119,127 @@ def test_k2_resnorm(grids, budget):
     assert abs(float(gn) - wn) / wn < 1e-5
 
 
+@pytest.mark.parametrize("smoother,sweeps", [("jacobi", 3), ("rbgs", 2)])
+def test_y_core_shrink_two_axis_tiling(monkeypatch, rng, smoother, sweeps):
+    """Two-axis (z, y) tiling with the y-core shrink ENGAGED
+    (transfer3d._core_y: KWY < WY): the production budgets only reach this
+    regime at chip-scale grids, so shrink WINDOW_BYTES until _tiles_k1
+    picks HY=16 with a tileable ty, and pin K1₃/K2₃ against the jnp ops.
+    """
+    n2 = 64
+    shape = (96, 96, 128)
+    shape_c = (48, 48, 128)
+    monkeypatch.setattr(transfer3d, "WINDOW_BYTES", 614400)
+    for fn in (transfer3d.smooth_restrict3, transfer3d.prolong_smooth3):
+        fn._clear_cache()
+    steps = 2 * sweeps if smoother == "rbgs" else sweeps
+    TZ, HZ, TY, HY = transfer3d._tiles_k1(shape, steps + 2, jnp.float32)
+    assert HY == 16 and TY < 96, (TZ, HZ, TY, HY)
+    CHY, KWY = transfer3d._core_y(TY, TY + 2 * HY, steps)
+    assert KWY < TY + 2 * HY, "core shrink must engage for this test"
+
+    u = np.zeros(shape, np.float32)
+    u[1:n2, 1:n2, 1:n2] = rng.standard_normal((n2 - 1,) * 3)
+    b = np.zeros(shape, np.float32)
+    b[1:n2, 1:n2, 1:n2] = rng.standard_normal((n2 - 1,) * 3)
+    ec = np.zeros(shape_c, np.float32)
+    ec[1:n2 // 2, 1:n2 // 2, 1:n2 // 2] = rng.standard_normal(
+        (n2 // 2 - 1,) * 3)
+    u, b, ec = jnp.asarray(u), jnp.asarray(b), jnp.asarray(ec)
+
+    with pltpu.force_tpu_interpret_mode():
+        gu, grc = sync(transfer3d.smooth_restrict3(
+            u, b, n2, shape_c, sweeps, smoother, 2.0 / 3.0))
+    if smoother == "rbgs":
+        wu = ops3d.redblack_gs_sweeps3(u, b, n2, sweeps)
+    else:
+        wu = ops3d.jacobi_sweeps3(u, b, n2, 2.0 / 3.0, sweeps)
+    wrc = ops3d.restrict_fw3(ops3d.residual3(wu, b, n2), n2, shape_c)
+    np.testing.assert_allclose(np.asarray(gu), np.asarray(wu), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(grc), np.asarray(wrc), atol=1e-5)
+
+    with pltpu.force_tpu_interpret_mode():
+        gu2 = sync(transfer3d.prolong_smooth3(
+            u, b, ec, n2, sweeps, smoother, 2.0 / 3.0))
+    corrected = u + ops3d.prolong3(ec, n2 // 2, shape)
+    if smoother == "rbgs":
+        wu2 = ops3d.redblack_gs_sweeps3(corrected, b, n2, sweeps)
+    else:
+        wu2 = ops3d.jacobi_sweeps3(corrected, b, n2, 2.0 / 3.0, sweeps)
+    np.testing.assert_allclose(np.asarray(gu2), np.asarray(wu2), atol=2e-6)
+    for fn in (transfer3d.smooth_restrict3, transfer3d.prolong_smooth3):
+        fn._clear_cache()
+
+
+def test_local3_kernels_direct_y_core(monkeypatch, rng):
+    """Extended-block (distributed) K1₃/K2₃ called DIRECTLY (no shard_map
+    — the kernels are shard-agnostic, the global origin is an argument)
+    on a whole-domain shard, with the budget shrunk so two-axis tiling +
+    the y-core shrink engage inside the LOCAL kernel bodies (the sharded
+    interpret tests only reach full-extent windows)."""
+    n2 = 64
+    GZ = GY = 16
+    S, Sx = 96, 128
+    monkeypatch.setattr(transfer3d, "WINDOW_BYTES", 614400)
+    transfer3d.smooth_restrict_ext3._clear_cache()
+    transfer3d.prolong_smooth_ext3._clear_cache()
+    shape_ext = (S + 2 * GZ, S + 2 * GY, Sx)
+    TZ, HZ, TY, HY = transfer3d._tiles_k1(shape_ext, 5, jnp.float32)
+    assert HY == 16, (TZ, HZ, TY, HY)
+    assert transfer3d._core_y(TY, TY + 2 * HY, 3)[1] < TY + 2 * HY
+
+    u = np.zeros((S, S, Sx), np.float32)
+    u[1:n2, 1:n2, 1:n2] = rng.standard_normal((n2 - 1,) * 3)
+    b = np.zeros((S, S, Sx), np.float32)
+    b[1:n2, 1:n2, 1:n2] = rng.standard_normal((n2 - 1,) * 3)
+    Sc = S // 2
+    ec = np.zeros((Sc, Sc, Sx), np.float32)
+    ec[1:n2 // 2, 1:n2 // 2, 1:n2 // 2] = rng.standard_normal(
+        (n2 // 2 - 1,) * 3)
+
+    def extend(a, g):
+        out = np.zeros((a.shape[0] + 2 * g, a.shape[1] + 2 * g, a.shape[2]),
+                       np.float32)
+        out[g:-g, g:-g] = a
+        return jnp.asarray(out)
+
+    u_ext, b_ext = extend(u, GZ), extend(b, GZ)
+    # Coarse extended block: fine local l <-> coarse l/2 + GZ/2, total
+    # extent Rz//2 + GZ (supported_local3) — owned coarse sits at
+    # [GZ : GZ + Sc].
+    ec_ext = extend(ec, GZ)
+    origin = jnp.asarray([[-GZ, -GY]], jnp.int32)
+    shape_lc = ((S + 2 * GZ) // 2 + GZ, (S + 2 * GY) // 2 + GY, Sx)
+
+    with pltpu.force_tpu_interpret_mode():
+        gu, grc = sync(transfer3d.smooth_restrict_ext3(
+            u_ext, b_ext, origin, n2, shape_lc, 3, "jacobi", 2.0 / 3.0,
+            ghost=(GZ, GY)))
+    uj, bj = jnp.asarray(u), jnp.asarray(b)
+    wu = ops3d.jacobi_sweeps3(uj, bj, n2, 2.0 / 3.0, 3)
+    wrc = ops3d.restrict_fw3(ops3d.residual3(wu, bj, n2), n2,
+                             (Sc, Sc, Sx))
+    np.testing.assert_allclose(np.asarray(gu)[GZ:-GZ, GY:-GY],
+                               np.asarray(wu), atol=2e-6)
+    np.testing.assert_allclose(
+        np.asarray(grc)[GZ:GZ + Sc, GY:GY + Sc],
+        np.asarray(wrc), atol=1e-5)
+
+    with pltpu.force_tpu_interpret_mode():
+        gu2, gss = sync(transfer3d.prolong_smooth_ext3(
+            u_ext, b_ext, ec_ext, origin, n2, 2, "jacobi", 2.0 / 3.0,
+            ghost=(GZ, GY), want_resnorm=True))
+    corrected = uj + ops3d.prolong3(jnp.asarray(ec), n2 // 2, (S, S, Sx))
+    wu2 = ops3d.jacobi_sweeps3(corrected, bj, n2, 2.0 / 3.0, 2)
+    np.testing.assert_allclose(np.asarray(gu2)[GZ:-GZ, GY:-GY],
+                               np.asarray(wu2), atol=2e-6)
+    wss = float(np.sum(np.asarray(ops3d.residual3(wu2, bj, n2),
+                                  np.float64) ** 2))
+    np.testing.assert_allclose(float(gss), wss, rtol=1e-4)
+    transfer3d.smooth_restrict_ext3._clear_cache()
+    transfer3d.prolong_smooth_ext3._clear_cache()
+
+
 def test_fused_cycle_matches_jnp():
     """cycles.cycle with the K1₃/K2₃ branches active (wide-enough Sx)."""
     from tpu_multigrid import MultigridConfig

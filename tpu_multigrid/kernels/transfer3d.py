@@ -56,6 +56,22 @@ def _step_fn3(smoother, omega, wy):
     raise ValueError(smoother)
 
 
+def _core_y(TY, WY, steps):
+    """Compute-core fine-y geometry for the sweep chain: (CHY, KWY).
+
+    The 16-row fine y halo exists for offset alignment (coarse y offsets
+    must stay 8-aligned); the chain semantically needs only steps+2 rings,
+    so the smoothing steps run on a (WZ, KWY, Sx) core slice — the 3D
+    y-axis analogue of transfer._core_geom (z halos are already
+    depth-tight, x is untiled).  Residual/blur/prolong stay full-window;
+    the stale y-strips they read are masked or never DMA'd out (the same
+    argument as the 2D shrink).  Falls back to the full halo when the
+    chain exceeds the 8-ring contamination budget."""
+    hy = (WY - TY) // 2
+    chy = 8 if (hy == 16 and steps + 2 <= 8) else hy
+    return chy, TY + 2 * chy
+
+
 def _masks3(z0, y0, WZ, WY, Sx, n):
     """(interior, parity) over the fused (WZ*WY, Sx) window view."""
     fr = jax.lax.broadcasted_iota(jnp.int32, (WZ * WY, Sx), 0)
@@ -221,6 +237,7 @@ def _smooth_restrict3(u, b, *, n, shape_c, steps, smoother, omega,
     H = steps + 2                            # +1 residual ring, +1 blur ring
     TZ, HZ, TY, HY = _tiles_k1(u.shape, H, dtype)
     WZ, WY = TZ + 2 * HZ, TY + 2 * HY
+    CHY, KWY = _core_y(TY, WY, steps)
     ntz = pl.cdiv(Sz, TZ)
     nty = pl.cdiv(Sy, TY)
     nt = ntz * nty
@@ -287,15 +304,36 @@ def _smooth_restrict3(u, b, *, n, shape_c, steps, smoother, omega,
             for d in in_dmas(slot, t):
                 d.wait()
 
-            z0, y0, _, _ = coords(t)
-            interior, parity = _masks3(z0 + org_smem[0, 0],
-                                       y0 + org_smem[0, 1], WZ, WY, Sx, n)
-            step = _step_fn3(smoother, omega, WY)
-            state = u_buf[slot].reshape(WZ * WY, Sx)
-            bwin = b_buf[slot].reshape(WZ * WY, Sx)
-            for j in range(steps):
-                state = step(state, bwin, interior, parity, j)
-            u_buf[slot] = state.reshape(WZ, WY, Sx)
+            z0, y0, _, yo = coords(t)
+            if steps > 0 and KWY < WY:
+                # Sweep chain on the y-core slice only (see _core_y).
+                ky0 = pl.multiple_of(
+                    jnp.clip((yo - y0) - CHY, 0, WY - KWY), 8)
+                ik, pk = _masks3(z0 + org_smem[0, 0],
+                                 y0 + ky0 + org_smem[0, 1], WZ, KWY, Sx, n)
+                stepk = _step_fn3(smoother, omega, KWY)
+                sk = u_buf[slot, :, pl.ds(ky0, KWY), :].reshape(
+                    WZ * KWY, Sx)
+                bk = b_buf[slot, :, pl.ds(ky0, KWY), :].reshape(
+                    WZ * KWY, Sx)
+                for j in range(steps):
+                    sk = stepk(sk, bk, ik, pk, j)
+                u_buf[slot, :, pl.ds(ky0, KWY), :] = sk.reshape(
+                    WZ, KWY, Sx)
+                interior, _ = _masks3(z0 + org_smem[0, 0],
+                                      y0 + org_smem[0, 1], WZ, WY, Sx, n)
+                state = u_buf[slot].reshape(WZ * WY, Sx)
+                bwin = b_buf[slot].reshape(WZ * WY, Sx)
+            else:
+                interior, parity = _masks3(z0 + org_smem[0, 0],
+                                           y0 + org_smem[0, 1], WZ, WY,
+                                           Sx, n)
+                step = _step_fn3(smoother, omega, WY)
+                state = u_buf[slot].reshape(WZ * WY, Sx)
+                bwin = b_buf[slot].reshape(WZ * WY, Sx)
+                for j in range(steps):
+                    state = step(state, bwin, interior, parity, j)
+                u_buf[slot] = state.reshape(WZ, WY, Sx)
             r = _residual_of3(state, bwin, interior, WY)
             # R = P^T/2: separable blur + even-even-even decimation, /2.
             rc = 0.5 * _decimate3(_blur3(r, WY), WZ, WY)
@@ -415,6 +453,7 @@ def _prolong_smooth3(u, b, ec, *, n, steps, smoother, omega,
     WZ = Sz if full_z else 2 * Wzc
     WY = Sy if full_y else 2 * Wyc
     # The prolonged block is (2Wzc, 2Wyc) >= (WZ, WY); crop at use.
+    CHY, KWY = _core_y(TY, WY, steps)
     ntz = pl.cdiv(Sz, TZ)
     nty = pl.cdiv(Sy, TY)
     nt = ntz * nty
@@ -499,10 +538,27 @@ def _prolong_smooth3(u, b, ec, *, n, steps, smoother, omega,
                               u_buf[slot].reshape(WZ * WY, Sx) + corr,
                               jnp.zeros((), dtype))
             bwin = b_buf[slot].reshape(WZ * WY, Sx)
-            step = _step_fn3(smoother, omega, WY)
-            for j in range(steps):
-                state = step(state, bwin, interior, parity, j)
-            u_buf[slot] = state.reshape(WZ, WY, Sx)
+            if steps > 0 and KWY < WY:
+                # Sweep chain on the y-core slice only (see _core_y).
+                u_buf[slot] = state.reshape(WZ, WY, Sx)
+                ky0 = pl.multiple_of(
+                    jnp.clip((yo - yf0) - CHY, 0, WY - KWY), 8)
+                ik, pk = _masks3(zf0, yf0 + ky0, WZ, KWY, Sx, n)
+                stepk = _step_fn3(smoother, omega, KWY)
+                sk = u_buf[slot, :, pl.ds(ky0, KWY), :].reshape(
+                    WZ * KWY, Sx)
+                bk = b_buf[slot, :, pl.ds(ky0, KWY), :].reshape(
+                    WZ * KWY, Sx)
+                for j in range(steps):
+                    sk = stepk(sk, bk, ik, pk, j)
+                u_buf[slot, :, pl.ds(ky0, KWY), :] = sk.reshape(
+                    WZ, KWY, Sx)
+                state = u_buf[slot].reshape(WZ * WY, Sx)
+            else:
+                step = _step_fn3(smoother, omega, WY)
+                for j in range(steps):
+                    state = step(state, bwin, interior, parity, j)
+                u_buf[slot] = state.reshape(WZ, WY, Sx)
             if want_resnorm:
                 tz = t // nty
                 ty = t % nty
@@ -664,6 +720,7 @@ def _prolong_smooth_local3(u, b, ec, origin, *, n, steps, smoother, omega,
     H = steps + (1 if want_resnorm else 0) + 1   # +1 prolong garbage ring
     TZ, HZ, TY, HY = _tiles_k1(u.shape, H, dtype)
     WZ, WY = TZ + 2 * HZ, TY + 2 * HY
+    CHY, KWY = _core_y(TY, WY, steps)
     Wzc, Wyc = WZ // 2, WY // 2
     ntz = pl.cdiv(Rz, TZ)
     nty = pl.cdiv(Ry, TY)
@@ -725,7 +782,7 @@ def _prolong_smooth_local3(u, b, ec, origin, *, n, steps, smoother, omega,
             for d in in_dmas(slot, t):
                 d.wait()
 
-            z0, y0, _, _ = coords(t)
+            z0, y0, _, yo = coords(t)
             interior, parity = _masks3(z0 + org_smem[0, 0],
                                        y0 + org_smem[0, 1], WZ, WY, Sx, n)
             corr = _prolong3_vmem(
@@ -736,10 +793,28 @@ def _prolong_smooth_local3(u, b, ec, origin, *, n, steps, smoother, omega,
                               u_buf[slot].reshape(WZ * WY, Sx) + corr,
                               jnp.zeros((), dtype))
             bwin = b_buf[slot].reshape(WZ * WY, Sx)
-            step = _step_fn3(smoother, omega, WY)
-            for j in range(steps):
-                state = step(state, bwin, interior, parity, j)
-            u_buf[slot] = state.reshape(WZ, WY, Sx)
+            if steps > 0 and KWY < WY:
+                # Sweep chain on the y-core slice only (see _core_y).
+                u_buf[slot] = state.reshape(WZ, WY, Sx)
+                ky0 = pl.multiple_of(
+                    jnp.clip((yo - y0) - CHY, 0, WY - KWY), 8)
+                ik, pk = _masks3(z0 + org_smem[0, 0],
+                                 y0 + ky0 + org_smem[0, 1], WZ, KWY, Sx, n)
+                stepk = _step_fn3(smoother, omega, KWY)
+                sk = u_buf[slot, :, pl.ds(ky0, KWY), :].reshape(
+                    WZ * KWY, Sx)
+                bk = b_buf[slot, :, pl.ds(ky0, KWY), :].reshape(
+                    WZ * KWY, Sx)
+                for j in range(steps):
+                    sk = stepk(sk, bk, ik, pk, j)
+                u_buf[slot, :, pl.ds(ky0, KWY), :] = sk.reshape(
+                    WZ, KWY, Sx)
+                state = u_buf[slot].reshape(WZ * WY, Sx)
+            else:
+                step = _step_fn3(smoother, omega, WY)
+                for j in range(steps):
+                    state = step(state, bwin, interior, parity, j)
+                u_buf[slot] = state.reshape(WZ, WY, Sx)
             if want_resnorm:
                 tz = t // nty
                 ty = t % nty
