@@ -59,6 +59,11 @@ def _clear_jax_caches_per_module():
 # ---------------------------------------------------------------------------
 
 _SLOW_TESTS = frozenset([
+    # r3 additions (>= ~15 s each on this host)
+    "test_kernels.py::test_super_kernels_column_tiled_core_shrink[jacobi-2]",
+    "test_kernels.py::test_super_kernels_column_tiled_core_shrink[rbgs-4]",
+    "test_kernels.py::test_super_kernels_column_tiled_core_shrink[jacobi-7]",
+    "test_kernels.py::test_delta_form_bf16_smoothing_on_fused_tier",
     "test_anisotropic.py::TestSolve::test_isotropic_zebra_still_works",
     "test_anisotropic.py::TestSolve::test_matches_dense_solve",
     "test_anisotropic.py::TestSolve::test_point_smoother_stalls_zebra_does_not",
