@@ -124,3 +124,16 @@ def test_sharded_solve3_w_cycle():
     mesh = make_grid_mesh3(shape=(2, 2), devices=jax.devices()[:4])
     res, _ = sharded_solve3(cfg, mesh, tol=1e-5, replicate_below=4)
     assert bool(res.converged)
+
+
+def test_solve_poisson3d_mesh_dispatch():
+    """api.solve_poisson3d(mesh=...) routes to the 3D sharded path."""
+    import tpu_multigrid as mg
+    from tpu_multigrid.dist.shard_cycle3 import make_grid_mesh3
+
+    mesh = make_grid_mesh3(shape=(2, 2), devices=jax.devices()[:4])
+    cfg = mg.MultigridConfig(finest_level=5, coarsest_level=2)
+    res = mg.solve_poisson3d(5, config=cfg, mesh=mesh, tol=1e-4)
+    assert bool(res.converged)
+    with pytest.raises(ValueError):
+        mg.solve_poisson3d(5, config=cfg, mesh=mesh, refined=True)

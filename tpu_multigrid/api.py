@@ -200,9 +200,14 @@ def solve_poisson3d(
     num_cycles: Optional[int] = None,
     use_fmg: bool = False,
     refined: bool = False,
+    mesh=None,
     jit: bool = True,
 ) -> SolveResult:
     """Solve -lap(u) = forcing on the unit cube, homogeneous Dirichlet BCs.
+
+    ``mesh``: optional 2D ``jax.sharding.Mesh`` — the cube decomposes
+    (z, y) with the lane axis shard-local (``dist.shard_cycle3``;
+    constant forcing, no FMG/refined yet).
 
     3D extension beyond the strictly-2D reference; the 7-point hierarchy
     runs through the same V/W/F/FMG drivers (``core.ops3d``).  The
@@ -223,6 +228,16 @@ def solve_poisson3d(
             use_pallas=jax.devices()[0].platform != "cpu")
     elif config.finest_level != finest_level:
         config = dataclasses.replace(config, finest_level=finest_level)
+    if mesh is not None:
+        if callable(forcing) or use_fmg or refined:
+            raise ValueError("solve_poisson3d(mesh=...) supports constant "
+                             "forcing without use_fmg/refined for now")
+        from .dist.shard_cycle3 import sharded_solve3
+        res, _ = sharded_solve3(config, mesh, forcing=float(forcing),
+                                tol=tol if tol is not None else 0.0,
+                                max_cycles=max_cycles,
+                                num_cycles=num_cycles, jit=jit)
+        return res
     from .problems import Poisson3DProblem
     # Sublane/lane-aligned padded grids qualify for the Pallas streaming
     # kernels (align 16: the K1₃/K2₃ super-kernels need coarse-side y
