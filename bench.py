@@ -231,6 +231,33 @@ def run_bench(level, cycles, nu1, nu2, smoother, use_pallas, dtype, repeats,
     }
 
 
+def tpu_alive(timeout_s=150):
+    """Probe the axon TPU tunnel in a SUBPROCESS with a hard timeout.
+
+    When the tunnel relay is dead, ``jax.devices()`` blocks forever inside
+    the axon plugin's device discovery (observed r3: hung >7 min) — an
+    in-process probe would hang this whole bench and the driver with it.
+    A subprocess can be killed; the parent then flips to CPU before ever
+    initializing a backend.
+    """
+    import os
+    import subprocess
+    import sys
+
+    if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+        return False
+    code = ("import jax, jax.numpy as jnp; "
+            "assert jax.devices()[0].platform != 'cpu'; "
+            "print(float(jax.jit(lambda x: (x + 1).sum())"
+            "(jnp.ones((256, 256)))), 'TPU_OK')")
+    try:
+        r = subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
+                           capture_output=True, text=True)
+        return r.returncode == 0 and "TPU_OK" in r.stdout
+    except Exception:
+        return False
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--level", type=int, default=13,
@@ -257,6 +284,18 @@ def main():
         args.level = min(args.level, 8)
         args.cycles = min(args.cycles, 4)
         args.repeats = 1
+
+    tpu_unavailable = False
+    if not tpu_alive():
+        # Dead tunnel (or CPU-forced env): flip to CPU *before* any backend
+        # initialization and shrink the config — level 13 unfused on this
+        # 1-core host would take tens of minutes.  The JSON still appears,
+        # flagged, so the driver round artifact never hangs or vanishes.
+        tpu_unavailable = True
+        jax.config.update("jax_platforms", "cpu")
+        args.level = min(args.level, 9)
+        args.cycles = min(args.cycles, 4)
+        args.repeats = min(args.repeats, 2)
 
     on_tpu = jax.devices()[0].platform != "cpu"
     use_pallas = args.pallas if args.pallas is not None else on_tpu
@@ -308,6 +347,8 @@ def main():
         "detail": {k: (round(v, 4) if isinstance(v, float) else v)
                    for k, v in stats.items()},
     }
+    if tpu_unavailable:
+        result["detail"]["tpu_unavailable"] = True
     print(json.dumps(result))
 
 
