@@ -61,10 +61,10 @@ def tridiag_pcr(dl, d, du, b):
 
 def _line_system(coef, b_eff, u, axis, box, dtype):
     """Tridiagonal pieces for lines running along ``axis`` (1 = rows/x)."""
-    S = u.shape[-1]
+    shape = u.shape[-2:]  # rectangular grids OK (core.semicoarsen.SemiOp)
     i0, i1, j0, j1 = box
-    i = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
-    j = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
+    i = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
     inter = (i >= i0) & (i <= i1) & (j >= j0) & (j <= j1)
     if axis == 1:
         dl, du = coef[1, 0], coef[1, 2]
@@ -88,12 +88,12 @@ def zebra_sweeps(op, u, b, sweeps: int, axis: int = 1):
     solves all odd-index lines exactly (off-line terms at current values),
     then all even-index lines.
     """
-    S = op.S
+    shape = u.shape[-2:]
     box = op.box if op.box is not None else (1, op.n - 1, 1, op.n - 1)
     coef = op.coef
     dtype = u.dtype
-    i = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
-    j = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
+    i = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
     line_idx = i if axis == 1 else j
 
     def offline_apply(v):

@@ -22,8 +22,10 @@ import jax.numpy as jnp
 
 from ..config import MultigridConfig
 from ..core import ops
+from ..core import semicoarsen as _semi
 from ..core.grids import Hierarchy, coarse_solve
 from ..core.operators import ConstStencilOp, ConstStencilOp3D, VarStencilOp
+from ..core.semicoarsen import SemiOp
 
 
 # ---------------------------------------------------------------------------
@@ -358,8 +360,14 @@ def cycle(hier: Hierarchy, cfg: MultigridConfig, u, b, k: int = 0):
         u, rc = _fused_k1_3d(op, opc, cfg, u, b)
     else:
         u, r = _smooth_residual(op, u, b, cfg, cfg.nu1)
-        rc = _restrict(r, op.n, _tshape(opc), cfg, getattr(op, "ndim", 2),
-                       box=getattr(opc, "box", None))
+        if isinstance(opc, SemiOp):
+            # Semi-coarsened level: tensor-product per-axis transfers
+            # driven by the coarse op's from_axes (core.semicoarsen).
+            rc = _semi.restrict_to(r, opc)
+        else:
+            rc = _restrict(r, op.n, _tshape(opc), cfg,
+                           getattr(op, "ndim", 2),
+                           box=getattr(opc, "box", None))
     ec = _zeros(opc, u.dtype)
     if cfg.cycle == "V":
         ec = cycle(hier, cfg, ec, rc, k + 1)
@@ -375,6 +383,9 @@ def cycle(hier: Hierarchy, cfg: MultigridConfig, u, b, k: int = 0):
         u = _fused_k2v(op, cfg, u, b, ec)
     elif fused3:
         u = _fused_k2_3d(op, cfg, u, b, ec)
+    elif isinstance(opc, SemiOp):
+        u = _semi.prolong_add_from(u, ec, opc, op)
+        u = _smooth(op, u, b, cfg, cfg.nu2)
     else:
         u = _prolong_add(u, ec, opc.n, _tshape(op), cfg,
                          getattr(op, "ndim", 2),
@@ -445,10 +456,13 @@ def fmg_rhs_hierarchy(hier: Hierarchy, cfg: MultigridConfig, b_fine,
         return list(b_levels)
     bs = [b_fine]
     for k in range(hier.num_levels - 1):
-        bs.append(_restrict(bs[-1], hier.levels[k].n,
-                            _tshape(hier.levels[k + 1]),
-                            cfg, getattr(hier.levels[k], "ndim", 2),
-                            box=getattr(hier.levels[k + 1], "box", None)))
+        opc = hier.levels[k + 1]
+        if isinstance(opc, SemiOp):
+            bs.append(_semi.restrict_to(bs[-1], opc))
+        else:
+            bs.append(_restrict(bs[-1], hier.levels[k].n, _tshape(opc),
+                                cfg, getattr(hier.levels[k], "ndim", 2),
+                                box=getattr(opc, "box", None)))
     return bs
 
 
@@ -471,10 +485,14 @@ def fmg(hier: Hierarchy, cfg: MultigridConfig, b_fine,
         # kernel (as 0 + P u) when available — the jnp strided scatter is
         # ~400 ms per 8193^2 level on TPU.
         zero = _zeros(hier.levels[k], u.dtype)
-        u = _prolong_add(zero, u, hier.levels[k + 1].n,
-                         _tshape(hier.levels[k]),
-                         cfg, getattr(hier.levels[k], "ndim", 2),
-                         box=getattr(hier.levels[k], "box", None))
+        if isinstance(hier.levels[k + 1], SemiOp):
+            u = _semi.prolong_add_from(zero, u, hier.levels[k + 1],
+                                       hier.levels[k])
+        else:
+            u = _prolong_add(zero, u, hier.levels[k + 1].n,
+                             _tshape(hier.levels[k]),
+                             cfg, getattr(hier.levels[k], "ndim", 2),
+                             box=getattr(hier.levels[k], "box", None))
         for _ in range(cfg.nu0):
             u = cycle(hier, cfg, u, bs[k], k)
     return u

@@ -64,19 +64,37 @@ def build_anisotropic_hierarchy(config: MultigridConfig, eps_x: float,
 class AnisotropicPoissonProblem:
     """-(eps_x u_xx + eps_y u_yy) = forcing, homogeneous Dirichlet.
 
-    Pick ``smoother="zebra_x"`` when eps_x >> eps_y (lines along x),
-    ``"zebra_y"`` for the transpose; point smoothers remain available for
-    mild anisotropy.
+    Two robust configurations (the textbook anisotropy remedies):
+
+    * ``coarsening="full"`` (default) with ``smoother="zebra_x"`` when
+      eps_x >> eps_y (lines along x; ``"zebra_y"`` for the transpose) —
+      line relaxation on the standard hierarchy;
+    * ``coarsening="semi"`` with plain point smoothing — the hierarchy
+      coarsens only the strongly coupled axis per level
+      (core.semicoarsen), equilibrating to full coarsening as the
+      coarsened axis's h grows.
+
+    Point smoothers on ``"full"`` remain available for mild anisotropy.
     """
 
     config: MultigridConfig
     eps_x: float = 1.0
     eps_y: float = 1.0
     forcing: Union[float, Callable] = 4.0
+    coarsening: str = "full"
 
     def __post_init__(self):
-        self.hierarchy: Hierarchy = build_anisotropic_hierarchy(
-            self.config, self.eps_x, self.eps_y)
+        if self.coarsening == "semi":
+            from ..core.semicoarsen import build_semicoarsened_hierarchy
+            self.hierarchy: Hierarchy = build_semicoarsened_hierarchy(
+                self.config, self.eps_x, self.eps_y)
+        elif self.coarsening == "full":
+            self.hierarchy = build_anisotropic_hierarchy(
+                self.config, self.eps_x, self.eps_y)
+        else:
+            raise ValueError(
+                f'coarsening must be "full" or "semi", got '
+                f'{self.coarsening!r}')
 
     @property
     def finest(self):
