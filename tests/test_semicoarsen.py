@@ -258,6 +258,30 @@ class TestConvergence:
         assert r_fmg < 0.05 * r0, (r_fmg, r0)
 
 
+class TestAPI:
+    def test_solve_anisotropic_auto_picks_semi(self):
+        import tpu_multigrid as mg
+
+        cfg = MultigridConfig(finest_level=5, coarsest_level=3,
+                              smoother="chebyshev", nu1=3, nu2=2,
+                              use_pallas=False, dtype=jnp.float64)
+        r = mg.solve_anisotropic(5, eps_x=200.0, eps_y=1.0, tol=1e-9,
+                                 config=cfg)
+        assert bool(r.converged) and int(r.iterations) <= 8
+
+    def test_solve_anisotropic_boundary_lifting(self):
+        import tpu_multigrid as mg
+
+        cfg = MultigridConfig(finest_level=5, coarsest_level=3,
+                              smoother="chebyshev", nu1=3, nu2=2,
+                              use_pallas=False, dtype=jnp.float64)
+        r = mg.solve_anisotropic(5, eps_x=100.0, eps_y=1.0, tol=1e-9,
+                                 forcing=0.0, boundary=2.5, config=cfg)
+        u = np.asarray(r.u)[:33, :33]
+        # zero forcing + constant boundary => u == boundary everywhere
+        np.testing.assert_allclose(u, 2.5, atol=1e-8)
+
+
 class TestAccuracy:
     def test_manufactured_o_h2(self):
         """u = sin(pi x) sin(pi y), f = (eps_x + eps_y) pi^2 u."""

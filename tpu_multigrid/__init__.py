@@ -9,8 +9,9 @@ over HBM-resident grids, with fused Pallas stencil kernels and 2D
 ``shard_map`` domain decomposition.
 """
 
-from .api import (extract_solution, solve_diffusion, solve_diffusion3d,
-                  solve_helmholtz, solve_poisson, solve_poisson3d)
+from .api import (extract_solution, solve_anisotropic, solve_diffusion,
+                  solve_diffusion3d, solve_helmholtz, solve_poisson,
+                  solve_poisson3d)
 from .config import REFERENCE_CONFIG, MultigridConfig
 from .core import (ConstStencilOp, Hierarchy, VarStencilOp,
                    build_galerkin_hierarchy, build_poisson_hierarchy, ops)
@@ -29,7 +30,7 @@ __version__ = "0.1.0"
 __all__ = [
     "MultigridConfig", "REFERENCE_CONFIG",
     "solve_poisson", "solve_diffusion", "solve_poisson3d",
-    "solve_helmholtz",
+    "solve_helmholtz", "solve_anisotropic",
     "extract_solution",
     "SolveResult", "cycle", "fmg", "solve_fixed", "solve_until_tol",
     "pcg_solve",

@@ -190,6 +190,53 @@ def solve_helmholtz(
                 boundary=boundary)
 
 
+def solve_anisotropic(
+    finest_level: int = 10,
+    *,
+    eps_x: float = 1.0,
+    eps_y: float = 1.0,
+    coarsening: str = "auto",
+    config: Optional[MultigridConfig] = None,
+    forcing: Union[float, Callable] = 4.0,
+    boundary: Optional[Union[float, Callable]] = None,
+    tol: Optional[float] = 1e-8,
+    max_cycles: int = 100,
+    num_cycles: Optional[int] = None,
+    use_fmg: bool = False,
+    jit: bool = True,
+) -> SolveResult:
+    """Solve -(eps_x u_xx + eps_y u_yy) = forcing (anisotropic Poisson).
+
+    ``coarsening``:
+
+    * ``"auto"`` (default) — semi-coarsened hierarchy with point
+      smoothing when the anisotropy exceeds 4:1 and no line smoother was
+      explicitly configured; the standard hierarchy otherwise.
+    * ``"semi"`` — coupling-balanced semi-coarsening (core.semicoarsen):
+      point Jacobi/Chebyshev stays mesh-independent at any anisotropy.
+    * ``"full"`` — standard full coarsening; robust at strong anisotropy
+      only with ``config.smoother="zebra_x"`` (eps_x >> eps_y) or
+      ``"zebra_y"`` (core.lines).
+
+    Extension beyond the isotropic-only reference
+    (``Poissons_SYCL.cpp:119-123``).
+    """
+    if config is None:
+        config = MultigridConfig(finest_level=finest_level)
+    elif config.finest_level != finest_level:
+        config = dataclasses.replace(config, finest_level=finest_level)
+    if coarsening == "auto":
+        ratio = max(eps_x, eps_y) / max(min(eps_x, eps_y), 1e-300)
+        zebra = config.smoother in ("zebra_x", "zebra_y")
+        coarsening = "semi" if (ratio > 4.0 and not zebra) else "full"
+    from .problems import AnisotropicPoissonProblem
+    problem = AnisotropicPoissonProblem(config, eps_x=eps_x, eps_y=eps_y,
+                                        forcing=forcing,
+                                        coarsening=coarsening)
+    return _run(problem, config, tol, max_cycles, num_cycles, use_fmg, jit,
+                boundary=boundary)
+
+
 def solve_poisson3d(
     finest_level: int = 6,
     *,

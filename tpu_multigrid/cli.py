@@ -92,6 +92,10 @@ def main(argv=None):
     pa.add_argument("--forcing", type=float, default=4.0)
     pa.add_argument("--eps-x", type=float, default=1.0)
     pa.add_argument("--eps-y", type=float, default=1.0)
+    pa.add_argument("--coarsening", choices=["auto", "full", "semi"],
+                    default="auto",
+                    help="semi = coarsen the strong axis only "
+                         "(point smoothing stays mesh-independent)")
 
     pb = sub.add_parser("bench", help="run the benchmark harness")
     pb.add_argument("args", nargs=argparse.REMAINDER)
@@ -138,18 +142,10 @@ def main(argv=None):
     elif args.command == "solve3d":
         res = solve_poisson3d(args.level, refined=args.refined, **kw)
     elif args.command == "anisotropic":
-        from .problems import AnisotropicPoissonProblem
-        from .cycles import fmg as _fmg, solve_fixed, solve_until_tol
-        prob = AnisotropicPoissonProblem(cfg, eps_x=args.eps_x,
-                                         eps_y=args.eps_y,
-                                         forcing=args.forcing)
-        b = prob.rhs()
-        u0 = _fmg(prob.hierarchy, cfg, b) if args.fmg else None
-        if args.cycles is not None:
-            res = solve_fixed(prob.hierarchy, cfg, b, args.cycles, u0=u0)
-        else:
-            res = solve_until_tol(prob.hierarchy, cfg, b, tol=args.tol,
-                                  max_cycles=args.max_cycles, u0=u0)
+        from .api import solve_anisotropic
+        res = solve_anisotropic(args.level, eps_x=args.eps_x,
+                                eps_y=args.eps_y,
+                                coarsening=args.coarsening, **kw)
     else:
         res = solve_diffusion(args.level, coefficient=args.coefficient,
                               boundary=args.boundary, **kw)

@@ -36,16 +36,70 @@ def _factor2(n: int) -> Tuple[int, int]:
 
 
 def make_grid_mesh(shape: Optional[Tuple[int, int]] = None,
-                   devices: Optional[Sequence] = None) -> Mesh:
-    """2D device mesh with axes ("gy", "gx") for spatial decomposition."""
+                   devices: Optional[Sequence] = None,
+                   dcn_slices: Optional[int] = None) -> Mesh:
+    """2D device mesh with axes ("gy", "gx") for spatial decomposition.
+
+    ``dcn_slices``: for multi-slice (DCN-connected) topologies, the
+    number of ICI-connected slices.  The mesh is laid out so each slice
+    owns a CONTIGUOUS band of ``gy`` rows: every halo exchange except the
+    ``dcn_slices - 1`` band-boundary row strips then rides ICI, and the
+    per-step DCN traffic is exactly one ghost-row strip per boundary —
+    the minimum a 2D decomposition admits.  (Scattering a slice's devices
+    across the mesh would instead put DCN hops inside the per-sweep
+    ppermute rings.)  Devices are grouped by their ``slice_index``
+    attribute when present (real multi-slice hardware); otherwise split
+    into ``dcn_slices`` equal consecutive chunks (virtual meshes / tests).
+    """
     devs = list(devices) if devices is not None else list(jax.devices())
+    if not dcn_slices or dcn_slices <= 1:
+        if shape is None:
+            shape = _factor2(len(devs))
+        my, mx = shape
+        if my * mx != len(devs):
+            raise ValueError(f"mesh shape {shape} != {len(devs)} devices")
+        arr = np.asarray(devs).reshape(my, mx)
+        return Mesh(arr, GRID_AXES)
+
+    k = int(dcn_slices)
+    if len(devs) % k:
+        raise ValueError(f"{len(devs)} devices not divisible into "
+                         f"{k} slices")
+    per = len(devs) // k
+    slice_ids = [getattr(d, "slice_index", None) for d in devs]
+    if all(s is not None for s in slice_ids) and \
+            len(set(slice_ids)) == k:
+        groups = [[d for d, s in zip(devs, slice_ids) if s == sid]
+                  for sid in sorted(set(slice_ids))]
+        if any(len(g) != per for g in groups):
+            raise ValueError("unequal devices per slice: "
+                             f"{[len(g) for g in groups]}")
+    else:
+        groups = [devs[i * per: (i + 1) * per] for i in range(k)]
     if shape is None:
-        shape = _factor2(len(devs))
+        a, b = _factor2(per)
+        shape = (k * a, b)
     my, mx = shape
     if my * mx != len(devs):
         raise ValueError(f"mesh shape {shape} != {len(devs)} devices")
-    arr = np.asarray(devs).reshape(my, mx)
-    return Mesh(arr, GRID_AXES)
+    if my % k:
+        raise ValueError(f"gy extent {my} not divisible by {k} slices "
+                         "(each slice must own whole mesh rows)")
+    rows_per = my // k
+    if rows_per * mx != per:
+        raise ValueError(f"slice of {per} devices cannot fill "
+                         f"{rows_per}x{mx} mesh rows")
+    bands = [np.asarray(g).reshape(rows_per, mx) for g in groups]
+    return Mesh(np.concatenate(bands, axis=0), GRID_AXES)
+
+
+def dcn_boundary_rows(mesh: Mesh, dcn_slices: int) -> Tuple[int, ...]:
+    """The ``gy`` coordinates whose +1 neighbor lives on another slice
+    (i.e. whose downward ghost-row exchange crosses DCN) under the
+    band-contiguous layout of :func:`make_grid_mesh`."""
+    my = mesh.devices.shape[0]
+    rows_per = my // dcn_slices
+    return tuple(r * rows_per - 1 for r in range(1, dcn_slices))
 
 
 def grid_sharding(mesh: Mesh) -> NamedSharding:
