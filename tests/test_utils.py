@@ -42,6 +42,38 @@ def test_checkpoint_roundtrip_and_resume(tmp_path):
         restore_solve(path, prob6.hierarchy, cfg6, prob6.rhs(), tol=1e-12)
 
 
+def test_sharded_checkpoint_roundtrip_and_resume(tmp_path):
+    """Distributed solves checkpoint/resume through the same .npz state:
+    the gathered global iterate re-enters sharded_solve as u0, and the
+    original initial residual stays the tolerance baseline."""
+    import jax
+
+    from tpu_multigrid.dist import make_grid_mesh
+    from tpu_multigrid.dist.shard_cycle import sharded_solve
+    from tpu_multigrid.utils.checkpoint import restore_sharded_solve
+
+    cfg = MultigridConfig(finest_level=5, coarsest_level=3,
+                          dtype=jnp.float32, mesh_shape=(2, 2))
+    mesh = make_grid_mesh(shape=(2, 2), devices=jax.devices()[:4])
+    partial, _ = sharded_solve(cfg, mesh, tol=1e-4, max_cycles=2,
+                               replicate_below=8)
+    assert not bool(partial.converged)
+    path = str(tmp_path / "dist_state.npz")
+    save_state(path, state_from_result(partial, cfg.finest_level))
+
+    resumed, _ = restore_sharded_solve(path, cfg, mesh, tol=1e-4,
+                                       max_cycles=30, replicate_below=8)
+    assert bool(resumed.converged)
+    cold, _ = sharded_solve(cfg, mesh, tol=1e-4, max_cycles=30,
+                            replicate_below=8)
+    assert int(resumed.iterations) < int(cold.iterations)
+
+    cfg6 = MultigridConfig(finest_level=6, coarsest_level=3,
+                           dtype=jnp.float32, mesh_shape=(2, 2))
+    with pytest.raises(ValueError):
+        restore_sharded_solve(path, cfg6, mesh, tol=1e-4)
+
+
 def test_log_solve_record(capsys):
     cfg = MultigridConfig(finest_level=4, coarsest_level=3, dtype=jnp.float64)
     prob = PoissonProblem(cfg)

@@ -309,7 +309,8 @@ def sharded_solve(config: MultigridConfig, mesh: Mesh, *,
                   forcing=4.0, coefficient=None, u0=None,
                   tol: float = 1e-5, max_cycles: int = 100,
                   num_cycles: Optional[int] = None, use_fmg: bool = False,
-                  replicate_below: int = 64, jit: bool = True):
+                  replicate_below: int = 64, jit: bool = True,
+                  r0_norm: Optional[float] = None):
     """Distributed solve with explicit halo-exchange communication.
 
     The distributed twin of :func:`api.solve_poisson` /
@@ -373,7 +374,13 @@ def sharded_solve(config: MultigridConfig, mesh: Mesh, *,
         if use_fmg:
             u = _fmg_local(levels, hier_loc, config, b_loc, svar_loc)
         r0 = L.norm2_local(_local_residual(lv0, n0, u, b_loc))
-        target = jnp.asarray(tol, jnp.float32) * r0
+        # ``r0_norm`` keeps the ORIGINAL solve's initial residual as the
+        # relative-tolerance baseline when resuming from a checkpoint
+        # (utils.checkpoint.restore_sharded_solve), matching
+        # cycles.solve_until_tol's semantics.
+        rbase = (jnp.asarray(r0_norm, jnp.float32)
+                 if r0_norm is not None else r0)
+        target = jnp.asarray(tol, jnp.float32) * rbase
         ncyc = num_cycles if num_cycles is not None else max_cycles
         hist = jnp.full((ncyc + 1,), jnp.nan, jnp.float32).at[0].set(r0)
 

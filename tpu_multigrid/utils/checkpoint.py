@@ -88,6 +88,32 @@ def restore_solve(path: str, hier, config, b, *, tol: float = 1e-8,
                            u0=u0, r0_norm=r0)
 
 
+def restore_sharded_solve(path: str, config, mesh, *, tol: float = 1e-5,
+                          max_cycles: int = 100, **kwargs):
+    """Resume a distributed (``mesh=``) until-tol solve from a checkpoint.
+
+    The checkpointed iterate is the gathered global grid (``save_state``
+    calls ``np.asarray`` on the sharded array); it re-enters
+    ``dist.shard_cycle.sharded_solve`` as ``u0`` and is re-sharded by the
+    mesh placement.  The original solve's initial residual stays the
+    relative-tolerance baseline (``r0_norm``), matching
+    :func:`restore_solve`.  Extra ``kwargs`` (``forcing``,
+    ``coefficient``, ``replicate_below``, ...) must match the original
+    solve's problem.
+    """
+    from ..dist.shard_cycle import sharded_solve
+
+    state = load_state(path)
+    if int(state.finest_level) != config.finest_level:
+        raise ValueError(
+            f"checkpoint is for finest_level={int(state.finest_level)}, "
+            f"config has {config.finest_level}")
+    r0 = np.asarray(state.res_history)
+    r0 = float(r0[0]) if len(r0) and np.isfinite(r0[0]) else None
+    return sharded_solve(config, mesh, u0=np.asarray(state.u), tol=tol,
+                         max_cycles=max_cycles, r0_norm=r0, **kwargs)
+
+
 def restore_refined_solve(path: str, hier, config, b, *, tol: float = 1e-8,
                           max_iters: int = 60):
     """Resume a double-single refined solve from a checkpoint file.
