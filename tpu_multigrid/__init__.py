@@ -9,15 +9,17 @@ over HBM-resident grids, with fused Pallas stencil kernels and 2D
 ``shard_map`` domain decomposition.
 """
 
-from .api import (extract_solution, solve_anisotropic, solve_diffusion,
+from .api import (extract_solution, solve_anisotropic,
+                  solve_convection_diffusion, solve_diffusion,
                   solve_diffusion3d, solve_helmholtz, solve_poisson,
                   solve_poisson3d)
 from .config import REFERENCE_CONFIG, MultigridConfig
 from .core import (ConstStencilOp, Hierarchy, VarStencilOp,
                    build_galerkin_hierarchy, build_poisson_hierarchy, ops)
 from .cycles import SolveResult, cycle, fmg, solve_fixed, solve_until_tol
-from .krylov import pcg_solve
-from .problems import (AnisotropicPoissonProblem, Diffusion3DProblem,
+from .krylov import bicgstab_solve, pcg_solve
+from .problems import (AnisotropicPoissonProblem,
+                       ConvectionDiffusionProblem, Diffusion3DProblem,
                        DiffusionProblem, HelmholtzProblem,
                        MixedBCPoissonProblem, Poisson3DProblem,
                        PoissonProblem, poisson3d_rhs, poisson_rhs)
@@ -30,14 +32,14 @@ __version__ = "0.1.0"
 __all__ = [
     "MultigridConfig", "REFERENCE_CONFIG",
     "solve_poisson", "solve_diffusion", "solve_poisson3d",
-    "solve_helmholtz", "solve_anisotropic",
+    "solve_helmholtz", "solve_anisotropic", "solve_convection_diffusion",
     "extract_solution",
     "SolveResult", "cycle", "fmg", "solve_fixed", "solve_until_tol",
-    "pcg_solve",
+    "pcg_solve", "bicgstab_solve",
     "PoissonProblem", "DiffusionProblem", "poisson_rhs",
     "Poisson3DProblem", "poisson3d_rhs", "MixedBCPoissonProblem",
     "HelmholtzProblem", "Diffusion3DProblem", "solve_diffusion3d",
-    "AnisotropicPoissonProblem",
+    "AnisotropicPoissonProblem", "ConvectionDiffusionProblem",
     "Hierarchy", "ConstStencilOp", "VarStencilOp",
     "build_poisson_hierarchy", "build_galerkin_hierarchy", "ops",
     "TopoHierarchy", "TopoTransfer", "EllOp",

@@ -237,6 +237,42 @@ def solve_anisotropic(
                 boundary=boundary)
 
 
+def solve_convection_diffusion(
+    finest_level: int = 10,
+    *,
+    eps: float = 1.0,
+    bx: Union[float, Callable] = 0.0,
+    by: Union[float, Callable] = 0.0,
+    config: Optional[MultigridConfig] = None,
+    forcing: Union[float, Callable] = 4.0,
+    boundary: Optional[Union[float, Callable]] = None,
+    tol: Optional[float] = 1e-8,
+    max_cycles: int = 100,
+    num_cycles: Optional[int] = None,
+    use_fmg: bool = False,
+    hierarchy_method: str = "rediscretize",
+    jit: bool = True,
+) -> SolveResult:
+    """Solve -eps lap(u) + b . grad(u) = forcing (upwind convection-
+    diffusion; nonsymmetric).
+
+    ``bx``/``by`` are constants or callables ``b(x, y)``.  First-order
+    upwinding keeps every level an M-matrix at any mesh Peclet; pick
+    ``config.smoother="rbgs"`` at high Peclet (problems/convection.py).
+    Extension beyond the pure-Poisson reference.
+    """
+    if config is None:
+        config = MultigridConfig(finest_level=finest_level, smoother="rbgs")
+    elif config.finest_level != finest_level:
+        config = dataclasses.replace(config, finest_level=finest_level)
+    from .problems import ConvectionDiffusionProblem
+    problem = ConvectionDiffusionProblem(
+        config, eps=eps, bx=bx, by=by, forcing=forcing,
+        hierarchy_method=hierarchy_method, **_pad_kw(config))
+    return _run(problem, config, tol, max_cycles, num_cycles, use_fmg, jit,
+                boundary=boundary)
+
+
 def solve_poisson3d(
     finest_level: int = 6,
     *,

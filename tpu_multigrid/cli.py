@@ -97,6 +97,15 @@ def main(argv=None):
                     help="semi = coarsen the strong axis only "
                          "(point smoothing stays mesh-independent)")
 
+    pc = sub.add_parser("convection",
+                        help="solve -eps lap(u) + b.grad(u) = f "
+                             "(upwind; use --smoother rbgs at high Peclet)")
+    _add_common(pc)
+    pc.add_argument("--forcing", type=float, default=4.0)
+    pc.add_argument("--eps", type=float, default=1.0)
+    pc.add_argument("--bx", type=float, default=0.0)
+    pc.add_argument("--by", type=float, default=0.0)
+
     pb = sub.add_parser("bench", help="run the benchmark harness")
     pb.add_argument("args", nargs=argparse.REMAINDER)
 
@@ -146,6 +155,10 @@ def main(argv=None):
         res = solve_anisotropic(args.level, eps_x=args.eps_x,
                                 eps_y=args.eps_y,
                                 coarsening=args.coarsening, **kw)
+    elif args.command == "convection":
+        from .api import solve_convection_diffusion
+        res = solve_convection_diffusion(args.level, eps=args.eps,
+                                         bx=args.bx, by=args.by, **kw)
     else:
         res = solve_diffusion(args.level, coefficient=args.coefficient,
                               boundary=args.boundary, **kw)

@@ -134,7 +134,7 @@ class VarStencilOp:
     """
 
     def __init__(self, coef, inv_diag, n: int, S: int, box=None,
-                 coef_sym=None):
+                 coef_sym=None, is_symmetric: bool = True):
         self.coef = coef
         self.inv_diag = inv_diag
         self.n = int(n)
@@ -145,21 +145,29 @@ class VarStencilOp:
         # [diag, E, S, SE, SW]).  Built host-side at setup and uploaded
         # with the hierarchy, so solves skip the per-program restack.
         self.coef_sym = coef_sym
+        # The Pallas var-stencil kernels STORE only the E/S/SE/SW planes
+        # and derive W/N/NW/NE by shifts — valid only for symmetric
+        # stencils.  Nonsymmetric operators (upwind convection,
+        # problems/convection.py) must set False so the cycle drivers
+        # keep them on the full-9-plane jnp path.
+        self.is_symmetric = bool(is_symmetric)
 
     def tree_flatten(self):
         return ((self.coef, self.inv_diag, self.coef_sym),
-                (self.n, self.S, self.box))
+                (self.n, self.S, self.box, self.is_symmetric))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        n, S, box = aux
+        n, S, box, is_symmetric = aux
         return cls(children[0], children[1], n, S, box=box,
-                   coef_sym=children[2])
+                   coef_sym=children[2], is_symmetric=is_symmetric)
 
     def with_sym_planes(self):
         """Attach host-built symmetric planes (numpy coef only; no-op
-        otherwise)."""
+        otherwise and for nonsymmetric operators)."""
         import numpy as np
+        if not self.is_symmetric:
+            return self
         if self.coef_sym is None and isinstance(self.coef, np.ndarray):
             c = self.coef
             self.coef_sym = np.stack([c[1, 1], c[1, 2], c[2, 1],
@@ -466,7 +474,8 @@ def galerkin_coarsen_host(fine: VarStencilOp, Sc: int) -> VarStencilOp:
     dt_np = np.dtype(jnp.dtype(dt).name) if not isinstance(dt, np.dtype) \
         else dt
     return VarStencilOp(C2.astype(dt_np), inv_diag.astype(dt_np), nc, Sc,
-                        box=cbox)
+                        box=cbox,
+                        is_symmetric=getattr(fine, "is_symmetric", True))
 
 
 @functools.partial(jax.jit, static_argnames=("Sc",))

@@ -68,6 +68,8 @@ def _smooth(op, u, b, cfg: MultigridConfig, sweeps: int):
 def _var_kernel_ok(op, cfg: MultigridConfig, dtype, sweeps: int) -> bool:
     if not (cfg.use_pallas and isinstance(op, VarStencilOp)):
         return False
+    if not getattr(op, "is_symmetric", True):
+        return False  # kernels use 5-plane symmetric storage
     if cfg.smoother not in ("jacobi", "rbgs", "chebyshev"):
         return False  # line smoothers run the jnp path
     if cfg.effective_smooth_dtype != dtype:
@@ -252,6 +254,8 @@ def _use_var_super_kernels(op, opc, cfg: MultigridConfig, dtype) -> bool:
     """Whether the fused var-coefficient super-kernels (K1v/K2v) apply."""
     if not (cfg.use_pallas and isinstance(op, VarStencilOp)):
         return False
+    if not getattr(op, "is_symmetric", True):
+        return False  # kernels use 5-plane symmetric storage
     if cfg.smoother not in ("jacobi", "rbgs", "chebyshev"):
         return False
     if cfg.effective_smooth_dtype != dtype:

@@ -5,7 +5,9 @@ from .mixedbc import MixedBCPoissonProblem
 from .anisotropic import AnisotropicPoissonProblem
 from .helmholtz import HelmholtzProblem
 from .diffusion3d import Diffusion3DProblem
+from .convection import ConvectionDiffusionProblem
 
 __all__ = ["PoissonProblem", "poisson_rhs", "DiffusionProblem",
            "Poisson3DProblem", "poisson3d_rhs", "MixedBCPoissonProblem",
-           "AnisotropicPoissonProblem", "HelmholtzProblem", "Diffusion3DProblem"]
+           "AnisotropicPoissonProblem", "HelmholtzProblem",
+           "Diffusion3DProblem", "ConvectionDiffusionProblem"]
