@@ -567,11 +567,15 @@ def solve_until_tol(hier: Hierarchy, cfg: MultigridConfig, b, *, tol: float,
     a fixed cycle count and never computes a residual norm
     (``Poissons_SYCL.cpp:575-650``).
 
-    Stall detection: when a cycle reduces the residual by less than
-    ``stall_factor`` (i.e. ``r_new > stall_factor * r_old``), the iterate has
-    hit the precision floor (for f32 storage: ~eps * ||u|| / h^2 relative to
-    ||b||) and further cycles are wasted work; the loop exits with
-    ``converged=False``.  Set ``stall_factor=1.0`` to disable.
+    Stall detection: when TWO CONSECUTIVE cycles each reduce the residual
+    by less than ``stall_factor`` (i.e. ``r_new > stall_factor * r_old``
+    twice in a row), the iterate has hit its precision floor (for f32
+    storage: ~eps * ||u|| / h^2 relative to ||b||) and further cycles are
+    wasted work; the loop exits with ``converged=False``.  Requiring two
+    consecutive non-progressing cycles keeps one atypical cycle — e.g.
+    the slow first cycle of recirculating convection-diffusion
+    (rho_1 ~ 0.97, asymptotic rho ~ 0.56) — from killing a converging
+    solve.  Set ``stall_factor=1.0`` to (effectively) disable.
     """
     op = hier.levels[0]
     u = u0 if u0 is not None else _zeros(op, b.dtype)
@@ -585,20 +589,22 @@ def solve_until_tol(hier: Hierarchy, cfg: MultigridConfig, b, *, tol: float,
 
     hist = jnp.full((max_cycles + 1,), jnp.nan, jnp.float32)
     hist = hist.at[0].set(r0)
+    sf = jnp.asarray(stall_factor, jnp.float32)
 
     def cond(carry):
-        _, i, rnorm, prev, _ = carry
-        making_progress = rnorm < jnp.asarray(stall_factor, jnp.float32) * prev
-        return (i < max_cycles) & (rnorm > target) & making_progress
+        _, i, rnorm, stalls, _ = carry
+        return (i < max_cycles) & (rnorm > target) & (stalls < 2)
 
     def body(carry):
-        u, i, rnorm, _, hist = carry
+        u, i, rnorm, stalls, hist = carry
         u, rnew = cycle_with_norm(hier, cfg, u, b)
         hist = hist.at[i + 1].set(rnew)
-        return u, i + 1, rnew, rnorm, hist
+        stalls = jnp.where(rnew > sf * rnorm, stalls + 1,
+                           jnp.zeros_like(stalls))
+        return u, i + 1, rnew, stalls, hist
 
-    inf = jnp.asarray(jnp.inf, jnp.float32)
     u, iters, rnorm, _, hist = jax.lax.while_loop(
-        cond, body, (u, jnp.asarray(0, jnp.int32), r0, inf, hist))
+        cond, body, (u, jnp.asarray(0, jnp.int32), r0,
+                     jnp.asarray(0, jnp.int32), hist))
     return SolveResult(u=u, res_history=hist, iterations=iters,
                        converged=rnorm <= target)

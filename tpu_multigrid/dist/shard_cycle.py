@@ -385,27 +385,31 @@ def sharded_solve(config: MultigridConfig, mesh: Mesh, *,
         hist = jnp.full((ncyc + 1,), jnp.nan, jnp.float32).at[0].set(r0)
 
         def cond(carry):
-            _, i, rnorm, prev, _ = carry
+            _, i, rnorm, stalls, _ = carry
             keep = i < ncyc
             if num_cycles is None:
                 # Stall detection only applies in until-tol mode; a fixed
                 # cycle count must run to completion (matching solve_fixed)
-                # so res_history has no NaN holes.
-                progressing = rnorm < 0.9 * prev
-                keep &= (rnorm > target) & progressing
+                # so res_history has no NaN holes.  Two CONSECUTIVE
+                # non-progressing cycles are required, matching
+                # cycles.solve_until_tol (one atypical first cycle must
+                # not kill a converging solve).
+                keep &= (rnorm > target) & (stalls < 2)
             return keep
 
         def body(carry):
-            u, i, rnorm, _, hist = carry
+            u, i, rnorm, stalls, hist = carry
             u = _vcycle_local(levels, hier_loc, config, 0, u, b_loc,
                               svar_loc)
             rnew = L.norm2_local(_local_residual(lv0, n0, u, b_loc))
             hist = hist.at[i + 1].set(rnew)
-            return u, i + 1, rnew, rnorm, hist
+            stalls = jnp.where(rnew > 0.9 * rnorm, stalls + 1,
+                               jnp.zeros_like(stalls))
+            return u, i + 1, rnew, stalls, hist
 
-        inf = jnp.asarray(jnp.inf, jnp.float32)
         u, iters, rnorm, _, hist = lax.while_loop(
-            cond, body, (u, jnp.asarray(0, jnp.int32), r0, inf, hist))
+            cond, body, (u, jnp.asarray(0, jnp.int32), r0,
+                         jnp.asarray(0, jnp.int32), hist))
         return u, hist, iters, rnorm <= target
 
     if jit:
