@@ -35,6 +35,7 @@ def solve_poisson(
     mesh=None,
     u0=None,
     dist_path: str = "jnp",
+    order: int = 2,
     jit: bool = True,
 ) -> SolveResult:
     """Solve -lap(u) = forcing on the unit square.
@@ -79,6 +80,19 @@ def solve_poisson(
                                         **_pad_kw(config))
         return _run(problem, config, tol, max_cycles, num_cycles, use_fmg,
                     jit)
+    if order == 4:
+        # Fourth-order compact Mehrstellen discretization
+        # (problems/poisson4.py): same grids/transfers, 9-point stencil +
+        # smoothed RHS, O(h^4) for smooth f.
+        if refined:
+            raise ValueError("refined=True is not supported with order=4 "
+                             "(the ds machinery is 5-point-specialized)")
+        from .problems.poisson4 import Poisson4Problem
+        problem = Poisson4Problem(config, forcing=forcing)
+        return _run(problem, config, tol, max_cycles, num_cycles, use_fmg,
+                    jit, boundary=boundary)
+    if order != 2:
+        raise ValueError(f"order must be 2 or 4, got {order}")
     problem = PoissonProblem(config, forcing=forcing, **_pad_kw(config))
     return _run(problem, config, tol, max_cycles, num_cycles, use_fmg, jit,
                 refined=refined, boundary=boundary)

@@ -119,6 +119,85 @@ def _shift(u, di, dj):
 
 
 @jax.tree_util.register_pytree_node_class
+class Const9Op:
+    """Matrix-free compact 9-point Mehrstellen operator (fourth order).
+
+    h-independent scaling like :class:`ConstStencilOp`: stencil
+    ``[[-1,-4,-1],[-4,20,-4],[-1,-4,-1]] / 6``, RHS carries
+    ``h^2 * B f`` (problems/poisson4.py).  Carries no array state — the
+    cross and diagonal neighbor sums are rolls, so smoothing stays
+    bandwidth-bound on u and b.
+    """
+
+    DIAG = 20.0 / 6.0
+
+    def __init__(self, n: int, S: int):
+        self.n = int(n)
+        self.S = int(S)
+
+    def tree_flatten(self):
+        return (), (self.n, self.S)
+
+    @classmethod
+    def tree_unflatten(cls, aux, _children):
+        return cls(*aux)
+
+    @staticmethod
+    def _off_sum(u):
+        """(4 * cross + diagonal) neighbor sum / 6 (the negated
+        off-diagonal part of A)."""
+        up = jnp.roll(u, 1, -2)
+        dn = jnp.roll(u, -1, -2)
+        cross = up + dn + jnp.roll(u, 1, -1) + jnp.roll(u, -1, -1)
+        diag = (jnp.roll(up, 1, -1) + jnp.roll(up, -1, -1)
+                + jnp.roll(dn, 1, -1) + jnp.roll(dn, -1, -1))
+        return (4.0 * cross + diag) * (1.0 / 6.0)
+
+    def apply(self, u):
+        out = self.DIAG * u - self._off_sum(u)
+        return ops.mask_interior(out.astype(u.dtype), self.n)
+
+    def residual(self, u, b):
+        r = b - self.DIAG * u + self._off_sum(u)
+        return ops.mask_interior(r.astype(u.dtype), self.n)
+
+    def smooth(self, u, b, *, smoother: str, omega, sweeps: int):
+        if sweeps <= 0:
+            return u
+        m = ops.interior_mask(u.shape[-1], self.n)
+        inv_d = 1.0 / self.DIAG
+        if smoother == "jacobi":
+            ws = omega if isinstance(omega, tuple) else (omega,) * sweeps
+            if len(ws) < sweeps:
+                ws = tuple(ws[i % len(ws)] for i in range(sweeps))
+            v = u
+            for w in ws[:sweeps]:
+                vn = (jnp.asarray(1.0 - w, u.dtype) * v
+                      + jnp.asarray(w * inv_d, u.dtype)
+                      * (b + self._off_sum(v)))
+                v = jnp.where(m, vn, jnp.zeros((), u.dtype))
+            return v
+        elif smoother == "rbgs":
+            S = u.shape[-1]
+            i = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
+            j = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
+            # NOTE: the 9-point stencil couples same-color diagonal
+            # neighbors, so red-black is damped block relaxation here,
+            # not exact GS — still a valid smoother.
+            v = u
+            for _ in range(sweeps):
+                for parity in (0, 1):
+                    vn = jnp.asarray(inv_d, u.dtype) * (b + self._off_sum(v))
+                    upd = m & ((i + j) % 2 == parity)
+                    v = jnp.where(upd, vn.astype(u.dtype), v)
+            return v
+        raise ValueError(f"unknown smoother {smoother!r}")
+
+    def __repr__(self):
+        return f"Const9Op(n={self.n}, S={self.S})"
+
+
+@jax.tree_util.register_pytree_node_class
 class VarStencilOp:
     """Spatially varying 9-point stencil operator.
 
