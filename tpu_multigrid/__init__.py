@@ -21,9 +21,9 @@ from .krylov import bicgstab_solve, pcg_solve
 from .problems import (AnisotropicPoissonProblem,
                        ConvectionDiffusionProblem, Diffusion3DProblem,
                        DiffusionProblem, HelmholtzProblem,
-                       MixedBCPoissonProblem, Poisson3DProblem,
-                       Poisson4Problem, PoissonProblem, poisson3d_rhs,
-                       poisson_rhs)
+                       MixedBCPoissonProblem, PeriodicPoissonProblem,
+                       Poisson3DProblem, Poisson4Problem, PoissonProblem,
+                       poisson3d_rhs, poisson_rhs)
 from .topo import (EllOp, TopoHierarchy, TopoTransfer,
                    build_structured_topo_hierarchy, fmg_topo, solve_topo,
                    vcycle_topo)
@@ -41,7 +41,7 @@ __all__ = [
     "Poisson3DProblem", "poisson3d_rhs", "MixedBCPoissonProblem",
     "HelmholtzProblem", "Diffusion3DProblem", "solve_diffusion3d",
     "AnisotropicPoissonProblem", "ConvectionDiffusionProblem",
-    "Poisson4Problem",
+    "Poisson4Problem", "PeriodicPoissonProblem",
     "Hierarchy", "ConstStencilOp", "VarStencilOp",
     "build_poisson_hierarchy", "build_galerkin_hierarchy", "ops",
     "TopoHierarchy", "TopoTransfer", "EllOp",

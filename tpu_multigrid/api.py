@@ -36,6 +36,7 @@ def solve_poisson(
     u0=None,
     dist_path: str = "jnp",
     order: int = 2,
+    bc: str = "dirichlet",
     jit: bool = True,
 ) -> SolveResult:
     """Solve -lap(u) = forcing on the unit square.
@@ -80,6 +81,19 @@ def solve_poisson(
                                         **_pad_kw(config))
         return _run(problem, config, tol, max_cycles, num_cycles, use_fmg,
                     jit)
+    if bc == "periodic":
+        # Unit-torus Poisson (problems/periodic.py): rolls wrap, so the
+        # operator is mask-free; solution in the mean-zero gauge.
+        if boundary is not None or neumann or refined or order != 2:
+            raise ValueError("bc='periodic' is incompatible with "
+                             "boundary/neumann/refined/order options")
+        from .problems.periodic import PeriodicPoissonProblem
+        problem = PeriodicPoissonProblem(config, forcing=forcing)
+        return _run(problem, config, tol, max_cycles, num_cycles, use_fmg,
+                    jit)
+    if bc != "dirichlet":
+        raise ValueError(f'bc must be "dirichlet" or "periodic", got '
+                         f"{bc!r}")
     if order == 4:
         # Fourth-order compact Mehrstellen discretization
         # (problems/poisson4.py): same grids/transfers, 9-point stencil +

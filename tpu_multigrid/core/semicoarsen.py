@@ -191,6 +191,13 @@ class SemiOp:
             v = half(v, inter & ((i + j) % 2 == 1))
         return v
 
+    # -- cycle transfer protocol: the coarse op owns the pair --
+    def restrict_into(self, r, fine_op):
+        return restrict_to(r, self)
+
+    def prolong_add_into(self, u, ec, fine_op):
+        return prolong_add_from(u, ec, self, fine_op)
+
     def __repr__(self):
         return (f"SemiOp(ny={self.ny}, nx={self.nx}, Sy={self.Sy}, "
                 f"Sx={self.Sx}, from_axes={self.from_axes})")

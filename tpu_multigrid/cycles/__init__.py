@@ -22,10 +22,8 @@ import jax.numpy as jnp
 
 from ..config import MultigridConfig
 from ..core import ops
-from ..core import semicoarsen as _semi
 from ..core.grids import Hierarchy, coarse_solve
 from ..core.operators import ConstStencilOp, ConstStencilOp3D, VarStencilOp
-from ..core.semicoarsen import SemiOp
 
 
 # ---------------------------------------------------------------------------
@@ -364,10 +362,10 @@ def cycle(hier: Hierarchy, cfg: MultigridConfig, u, b, k: int = 0):
         u, rc = _fused_k1_3d(op, opc, cfg, u, b)
     else:
         u, r = _smooth_residual(op, u, b, cfg, cfg.nu1)
-        if isinstance(opc, SemiOp):
-            # Semi-coarsened level: tensor-product per-axis transfers
-            # driven by the coarse op's from_axes (core.semicoarsen).
-            rc = _semi.restrict_to(r, opc)
+        if hasattr(opc, "restrict_into"):
+            # Operator-defined transfers (semi-coarsened SemiOp levels,
+            # periodic torus levels): the coarse op owns the pair.
+            rc = opc.restrict_into(r, op)
         else:
             rc = _restrict(r, op.n, _tshape(opc), cfg,
                            getattr(op, "ndim", 2),
@@ -387,8 +385,8 @@ def cycle(hier: Hierarchy, cfg: MultigridConfig, u, b, k: int = 0):
         u = _fused_k2v(op, cfg, u, b, ec)
     elif fused3:
         u = _fused_k2_3d(op, cfg, u, b, ec)
-    elif isinstance(opc, SemiOp):
-        u = _semi.prolong_add_from(u, ec, opc, op)
+    elif hasattr(opc, "prolong_add_into"):
+        u = opc.prolong_add_into(u, ec, op)
         u = _smooth(op, u, b, cfg, cfg.nu2)
     else:
         u = _prolong_add(u, ec, opc.n, _tshape(op), cfg,
@@ -461,8 +459,8 @@ def fmg_rhs_hierarchy(hier: Hierarchy, cfg: MultigridConfig, b_fine,
     bs = [b_fine]
     for k in range(hier.num_levels - 1):
         opc = hier.levels[k + 1]
-        if isinstance(opc, SemiOp):
-            bs.append(_semi.restrict_to(bs[-1], opc))
+        if hasattr(opc, "restrict_into"):
+            bs.append(opc.restrict_into(bs[-1], hier.levels[k]))
         else:
             bs.append(_restrict(bs[-1], hier.levels[k].n, _tshape(opc),
                                 cfg, getattr(hier.levels[k], "ndim", 2),
@@ -489,9 +487,9 @@ def fmg(hier: Hierarchy, cfg: MultigridConfig, b_fine,
         # kernel (as 0 + P u) when available — the jnp strided scatter is
         # ~400 ms per 8193^2 level on TPU.
         zero = _zeros(hier.levels[k], u.dtype)
-        if isinstance(hier.levels[k + 1], SemiOp):
-            u = _semi.prolong_add_from(zero, u, hier.levels[k + 1],
-                                       hier.levels[k])
+        if hasattr(hier.levels[k + 1], "prolong_add_into"):
+            u = hier.levels[k + 1].prolong_add_into(zero, u,
+                                                    hier.levels[k])
         else:
             u = _prolong_add(zero, u, hier.levels[k + 1].n,
                              _tshape(hier.levels[k]),

@@ -6,10 +6,11 @@ from .anisotropic import AnisotropicPoissonProblem
 from .helmholtz import HelmholtzProblem
 from .diffusion3d import Diffusion3DProblem
 from .convection import ConvectionDiffusionProblem
+from .periodic import PeriodicPoissonProblem
 from .poisson4 import Poisson4Problem
 
 __all__ = ["PoissonProblem", "poisson_rhs", "DiffusionProblem",
            "Poisson3DProblem", "poisson3d_rhs", "MixedBCPoissonProblem",
            "AnisotropicPoissonProblem", "HelmholtzProblem",
            "Diffusion3DProblem", "ConvectionDiffusionProblem",
-           "Poisson4Problem"]
+           "Poisson4Problem", "PeriodicPoissonProblem"]
