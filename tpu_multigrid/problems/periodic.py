@@ -104,15 +104,35 @@ class PeriodicOp:
         raise ValueError(f"unknown smoother {smoother!r}")
 
     # -- cycle transfer protocol (the coarse op owns the pair) --
+    # Decimation/replication avoid lane-strided slicing and jnp.repeat:
+    # XLA:TPU is pathological for stride-2 lane ops (~400 ms per 8193^2
+    # transfer — CLAUDE.md), while the sublane parity reshape
+    # (R, C) -> (R//2, 2, C) and stack+reshape interleave lower cleanly;
+    # the lane axis gets the same trick conjugated by transposes.
+
+    @staticmethod
+    def _even_rows(x):
+        R, C = x.shape[-2:]
+        return x.reshape(x.shape[:-2] + (R // 2, 2, C))[..., :, 0, :]
+
+    @staticmethod
+    def _double_rows(x):
+        R, C = x.shape[-2:]
+        return jnp.stack([x, x], axis=-2).reshape(
+            x.shape[:-2] + (2 * R, C))
+
     def restrict_into(self, r, fine_op):
         """R = P^T on the torus: separable full weighting with wrap."""
         t = r + 0.5 * (jnp.roll(r, 1, -1) + jnp.roll(r, -1, -1))
         t = t + 0.5 * (jnp.roll(t, 1, -2) + jnp.roll(t, -1, -2))
-        return t[..., ::2, ::2].astype(r.dtype)
+        t = self._even_rows(t)
+        t = self._even_rows(t.mT).mT
+        return t.astype(r.dtype)
 
     def prolong_add_into(self, u, ec, fine_op):
         """u + P ec: 2x replication + averaging rolls (wrap = periodic)."""
-        e = jnp.repeat(jnp.repeat(ec, 2, axis=-2), 2, axis=-1)
+        e = self._double_rows(ec)
+        e = self._double_rows(e.mT).mT
         e = 0.5 * (e + jnp.roll(e, -1, -2))
         e = 0.5 * (e + jnp.roll(e, -1, -1))
         return (u + e.astype(u.dtype)).astype(u.dtype)
