@@ -370,6 +370,7 @@ def solve_diffusion3d(
     max_cycles: int = 100,
     num_cycles: Optional[int] = None,
     use_fmg: bool = False,
+    mesh=None,
     jit: bool = True,
 ) -> SolveResult:
     """Solve -div(a grad u) = forcing on the unit cube with per-cell
@@ -377,13 +378,26 @@ def solve_diffusion3d(
 
     Runs the jnp 7-point flux-stencil path (the 3D Pallas kernels are
     specialized to the constant stencil); coarse operators re-discretize
-    from 2x2x2 cell-averaged coefficients.
+    from 2x2x2 cell-averaged coefficients.  ``mesh``: optional 2D device
+    mesh — the cube decomposes (gz, gy) with the transmissibility planes
+    sharded alongside u/b (dist.local_var3).
     """
     if config is None:
         config = MultigridConfig(finest_level=finest_level,
                                  smoother="chebyshev", nu1=3, nu2=2)
     elif config.finest_level != finest_level:
         config = dataclasses.replace(config, finest_level=finest_level)
+    if mesh is not None:
+        if callable(forcing):
+            raise ValueError("solve_diffusion3d(mesh=...) supports "
+                             "constant forcing only")
+        from .dist.shard_cycle3 import sharded_solve3
+        res, _ = sharded_solve3(config, mesh, forcing=float(forcing),
+                                coefficient=coefficient,
+                                tol=tol if tol is not None else 0.0,
+                                max_cycles=max_cycles,
+                                num_cycles=num_cycles, jit=jit)
+        return res
     from .problems import Diffusion3DProblem
     problem = Diffusion3DProblem(config, coefficient=coefficient,
                                  forcing=forcing)
