@@ -94,6 +94,41 @@ def main():
         check(f"bf16 jacobi k=2 S={S}",
               K.jacobi_sweeps(u16, b16, n, 2 / 3, 2), wu2, 3e-2)
 
+    # r3 session-2 problem families end-to-end (jnp tier on real
+    # hardware: rolls/reshape-interleave transfers, no lane-strided ops).
+    import math
+
+    import tpu_multigrid as mg
+
+    cfg = mg.MultigridConfig(finest_level=7, coarsest_level=3,
+                             smoother="chebyshev", nu1=3, nu2=2,
+                             use_pallas=False)
+    r = mg.solve_anisotropic(7, eps_x=100.0, eps_y=1.0, coarsening="semi",
+                             config=cfg, num_cycles=6)
+    h = np.asarray(r.res_history)
+    check("semicoarsen aniso 100:1 reduction", h[6] / h[0], 0.0, 5e-4)
+
+    ccfg = mg.MultigridConfig(finest_level=7, coarsest_level=3,
+                              smoother="rbgs", nu1=2, nu2=2,
+                              use_pallas=False)
+    r = mg.solve_convection_diffusion(7, eps=0.01, bx=1.0, by=0.5,
+                                      config=ccfg, num_cycles=6)
+    h = np.asarray(r.res_history)
+    check("convection upwind reduction", h[6] / h[0], 0.0, 5e-3)
+
+    r = mg.solve_poisson(7, order=4, config=cfg, num_cycles=6,
+                         forcing=lambda x, y: 2 * math.pi ** 2
+                         * jnp.sin(math.pi * x) * jnp.sin(math.pi * y))
+    h = np.asarray(r.res_history)
+    check("mehrstellen order-4 reduction", h[6] / h[0], 0.0, 5e-4)
+
+    r = mg.solve_poisson(7, bc="periodic", config=cfg, num_cycles=6,
+                         forcing=lambda x, y: 8 * math.pi ** 2
+                         * jnp.sin(2 * math.pi * x)
+                         * jnp.cos(2 * math.pi * y))
+    h = np.asarray(r.res_history)
+    check("periodic torus reduction", h[6] / h[0], 0.0, 5e-4)
+
     if FAILURES:
         print(f"\n{len(FAILURES)} FAILURES: {FAILURES}")
         sys.exit(1)
