@@ -59,6 +59,13 @@ def _clear_jax_caches_per_module():
 # ---------------------------------------------------------------------------
 
 _SLOW_TESTS = frozenset([
+    # r3 session-2 additions (>= ~15 s each on this host)
+    "test_convection.py::TestAccuracy::test_manufactured_o_h",
+    "test_convection.py::TestConvergence::test_rbgs_h_independent[0.01]",
+    "test_convection.py::TestConvergence::test_rbgs_h_independent[0.0025]",
+    "test_krylov.py::test_bicgstab_nonsymmetric_convection",
+    "test_semicoarsen.py::TestConvergence::test_zebra_on_semi_hierarchy",
+    "test_semicoarsen.py::TestConvergence::test_point_smoother_h_independent[1000.0]",
     # r3 additions (>= ~15 s each on this host)
     "test_kernels.py::test_super_kernels_column_tiled_core_shrink[jacobi-2]",
     "test_kernels.py::test_super_kernels_column_tiled_core_shrink[rbgs-4]",

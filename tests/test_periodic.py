@@ -108,6 +108,17 @@ class TestSolve:
                                - (want - want.mean())).max()
         assert 3.0 < errs[4] / errs[5] < 5.5, errs
 
+    def test_extract_solution_appends_wrap(self):
+        cfg = MultigridConfig(finest_level=4, coarsest_level=3,
+                              smoother="chebyshev", nu1=3, nu2=2,
+                              use_pallas=False, dtype=jnp.float64)
+        r = mg.solve_poisson(4, bc="periodic", forcing=_forcing,
+                             config=cfg, num_cycles=6)
+        u = np.asarray(mg.extract_solution(r.u, 16))
+        assert u.shape == (17, 17)
+        np.testing.assert_array_equal(u[16], u[0])
+        np.testing.assert_array_equal(u[:, 16], u[:, 0])
+
     def test_incompatible_options_rejected(self):
         with pytest.raises(ValueError):
             mg.solve_poisson(4, bc="periodic", forcing=_forcing,

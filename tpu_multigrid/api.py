@@ -60,6 +60,9 @@ def solve_poisson(
     elif config.finest_level != finest_level:
         config = dataclasses.replace(config, finest_level=finest_level)
     if mesh is not None:
+        if bc != "dirichlet" or order != 2:
+            raise ValueError("mesh= supports the second-order Dirichlet "
+                             f"path only (got bc={bc!r}, order={order})")
         return _solve_on_mesh(config, mesh, forcing=forcing, u0=u0,
                               tol=tol, max_cycles=max_cycles,
                               num_cycles=num_cycles, use_fmg=use_fmg,
@@ -102,7 +105,8 @@ def solve_poisson(
             raise ValueError("refined=True is not supported with order=4 "
                              "(the ds machinery is 5-point-specialized)")
         from .problems.poisson4 import Poisson4Problem
-        problem = Poisson4Problem(config, forcing=forcing)
+        problem = Poisson4Problem(config, forcing=forcing,
+                                  **_pad_kw(config))
         return _run(problem, config, tol, max_cycles, num_cycles, use_fmg,
                     jit, boundary=boundary)
     if order != 2:
@@ -391,6 +395,9 @@ def solve_diffusion3d(
         if callable(forcing):
             raise ValueError("solve_diffusion3d(mesh=...) supports "
                              "constant forcing only")
+        if use_fmg:
+            raise ValueError("solve_diffusion3d(mesh=...) has no "
+                             "distributed FMG (the 2D sharded path does)")
         from .dist.shard_cycle3 import sharded_solve3
         res, _ = sharded_solve3(config, mesh, forcing=float(forcing),
                                 coefficient=coefficient,
@@ -454,5 +461,14 @@ def _run(problem, config, tol, max_cycles, num_cycles, use_fmg, use_jit,
 
 
 def extract_solution(result_u: jnp.ndarray, n: int) -> jnp.ndarray:
-    """Crop the padded solve grid to the physical (n+1,)^d node grid."""
+    """Crop the padded solve grid to the physical (n+1,)^d node grid.
+
+    Periodic results (``bc="periodic"``) are (n,)^d arrays of the unique
+    torus nodes; the closing row/col (node n == node 0) is appended by
+    wrap so the returned grid is the same (n+1,)^d closed node view as
+    the Dirichlet paths.
+    """
+    if result_u.shape[-1] == n:  # periodic: unique nodes only
+        pad = [(0, 1)] * result_u.ndim
+        return jnp.pad(result_u, pad, mode="wrap")
     return result_u[(slice(0, n + 1),) * result_u.ndim]

@@ -154,11 +154,13 @@ def main(argv=None):
         from .api import solve_anisotropic
         res = solve_anisotropic(args.level, eps_x=args.eps_x,
                                 eps_y=args.eps_y,
-                                coarsening=args.coarsening, **kw)
+                                coarsening=args.coarsening,
+                                boundary=args.boundary, **kw)
     elif args.command == "convection":
         from .api import solve_convection_diffusion
         res = solve_convection_diffusion(args.level, eps=args.eps,
-                                         bx=args.bx, by=args.by, **kw)
+                                         bx=args.bx, by=args.by,
+                                         boundary=args.boundary, **kw)
     else:
         res = solve_diffusion(args.level, coefficient=args.coefficient,
                               boundary=args.boundary, **kw)

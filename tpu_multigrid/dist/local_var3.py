@@ -22,7 +22,14 @@ from jax import lax
 from . import local_ops3 as L3
 
 
-def var3_off_diag_local(u, tz, ty, tx):
+def _t_minus(tz, ty):
+    """Neighbor-owned transmissibilities at z-1 / y-1 (one ppermute each;
+    computed once per application and shared between the off-diagonal sum
+    and the diagonal recompute)."""
+    return L3._extend_z(tz)[:-2], L3._extend_y(ty)[:, :-2]
+
+
+def var3_off_diag_local(u, tz, ty, tx, tm=None):
     """Positive neighbor sum ``sum t * u_nbr`` on local blocks.
 
     Mirrors ``VarStencilOp3D._off_diag_apply`` with the z/y rolls
@@ -33,8 +40,7 @@ def var3_off_diag_local(u, tz, ty, tx):
     hy = L3._extend_y(u)
     u_zp, u_zm = hz[2:], hz[:-2]
     u_yp, u_ym = hy[:, 2:], hy[:, :-2]
-    tz_m = L3._extend_z(tz)[:-2]          # tz at z-1 (neighbor-owned plane)
-    ty_m = L3._extend_y(ty)[:, :-2]       # ty at y-1
+    tz_m, ty_m = tm if tm is not None else _t_minus(tz, ty)
     tx_m = jnp.roll(tx, 1, -1)            # x is shard-local
     acc = (tx * jnp.roll(u, -1, -1) + tx_m * jnp.roll(u, 1, -1)
            + ty * u_yp + ty_m * u_ym
@@ -43,12 +49,17 @@ def var3_off_diag_local(u, tz, ty, tx):
 
 
 def var3_apply_local(u, tz, ty, tx, inv_diag, n):
-    # diag = 1 / inv_diag on the interior; cheaper: recompute from t
-    # planes exactly as VarStencilOp3D._diag does.
-    d = (tx + jnp.roll(tx, 1, -1)
-         + ty + L3._extend_y(ty)[:, :-2]
-         + tz + L3._extend_z(tz)[:-2]).astype(u.dtype)
-    out = d * u - var3_off_diag_local(u, tz, ty, tx)
+    """A u on local blocks.
+
+    ``inv_diag`` is accepted for the uniform (tz, ty, tx, inv_diag)
+    plane-tuple calling convention (the smoothers use it); the diagonal
+    is recomputed from the t planes exactly as ``VarStencilOp3D._diag``
+    does, sharing the ghost-extended t arrays with the off-diagonal sum.
+    """
+    tm = _t_minus(tz, ty)
+    tz_m, ty_m = tm
+    d = (tx + jnp.roll(tx, 1, -1) + ty + ty_m + tz + tz_m).astype(u.dtype)
+    out = d * u - var3_off_diag_local(u, tz, ty, tx, tm=tm)
     m = L3.interior_mask_local3(u.shape, n)
     return jnp.where(m, out, jnp.zeros((), u.dtype)).astype(u.dtype)
 
@@ -67,6 +78,7 @@ def var3_jacobi_local(u, b, tz, ty, tx, inv_diag, n, omega, sweeps):
         return u
     m = L3.interior_mask_local3(u.shape, n)
     inv_d = inv_diag.astype(u.dtype)
+    tm = _t_minus(tz, ty)  # static planes: one exchange for all sweeps
 
     ws = omega if isinstance(omega, tuple) else (omega,) * sweeps
     if len(ws) < sweeps:
@@ -75,7 +87,7 @@ def var3_jacobi_local(u, b, tz, ty, tx, inv_diag, n, omega, sweeps):
     for w in ws[:sweeps]:
         vn = (jnp.asarray(1.0 - w, u.dtype) * v
               + jnp.asarray(w, u.dtype) * inv_d
-              * (b + var3_off_diag_local(v, tz, ty, tx)))
+              * (b + var3_off_diag_local(v, tz, ty, tx, tm=tm)))
         v = jnp.where(m, vn, jnp.zeros((), u.dtype))
     return v
 
@@ -90,9 +102,10 @@ def var3_rbgs_local(u, b, tz, ty, tx, inv_diag, n, sweeps):
     inter = L3.interior_mask_local3(u.shape, n)
     par = (gz + gy + gx) % 2
     inv_d = inv_diag.astype(u.dtype)
+    tm = _t_minus(tz, ty)  # static planes: one exchange for all sweeps
 
     def half(v, color):
-        vn = inv_d * (b + var3_off_diag_local(v, tz, ty, tx))
+        vn = inv_d * (b + var3_off_diag_local(v, tz, ty, tx, tm=tm))
         return jnp.where(inter & color, vn.astype(v.dtype), v)
 
     v = u

@@ -67,14 +67,23 @@ def make_grid_mesh(shape: Optional[Tuple[int, int]] = None,
                          f"{k} slices")
     per = len(devs) // k
     slice_ids = [getattr(d, "slice_index", None) for d in devs]
-    if all(s is not None for s in slice_ids) and \
-            len(set(slice_ids)) == k:
+    if all(s is not None for s in slice_ids):
+        # Real multi-slice hardware: group by the device topology — and
+        # REFUSE a mismatched dcn_slices rather than silently falling
+        # back to enumeration-order chunks, which could scatter a slice
+        # across bands and put DCN hops inside the per-sweep ppermutes.
+        if len(set(slice_ids)) != k:
+            raise ValueError(
+                f"devices span {len(set(slice_ids))} slices "
+                f"(slice_index values {sorted(set(slice_ids))}) but "
+                f"dcn_slices={k}")
         groups = [[d for d, s in zip(devs, slice_ids) if s == sid]
                   for sid in sorted(set(slice_ids))]
         if any(len(g) != per for g in groups):
             raise ValueError("unequal devices per slice: "
                              f"{[len(g) for g in groups]}")
     else:
+        # Virtual meshes / tests: consecutive equal chunks.
         groups = [devs[i * per: (i + 1) * per] for i in range(k)]
     if shape is None:
         a, b = _factor2(per)

@@ -115,9 +115,11 @@ def bicgstab_solve(hier: Hierarchy, cfg: MultigridConfig, b, *,
     def _safe(d):
         # Sign-preserving breakdown guard: BiCGStab's rho and r_hat.v are
         # SIGNED (unlike CG's p.Ap), so clamping with maximum() would turn
-        # every negative denominator into +tiny and blow the iterate up.
+        # every negative denominator into +tiny and blow the iterate up;
+        # near-zero values clamp to +-tiny keeping their sign (0 -> +tiny).
         tiny = jnp.asarray(jnp.finfo(d.dtype).tiny, d.dtype)
-        return jnp.where(jnp.abs(d) > tiny, d, tiny)
+        clamp = jnp.where(d < 0, -tiny, tiny)
+        return jnp.where(jnp.abs(d) > tiny, d, clamp)
 
     def body(carry):
         u, r, p, rho, _, i, hist = carry
