@@ -227,6 +227,7 @@ def solve_anisotropic(
     *,
     eps_x: float = 1.0,
     eps_y: float = 1.0,
+    angle: float = 0.0,
     coarsening: str = "auto",
     config: Optional[MultigridConfig] = None,
     forcing: Union[float, Callable] = 4.0,
@@ -237,7 +238,9 @@ def solve_anisotropic(
     use_fmg: bool = False,
     jit: bool = True,
 ) -> SolveResult:
-    """Solve -(eps_x u_xx + eps_y u_yy) = forcing (anisotropic Poisson).
+    """Solve -div(K grad u) = forcing with the constant tensor
+    ``K = R(angle) diag(eps_x, eps_y) R(angle)^T`` (anisotropic Poisson;
+    ``angle = 0`` is the classical -(eps_x u_xx + eps_y u_yy)).
 
     ``coarsening``:
 
@@ -260,11 +263,13 @@ def solve_anisotropic(
     if coarsening == "auto":
         ratio = max(eps_x, eps_y) / max(min(eps_x, eps_y), 1e-300)
         zebra = config.smoother in ("zebra_x", "zebra_y")
-        coarsening = "semi" if (ratio > 4.0 and not zebra) else "full"
+        coarsening = "semi" if (ratio > 4.0 and not zebra
+                                and angle == 0.0) else "full"
     from .problems import AnisotropicPoissonProblem
     problem = AnisotropicPoissonProblem(config, eps_x=eps_x, eps_y=eps_y,
                                         forcing=forcing,
-                                        coarsening=coarsening)
+                                        coarsening=coarsening,
+                                        angle=angle)
     return _run(problem, config, tol, max_cycles, num_cycles, use_fmg, jit,
                 boundary=boundary)
 

@@ -96,6 +96,9 @@ def main(argv=None):
                     default="auto",
                     help="semi = coarsen the strong axis only "
                          "(point smoothing stays mesh-independent)")
+    pa.add_argument("--angle", type=float, default=0.0,
+                    help="rotation of the diffusion tensor in RADIANS "
+                         "(rotated anisotropy; use full coarsening)")
 
     pc = sub.add_parser("convection",
                         help="solve -eps lap(u) + b.grad(u) = f "
@@ -153,7 +156,7 @@ def main(argv=None):
     elif args.command == "anisotropic":
         from .api import solve_anisotropic
         res = solve_anisotropic(args.level, eps_x=args.eps_x,
-                                eps_y=args.eps_y,
+                                eps_y=args.eps_y, angle=args.angle,
                                 coarsening=args.coarsening,
                                 boundary=args.boundary, **kw)
     elif args.command == "convection":

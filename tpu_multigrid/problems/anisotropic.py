@@ -22,17 +22,35 @@ from ..core.operators import VarStencilOp
 
 
 def anisotropic_poisson_op(n: int, S: int, eps_x: float = 1.0,
-                           eps_y: float = 1.0,
+                           eps_y: float = 1.0, angle: float = 0.0,
                            dtype=np.float32) -> VarStencilOp:
-    """h-independent 5-point stencil of -(eps_x u_xx + eps_y u_yy):
-    diagonal ``2(eps_x + eps_y)``, E/W ``-eps_x``, N/S ``-eps_y``;
-    the RHS carries ``f * h^2`` as usual (host numpy arrays)."""
+    """h-independent stencil of ``-div(K grad u)`` with the constant
+    tensor ``K = R(angle) diag(eps_x, eps_y) R(angle)^T``.
+
+    ``angle = 0``: the classical axis-aligned 5-point stencil (diagonal
+    ``2(eps_x + eps_y)``, E/W ``-eps_x``, N/S ``-eps_y``).  ``angle != 0``
+    adds the mixed derivative ``-2 K_xy u_xy`` via the centered 4-corner
+    stencil — the classic ROTATED anisotropy test problem, which defeats
+    both axis-aligned remedies at 45 degrees and is the standard
+    robustness stressor for Galerkin coarsening + line smoothers.
+    The RHS carries ``f * h^2`` as usual (host numpy arrays).
+    """
+    ct, st = np.cos(angle), np.sin(angle)
+    a = eps_x * ct * ct + eps_y * st * st         # K_xx
+    bb = eps_x * st * st + eps_y * ct * ct        # K_yy
+    c = (eps_x - eps_y) * st * ct                 # K_xy
     coef = np.zeros((3, 3, S, S), dtype)
-    coef[1, 1] = 2.0 * (eps_x + eps_y)
-    coef[1, 0] = -eps_x
-    coef[1, 2] = -eps_x
-    coef[0, 1] = -eps_y
-    coef[2, 1] = -eps_y
+    coef[1, 1] = 2.0 * (a + bb)
+    coef[1, 0] = -a
+    coef[1, 2] = -a
+    coef[0, 1] = -bb
+    coef[2, 1] = -bb
+    # -2c u_xy: centered cross stencil (+-c/2 on the four corners);
+    # rows are the y index, so NE = (i+1, j+1).
+    coef[2, 2] += -0.5 * c
+    coef[0, 0] += -0.5 * c
+    coef[2, 0] += +0.5 * c
+    coef[0, 2] += +0.5 * c
     i = np.arange(S)
     mrow = (i >= 1) & (i <= n - 1)
     m = mrow[:, None] & mrow[None, :]
@@ -43,14 +61,15 @@ def anisotropic_poisson_op(n: int, S: int, eps_x: float = 1.0,
 
 
 def build_anisotropic_hierarchy(config: MultigridConfig, eps_x: float,
-                                eps_y: float) -> Hierarchy:
+                                eps_y: float,
+                                angle: float = 0.0) -> Hierarchy:
     """Galerkin hierarchy (R A P in closed form on the host)."""
     from ..core.operators import galerkin_coarsen_host
 
     sizes = level_sizes(config)
     dt = np.dtype(jnp.dtype(config.dtype).name)
     fine = anisotropic_poisson_op(sizes[0][0], sizes[0][1], eps_x, eps_y,
-                                  dtype=dt)
+                                  angle=angle, dtype=dt)
     levels = [fine]
     for (_, S) in sizes[1:]:
         levels.append(galerkin_coarsen_host(levels[-1], S))
@@ -82,15 +101,21 @@ class AnisotropicPoissonProblem:
     eps_y: float = 1.0
     forcing: Union[float, Callable] = 4.0
     coarsening: str = "full"
+    angle: float = 0.0
 
     def __post_init__(self):
         if self.coarsening == "semi":
+            if self.angle != 0.0:
+                raise ValueError(
+                    "axis-aligned semi-coarsening does not treat ROTATED "
+                    "anisotropy (the strong direction is off-grid); use "
+                    'coarsening="full" with zebra line smoothing')
             from ..core.semicoarsen import build_semicoarsened_hierarchy
             self.hierarchy: Hierarchy = build_semicoarsened_hierarchy(
                 self.config, self.eps_x, self.eps_y)
         elif self.coarsening == "full":
             self.hierarchy = build_anisotropic_hierarchy(
-                self.config, self.eps_x, self.eps_y)
+                self.config, self.eps_x, self.eps_y, angle=self.angle)
         else:
             raise ValueError(
                 f'coarsening must be "full" or "semi", got '
