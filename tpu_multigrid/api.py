@@ -200,10 +200,12 @@ def solve_helmholtz(
     max_cycles: int = 100,
     num_cycles: Optional[int] = None,
     use_fmg: bool = False,
+    mesh=None,
     jit: bool = True,
 ) -> SolveResult:
     """Solve -lap(u) + shift*u = forcing (reaction-diffusion / shifted
-    Poisson), homogeneous or lifted Dirichlet BCs.
+    Poisson), homogeneous or lifted Dirichlet BCs.  ``mesh``: optional 2D
+    device mesh (sharded 9-point path, per-level re-discretized shifts).
 
     ``shift`` is a constant c >= 0 or a callable c(x, y) (mildly negative
     shifts with 4 + c h^2 > 0 are accepted — the operator must stay
@@ -215,6 +217,21 @@ def solve_helmholtz(
         config = MultigridConfig(finest_level=finest_level)
     elif config.finest_level != finest_level:
         config = dataclasses.replace(config, finest_level=finest_level)
+    if mesh is not None:
+        if boundary is not None:
+            raise ValueError("mesh= does not support boundary lifting")
+        import numpy as _np
+
+        from .dist.shard_cycle import sharded_solve
+        from .problems.helmholtz import helmholtz_op_host
+        dt = _np.dtype(jnp.dtype(config.dtype).name)
+        res, _ = sharded_solve(
+            config, mesh, forcing=forcing,
+            operator=lambda n, S: helmholtz_op_host(n, S, shift, dtype=dt),
+            operator_coarsening="rediscretize", use_fmg=use_fmg,
+            tol=tol if tol is not None else 0.0, max_cycles=max_cycles,
+            num_cycles=num_cycles, jit=jit)
+        return res
     from .problems import HelmholtzProblem
     problem = HelmholtzProblem(config, shift=shift, forcing=forcing,
                                **_pad_kw(config))
@@ -236,11 +253,17 @@ def solve_anisotropic(
     max_cycles: int = 100,
     num_cycles: Optional[int] = None,
     use_fmg: bool = False,
+    mesh=None,
     jit: bool = True,
 ) -> SolveResult:
     """Solve -div(K grad u) = forcing with the constant tensor
     ``K = R(angle) diag(eps_x, eps_y) R(angle)^T`` (anisotropic Poisson;
     ``angle = 0`` is the classical -(eps_x u_xx + eps_y u_yy)).
+
+    ``mesh``: optional 2D device mesh — the operator distributes via the
+    sharded 9-point stencil path (coarsening="full"/Galerkin only; line
+    smoothers are single-chip, so pick point smoothing and moderate
+    anisotropy, or wrap with Krylov).
 
     ``coarsening``:
 
@@ -260,6 +283,28 @@ def solve_anisotropic(
         config = MultigridConfig(finest_level=finest_level)
     elif config.finest_level != finest_level:
         config = dataclasses.replace(config, finest_level=finest_level)
+    if mesh is not None:
+        if coarsening == "semi":
+            raise ValueError("mesh= distributes the full-coarsening "
+                             "Galerkin path only")
+        if config.smoother in ("zebra_x", "zebra_y"):
+            raise ValueError("line smoothers are single-chip; use "
+                             "jacobi/chebyshev/rbgs with mesh=")
+        if boundary is not None:
+            raise ValueError("mesh= does not support boundary lifting")
+        import numpy as _np
+
+        from .dist.shard_cycle import sharded_solve
+        from .problems.anisotropic import anisotropic_poisson_op
+        dt = _np.dtype(jnp.dtype(config.dtype).name)
+        res, _ = sharded_solve(
+            config, mesh, forcing=forcing,
+            operator=lambda n, S: anisotropic_poisson_op(
+                n, S, eps_x, eps_y, angle=angle, dtype=dt),
+            operator_coarsening="galerkin", use_fmg=use_fmg,
+            tol=tol if tol is not None else 0.0, max_cycles=max_cycles,
+            num_cycles=num_cycles, jit=jit)
+        return res
     if coarsening == "auto":
         ratio = max(eps_x, eps_y) / max(min(eps_x, eps_y), 1e-300)
         zebra = config.smoother in ("zebra_x", "zebra_y")
@@ -288,10 +333,15 @@ def solve_convection_diffusion(
     num_cycles: Optional[int] = None,
     use_fmg: bool = False,
     hierarchy_method: str = "rediscretize",
+    mesh=None,
     jit: bool = True,
 ) -> SolveResult:
     """Solve -eps lap(u) + b . grad(u) = forcing (upwind convection-
     diffusion; nonsymmetric).
+
+    ``mesh``: optional 2D device mesh — the upwind operator distributes
+    via the sharded 9-point path (the shard-local ops stream all 9
+    coefficient planes, so nonsymmetry is fine).
 
     ``bx``/``by`` are constants or callables ``b(x, y)``.  First-order
     upwinding keeps every level an M-matrix at any mesh Peclet; pick
@@ -302,6 +352,24 @@ def solve_convection_diffusion(
         config = MultigridConfig(finest_level=finest_level, smoother="rbgs")
     elif config.finest_level != finest_level:
         config = dataclasses.replace(config, finest_level=finest_level)
+    if mesh is not None:
+        if boundary is not None:
+            raise ValueError("mesh= does not support boundary lifting")
+        import numpy as _np
+
+        from .dist.shard_cycle import sharded_solve
+        from .problems.convection import convection_diffusion_op
+        dt = _np.dtype(jnp.dtype(config.dtype).name)
+        res, _ = sharded_solve(
+            config, mesh, forcing=forcing,
+            operator=lambda n, S: convection_diffusion_op(
+                n, S, eps, bx, by, dtype=dt),
+            operator_coarsening=("rediscretize"
+                                 if hierarchy_method == "rediscretize"
+                                 else "galerkin"),
+            use_fmg=use_fmg, tol=tol if tol is not None else 0.0,
+            max_cycles=max_cycles, num_cycles=num_cycles, jit=jit)
+        return res
     from .problems import ConvectionDiffusionProblem
     problem = ConvectionDiffusionProblem(
         config, eps=eps, bx=bx, by=by, forcing=forcing,

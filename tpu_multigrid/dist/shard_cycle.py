@@ -98,7 +98,9 @@ def build_sharded_poisson(config: MultigridConfig, mesh: Mesh,
 
 
 def build_sharded_problem(config: MultigridConfig, mesh: Mesh, *,
-                          coefficient=None, replicate_below: int = 64):
+                          coefficient=None, operator=None,
+                          operator_coarsening: str = "galerkin",
+                          replicate_below: int = 64):
     """(levels, hier) for a sharded solve on ``mesh``.
 
     ``coefficient=None`` builds the constant Poisson hierarchy;
@@ -107,11 +109,35 @@ def build_sharded_problem(config: MultigridConfig, mesh: Mesh, *,
     coarsening (``galerkin_coarsen_host``) on the shard-padded level sizes —
     the distributed tier for the reference v2's operator-general design
     (``Multigrid_functions.cpp:16-26``).
+
+    ``operator``: alternatively, a factory ``(n, S) -> VarStencilOp``
+    building the operator at the shard-padded size — this distributes
+    ANY of the framework's 9-point families (anisotropic/rotated tensors,
+    Helmholtz shifts, nonsymmetric upwind convection: the shard-local ops
+    stream the full 9 coefficient planes, so symmetry is not assumed).
+    ``operator_coarsening``: ``"galerkin"`` chains host R A P from the
+    finest factory call; ``"rediscretize"`` calls the factory per level
+    (upwind convection, shifted diagonals — anything whose stencil
+    depends on h).
     """
     my, mx = mesh.devices.shape
     levels = sharded_level_sizes(config, (my, mx),
                                  replicate_below=replicate_below)
-    if coefficient is None:
+    if coefficient is not None and operator is not None:
+        raise ValueError("pass either coefficient= or operator=, not both")
+    if operator is not None:
+        from ..core.operators import galerkin_coarsen_host
+        if operator_coarsening == "rediscretize":
+            hops = tuple(operator(n, S) for (n, S) in levels.sizes)
+        elif operator_coarsening == "galerkin":
+            ops_list = [operator(*levels.sizes[0])]
+            for (_, Sc) in levels.sizes[1:]:
+                ops_list.append(galerkin_coarsen_host(ops_list[-1], Sc))
+            hops = tuple(ops_list)
+        else:
+            raise ValueError('operator_coarsening must be "galerkin" or '
+                             f'"rediscretize", got {operator_coarsening!r}')
+    elif coefficient is None:
         hops = tuple(poisson_op(n, S) for (n, S) in levels.sizes)
     else:
         import jax as _jax
@@ -306,7 +332,8 @@ def _fmg_local(levels: ShardedLevels, hier: Hierarchy, cfg: MultigridConfig,
 
 
 def sharded_solve(config: MultigridConfig, mesh: Mesh, *,
-                  forcing=4.0, coefficient=None, u0=None,
+                  forcing=4.0, coefficient=None, operator=None,
+                  operator_coarsening: str = "galerkin", u0=None,
                   tol: float = 1e-5, max_cycles: int = 100,
                   num_cycles: Optional[int] = None, use_fmg: bool = False,
                   replicate_below: int = 64, jit: bool = True,
@@ -323,6 +350,10 @@ def sharded_solve(config: MultigridConfig, mesh: Mesh, *,
     * ``coefficient`` — ``None`` for Poisson, or a float / callable
       ``a(x, y)`` / (n, n) cell array for variable-coefficient diffusion
       with Galerkin-coarsened sharded levels (dist.local_var).
+    * ``operator`` / ``operator_coarsening`` — a ``(n, S) ->
+      VarStencilOp`` factory for any 9-point family (anisotropic /
+      rotated / Helmholtz / nonsymmetric convection); see
+      :func:`build_sharded_problem`.
     * ``u0`` — optional initial iterate on the global (S0, S0) padded grid.
     * ``use_fmg`` — run one distributed full-multigrid pass first
       (:func:`_fmg_local`).
@@ -332,9 +363,10 @@ def sharded_solve(config: MultigridConfig, mesh: Mesh, *,
     global array (compatible with ``utils.checkpoint`` via
     ``np.asarray``).
     """
-    levels, hier = build_sharded_problem(config, mesh,
-                                         coefficient=coefficient,
-                                         replicate_below=replicate_below)
+    levels, hier = build_sharded_problem(
+        config, mesh, coefficient=coefficient, operator=operator,
+        operator_coarsening=operator_coarsening,
+        replicate_below=replicate_below)
     n0, S0 = levels.sizes[0]
     h2 = (1.0 / n0) ** 2
     dt = jnp.dtype(config.dtype)
