@@ -155,3 +155,91 @@ def test_apply_matches_dense_assembly(rng):
     got = np.asarray(op.apply(jnp.asarray(u)))[1:n, 1:n, 1:n].ravel()
     want = A @ u[1:n, 1:n, 1:n].ravel()
     np.testing.assert_allclose(got, want, atol=1e-12)
+
+
+class TestReactionShift3D:
+    """3D reaction-diffusion -div(a grad u) + c u = f
+    (Diffusion3DProblem(shift=...), the 3D analogue of solve_helmholtz)."""
+
+    def test_zero_shift_is_plain_diffusion(self):
+        cfg = MultigridConfig(finest_level=3, coarsest_level=2,
+                              smoother="chebyshev", nu1=3, nu2=2,
+                              use_pallas=False, dtype=jnp.float64)
+        p = Diffusion3DProblem(cfg, coefficient=1.0, shift=0.0,
+                               lane_align=1, align=1, min_pad_level=99)
+        assert p.hierarchy.levels[0].c2 is None
+
+    def test_manufactured_o_h2(self):
+        import math
+
+        import tpu_multigrid as mg
+
+        pi = math.pi
+        c = 5.0
+        errs = {}
+        for lvl in (3, 4):
+            n = 2 ** lvl
+            cfg = MultigridConfig(finest_level=lvl, coarsest_level=2,
+                                  smoother="chebyshev", nu1=3, nu2=2,
+                                  use_pallas=False, dtype=jnp.float64)
+            f = lambda x, y, z: ((3 * pi ** 2 + c) * jnp.sin(pi * x)
+                                 * jnp.sin(pi * y) * jnp.sin(pi * z))
+            r = mg.solve_diffusion3d(lvl, coefficient=1.0, shift=c,
+                                     forcing=f, config=cfg, num_cycles=12)
+            S = n + 1
+            idx = np.arange(S) / n
+            want = (np.sin(pi * idx)[:, None, None]
+                    * np.sin(pi * idx)[None, :, None]
+                    * np.sin(pi * idx)[None, None, :])
+            errs[lvl] = np.abs(np.asarray(r.u)[:S, :S, :S]
+                               - want)[1:n, 1:n, 1:n].max()
+        assert 3.0 < errs[3] / errs[4] < 5.2, errs
+
+    def test_variable_shift_converges_at_least_like_diffusion(self):
+        cfg = MultigridConfig(finest_level=4, coarsest_level=2,
+                              smoother="chebyshev", nu1=3, nu2=2,
+                              use_pallas=False, dtype=jnp.float64)
+        from tpu_multigrid.cycles import solve_fixed
+        p0 = Diffusion3DProblem(cfg, coefficient=1.0, lane_align=1,
+                                align=1, min_pad_level=99)
+        pc = Diffusion3DProblem(cfg, coefficient=1.0,
+                                shift=lambda x, y, z: 50.0 * x * y,
+                                lane_align=1, align=1, min_pad_level=99)
+        h0 = np.asarray(solve_fixed(p0.hierarchy, cfg, p0.rhs(),
+                                    8).res_history)
+        hc = np.asarray(solve_fixed(pc.hierarchy, cfg, pc.rhs(),
+                                    8).res_history)
+        # positive shift strengthens the diagonal: at least as fast
+        assert hc[8] / hc[0] <= 2.0 * (h0[8] / h0[0]), (hc, h0)
+
+    def test_negative_shift_rejected_when_indefinite(self):
+        cfg = MultigridConfig(finest_level=3, coarsest_level=2,
+                              use_pallas=False, dtype=jnp.float64)
+        with pytest.raises(ValueError):
+            Diffusion3DProblem(cfg, coefficient=1.0, shift=-1e6,
+                               lane_align=1, align=1, min_pad_level=99)
+
+    def test_sharded_levels_refuse_shift(self):
+        """The sharded 3D path recomputes diagonals from the t planes, so
+        a shifted level must be rejected rather than silently dropping c."""
+        import jax as _jax
+
+        from tpu_multigrid.core.grids import Hierarchy
+        from tpu_multigrid.dist.shard_cycle3 import (ShardedLevels3,
+                                                     _split_hier3,
+                                                     make_grid_mesh3)
+        from tpu_multigrid.problems.diffusion3d import (
+            build_diffusion3d_hierarchy)
+
+        cfg = MultigridConfig(finest_level=3, coarsest_level=2,
+                              use_pallas=False)
+        hier = build_diffusion3d_hierarchy(cfg, 1.0, shift=3.0,
+                                           lane_align=1, align=1,
+                                           min_pad_level=99)
+        assert hier.levels[0].c2 is not None
+        mesh = make_grid_mesh3(shape=(1, 1), devices=_jax.devices()[:1])
+        levels = ShardedLevels3(sizes=tuple((op.n, op.S)
+                                            for op in hier.levels),
+                                num_sharded=1)
+        with pytest.raises(ValueError):
+            _split_hier3(levels, hier, mesh)

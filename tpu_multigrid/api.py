@@ -441,6 +441,7 @@ def solve_diffusion3d(
     finest_level: int = 6,
     *,
     coefficient: Union[float, Callable] = 1.0,
+    shift: Union[float, Callable] = 0.0,
     config: Optional[MultigridConfig] = None,
     forcing: Union[float, Callable] = 6.0,
     tol: Optional[float] = 1e-8,
@@ -450,14 +451,17 @@ def solve_diffusion3d(
     mesh=None,
     jit: bool = True,
 ) -> SolveResult:
-    """Solve -div(a grad u) = forcing on the unit cube with per-cell
-    coefficients a(x, y, z) (problems/diffusion3d.py).
+    """Solve -div(a grad u) + shift*u = forcing on the unit cube with
+    per-cell coefficients a(x, y, z) (problems/diffusion3d.py).
 
+    ``shift`` is an optional zeroth-order reaction/Helmholtz term —
+    constant or ``c(x, y, z)`` — re-discretized per level (the 3D
+    analogue of ``solve_helmholtz``; positive-definite regime only).
     Runs the jnp 7-point flux-stencil path (the 3D Pallas kernels are
     specialized to the constant stencil); coarse operators re-discretize
     from 2x2x2 cell-averaged coefficients.  ``mesh``: optional 2D device
     mesh — the cube decomposes (gz, gy) with the transmissibility planes
-    sharded alongside u/b (dist.local_var3).
+    sharded alongside u/b (dist.local_var3; shift unsupported there).
     """
     if config is None:
         config = MultigridConfig(finest_level=finest_level,
@@ -471,6 +475,10 @@ def solve_diffusion3d(
         if use_fmg:
             raise ValueError("solve_diffusion3d(mesh=...) has no "
                              "distributed FMG (the 2D sharded path does)")
+        if callable(shift) or float(shift) != 0.0:
+            raise ValueError("solve_diffusion3d(mesh=...) does not "
+                             "support the reaction shift (the sharded "
+                             "path recomputes diagonals from t planes)")
         from .dist.shard_cycle3 import sharded_solve3
         res, _ = sharded_solve3(config, mesh, forcing=float(forcing),
                                 coefficient=coefficient,
@@ -480,7 +488,7 @@ def solve_diffusion3d(
         return res
     from .problems import Diffusion3DProblem
     problem = Diffusion3DProblem(config, coefficient=coefficient,
-                                 forcing=forcing)
+                                 shift=shift, forcing=forcing)
     return _run(problem, config, tol, max_cycles, num_cycles, use_fmg, jit)
 
 

@@ -622,7 +622,8 @@ class VarStencilOp3D:
 
     ndim = 3
 
-    def __init__(self, tz, ty, tx, inv_diag, n: int, S: int, Sx: int):
+    def __init__(self, tz, ty, tx, inv_diag, n: int, S: int, Sx: int,
+                 c2=None):
         self.tz = tz
         self.ty = ty
         self.tx = tx
@@ -630,14 +631,20 @@ class VarStencilOp3D:
         self.n = int(n)
         self.S = int(S)
         self.Sx = int(Sx)
+        # Optional zeroth-order (reaction/Helmholtz) term: nodal
+        # c(x,y,z) * h^2, added to the diagonal (problems/diffusion3d.py
+        # with shift=...).  inv_diag must be built WITH it.  The sharded
+        # 3D path recomputes diagonals from the t planes and does not
+        # carry c2 (its builders never set it).
+        self.c2 = c2
 
     def tree_flatten(self):
-        return ((self.tz, self.ty, self.tx, self.inv_diag),
+        return ((self.tz, self.ty, self.tx, self.inv_diag, self.c2),
                 (self.n, self.S, self.Sx))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, *aux)
+        return cls(*children[:4], *aux, c2=children[4])
 
     @property
     def grid_shape(self):
@@ -651,6 +658,8 @@ class VarStencilOp3D:
         d = (self.tx + jnp.roll(self.tx, 1, -1)
              + self.ty + jnp.roll(self.ty, 1, -2)
              + self.tz + jnp.roll(self.tz, 1, -3))
+        if self.c2 is not None:
+            d = d + self.c2
         return d.astype(dtype)
 
     def _off_diag_apply(self, u):

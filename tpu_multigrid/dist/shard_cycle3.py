@@ -137,6 +137,10 @@ def _split_hier3(levels: ShardedLevels3, hier: Hierarchy, mesh: Mesh):
     repl_ops = []
     for k, op in enumerate(hier.levels):
         if k < ns and isinstance(op, VarStencilOp3D):
+            if getattr(op, "c2", None) is not None:
+                raise ValueError(
+                    "sharded 3D levels recompute diagonals from the t "
+                    "planes and cannot carry a reaction shift (c2)")
             svar.append(tuple(jax.device_put(t, spec)
                               for t in (op.tz, op.ty, op.tx, op.inv_diag)))
             repl_ops.append(ConstStencilOp3D(op.n, op.S, op.Sx))

@@ -46,16 +46,66 @@ def coarsen_cells3(cells: np.ndarray) -> np.ndarray:
     return cells.reshape(n // 2, 2, n // 2, 2, n // 2, 2).mean((1, 3, 5))
 
 
+def _nodal_shift3(n: int, S: int, Sx: int, c, np_dt) -> np.ndarray:
+    """(S, S, Sx) nodal ``c(x, y, z) * h^2`` values, zero outside the
+    interior (host numpy)."""
+    h = 1.0 / n
+    if callable(c):
+        idx = np.arange(max(S, Sx), dtype=np.float64) * h
+        x = idx[None, None, :Sx]
+        y = idx[None, :S, None]
+        z = idx[:S, None, None]
+        vals = np.asarray(np.broadcast_to(c(x, y, z), (S, S, Sx)),
+                          np.float64)
+    else:
+        vals = np.full((S, S, Sx), float(c), np.float64)
+    inter = np.zeros((S, S, Sx), bool)
+    inter[1:n, 1:n, 1:n] = True
+    return np.where(inter, vals * h * h, 0.0).astype(np_dt)
+
+
+def _with_shift3(op, c, np_dt):
+    """Fold a reaction term c(x,y,z)*u into a flux-stencil level: the
+    nodal c*h^2 joins the diagonal and inv_diag is rebuilt.  A positive
+    shift only strengthens the diagonal (see problems/helmholtz.py for
+    the 2D discussion; this is NOT an indefinite-Helmholtz solver)."""
+    from ..core.operators import VarStencilOp3D
+
+    n, S, Sx = op.n, op.S, op.Sx
+    c2 = _nodal_shift3(n, S, Sx, c, np_dt)
+    tz, ty, tx = (np.asarray(op.tz), np.asarray(op.ty), np.asarray(op.tx))
+    diag = (tx + np.roll(tx, 1, 2) + ty + np.roll(ty, 1, 1)
+            + tz + np.roll(tz, 1, 0)).astype(np.float64) + c2
+    if float(diag[1:n, 1:n, 1:n].min()) <= 0.0:
+        raise ValueError("shift makes the 3D diagonal non-positive: the "
+                         "operator leaves the positive-definite regime "
+                         "this solver supports")
+    inter = np.zeros((S, S, Sx), bool)
+    inter[1:n, 1:n, 1:n] = True
+    inv_diag = np.zeros((S, S, Sx), np.float64)
+    inv_diag[inter] = 1.0 / diag[inter]
+    return VarStencilOp3D(tz=tz, ty=ty, tx=tx,
+                          inv_diag=inv_diag.astype(np_dt), n=n, S=S,
+                          Sx=Sx, c2=c2)
+
+
 def build_diffusion3d_hierarchy(config: MultigridConfig, a, *,
-                                align: int = 16, min_pad_level: int = 0,
+                                shift=0.0, align: int = 16,
+                                min_pad_level: int = 0,
                                 lane_align: int = 128) -> Hierarchy:
     sizes = level_sizes(config, align=align, min_pad_level=min_pad_level)
     np_dt = np.dtype(jnp.dtype(config.dtype).name)
     cells = cell_coefficients3(2 ** config.finest_level, a)
+    with_shift = callable(shift) or float(shift) != 0.0
     levels = []
     for (n, S) in sizes:
         Sx = round_up(n + 1, lane_align) if lane_align > 1 else S
-        levels.append(diffusion_op3_host(cells.astype(np_dt), n, S, Sx))
+        op = diffusion_op3_host(cells.astype(np_dt), n, S, Sx)
+        if with_shift:
+            # per-level re-discretized reaction term (each level's own
+            # h^2 scaling), matching the 2D HelmholtzProblem semantics
+            op = _with_shift3(op, shift, np_dt)
+        levels.append(op)
         if n > 2 ** config.coarsest_level:
             cells = coarsen_cells3(cells)
     coarse_inv = None
@@ -71,14 +121,16 @@ class Diffusion3DProblem:
     config: MultigridConfig
     coefficient: Union[float, Callable] = 1.0
     forcing: Union[float, Callable] = 6.0
+    shift: Union[float, Callable] = 0.0
     align: int = 16
     min_pad_level: int = 0
     lane_align: int = 128
 
     def __post_init__(self):
         hier = build_diffusion3d_hierarchy(
-            self.config, self.coefficient, align=self.align,
-            min_pad_level=self.min_pad_level, lane_align=self.lane_align)
+            self.config, self.coefficient, shift=self.shift,
+            align=self.align, min_pad_level=self.min_pad_level,
+            lane_align=self.lane_align)
         self.hierarchy: Hierarchy = jax.device_put(hier)
 
     @property
