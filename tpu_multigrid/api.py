@@ -389,9 +389,12 @@ def solve_poisson3d(
     use_fmg: bool = False,
     refined: bool = False,
     mesh=None,
+    bc: str = "dirichlet",
     jit: bool = True,
 ) -> SolveResult:
-    """Solve -lap(u) = forcing on the unit cube, homogeneous Dirichlet BCs.
+    """Solve -lap(u) = forcing on the unit cube, homogeneous Dirichlet BCs
+    (or the unit 3-torus with ``bc="periodic"``: zero-mean callable
+    forcing, mean-zero gauge — problems/periodic3d.py).
 
     ``mesh``: optional 2D ``jax.sharding.Mesh`` — the cube decomposes
     (z, y) with the lane axis shard-local (``dist.shard_cycle3``;
@@ -416,6 +419,20 @@ def solve_poisson3d(
             use_pallas=jax.devices()[0].platform != "cpu")
     elif config.finest_level != finest_level:
         config = dataclasses.replace(config, finest_level=finest_level)
+    if bc == "periodic":
+        if mesh is not None or refined:
+            raise ValueError("bc='periodic' (3D) supports the single-chip "
+                             "unrefined path")
+        import dataclasses as _dc
+
+        from .problems.periodic3d import Periodic3DPoissonProblem
+        pcfg = _dc.replace(config, use_pallas=False)  # torus ops are jnp
+        problem = Periodic3DPoissonProblem(pcfg, forcing=forcing)
+        return _run(problem, pcfg, tol, max_cycles, num_cycles, use_fmg,
+                    jit)
+    if bc != "dirichlet":
+        raise ValueError(f'bc must be "dirichlet" or "periodic", got '
+                         f"{bc!r}")
     if mesh is not None:
         if callable(forcing) or use_fmg or refined:
             raise ValueError("solve_poisson3d(mesh=...) supports constant "

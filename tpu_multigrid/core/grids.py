@@ -147,7 +147,15 @@ def coarse_dense_inverse(op, dtype=None) -> jnp.ndarray:
 
 
 def _unknown_slices(op):
-    """Per-axis slices of the operator's unknowns (box-aware, 2D/3D)."""
+    """Per-axis slices of the operator's unknowns (box-aware, 2D/3D).
+
+    Operators whose unknown set is not a 2D Dirichlet box (e.g. the
+    periodic torus, where EVERY node is an unknown) expose
+    ``unknown_slices`` directly.
+    """
+    us = getattr(op, "unknown_slices", None)
+    if us is not None:
+        return tuple(us)
     box = getattr(op, "box", None)
     if box is not None:
         i0, i1, j0, j1 = box
