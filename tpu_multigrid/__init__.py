@@ -10,7 +10,8 @@ over HBM-resident grids, with fused Pallas stencil kernels and 2D
 """
 
 from .api import (extract_solution, solve_anisotropic,
-                  solve_convection_diffusion, solve_diffusion,
+                  solve_convection_diffusion,
+                  solve_convection_diffusion3d, solve_diffusion,
                   solve_diffusion3d, solve_helmholtz, solve_poisson,
                   solve_poisson3d)
 from .config import REFERENCE_CONFIG, MultigridConfig
@@ -34,6 +35,7 @@ __all__ = [
     "MultigridConfig", "REFERENCE_CONFIG",
     "solve_poisson", "solve_diffusion", "solve_poisson3d",
     "solve_helmholtz", "solve_anisotropic", "solve_convection_diffusion",
+    "solve_convection_diffusion3d",
     "extract_solution",
     "SolveResult", "cycle", "fmg", "solve_fixed", "solve_until_tol",
     "pcg_solve", "bicgstab_solve",

@@ -378,6 +378,37 @@ def solve_convection_diffusion(
                 boundary=boundary)
 
 
+def solve_convection_diffusion3d(
+    finest_level: int = 5,
+    *,
+    eps: float = 1.0,
+    bx: Union[float, Callable] = 0.0,
+    by: Union[float, Callable] = 0.0,
+    bz: Union[float, Callable] = 0.0,
+    config: Optional[MultigridConfig] = None,
+    forcing: Union[float, Callable] = 6.0,
+    tol: Optional[float] = 1e-8,
+    max_cycles: int = 100,
+    num_cycles: Optional[int] = None,
+    use_fmg: bool = False,
+    jit: bool = True,
+) -> SolveResult:
+    """Solve -eps lap(u) + b . grad(u) = forcing on the unit cube
+    (upwind, nonsymmetric; problems/convection3d.py).  ``b*`` are
+    constants or callables ``b(x, y, z)``; pick ``smoother="rbgs"`` at
+    high mesh Peclet.  For Krylov wrapping use
+    :func:`krylov.bicgstab_solve` (CG is invalid here)."""
+    if config is None:
+        config = MultigridConfig(finest_level=finest_level,
+                                 smoother="rbgs")
+    elif config.finest_level != finest_level:
+        config = dataclasses.replace(config, finest_level=finest_level)
+    from .problems.convection3d import ConvectionDiffusion3DProblem
+    problem = ConvectionDiffusion3DProblem(config, eps=eps, bx=bx, by=by,
+                                           bz=bz, forcing=forcing)
+    return _run(problem, config, tol, max_cycles, num_cycles, use_fmg, jit)
+
+
 def solve_poisson3d(
     finest_level: int = 6,
     *,

@@ -90,7 +90,8 @@ def coarse_dense_inverse(op, dtype=None) -> jnp.ndarray:
     box = getattr(op, "box", None)
     coef = getattr(op, "coef", None)
     if (getattr(op, "ndim", 2) == 3 and coef is None and box is None
-            and not hasattr(op, "tz")):   # not the var-coefficient 3D op
+            and not hasattr(op, "tz")      # not the var-coefficient 3D op
+            and not hasattr(op, "cp")):    # not the directional 3D op
         # Closed-form 7-point assembly (h-independent: diag 6, off -1) —
         # probing a 3D operator with unit grids would ship ~(n-1)^3 whole
         # cubes through the device (OOM at n >= 16 on the tunnel).

@@ -40,7 +40,8 @@ def pcg_solve(hier: Hierarchy, cfg: MultigridConfig, b, *, tol: float = 1e-6,
     For an SPD preconditioner use a symmetric schedule (nu1 == nu2).
     """
     op = hier.levels[0]
-    u = u0 if u0 is not None else jnp.zeros((op.S, op.S), b.dtype)
+    u = u0 if u0 is not None else jnp.zeros(
+        getattr(op, "grid_shape", (op.S, op.S)), b.dtype)
 
     def precond(r):
         e0 = jnp.zeros_like(r)
@@ -95,7 +96,8 @@ def bicgstab_solve(hier: Hierarchy, cfg: MultigridConfig, b, *,
     exact convergence the loop has already exited on the residual test).
     """
     op = hier.levels[0]
-    u = u0 if u0 is not None else jnp.zeros((op.S, op.S), b.dtype)
+    u = u0 if u0 is not None else jnp.zeros(
+        getattr(op, "grid_shape", (op.S, op.S)), b.dtype)
 
     def precond(r):
         return cycle(hier, cfg, jnp.zeros_like(r), r)

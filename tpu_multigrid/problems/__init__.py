@@ -6,11 +6,14 @@ from .anisotropic import AnisotropicPoissonProblem
 from .helmholtz import HelmholtzProblem
 from .diffusion3d import Diffusion3DProblem
 from .convection import ConvectionDiffusionProblem
+from .convection3d import ConvectionDiffusion3DProblem
 from .periodic import PeriodicPoissonProblem
+from .periodic3d import Periodic3DPoissonProblem
 from .poisson4 import Poisson4Problem
 
 __all__ = ["PoissonProblem", "poisson_rhs", "DiffusionProblem",
            "Poisson3DProblem", "poisson3d_rhs", "MixedBCPoissonProblem",
            "AnisotropicPoissonProblem", "HelmholtzProblem",
            "Diffusion3DProblem", "ConvectionDiffusionProblem",
-           "Poisson4Problem", "PeriodicPoissonProblem"]
+           "Poisson4Problem", "PeriodicPoissonProblem",
+           "ConvectionDiffusion3DProblem", "Periodic3DPoissonProblem"]
