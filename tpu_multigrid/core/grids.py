@@ -16,7 +16,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import MultigridConfig
-from .operators import VarStencilOp, galerkin_coarsen, poisson_op
+from .operators import (ConstStencilOp3D, VarStencilOp, galerkin_coarsen,
+                        poisson_op)
 
 
 def round_up(x: int, m: int) -> int:
@@ -89,12 +90,12 @@ def coarse_dense_inverse(op, dtype=None) -> jnp.ndarray:
     n, S = op.n, op.S
     box = getattr(op, "box", None)
     coef = getattr(op, "coef", None)
-    if (getattr(op, "ndim", 2) == 3 and coef is None and box is None
-            and not hasattr(op, "tz")      # not the var-coefficient 3D op
-            and not hasattr(op, "cp")):    # not the directional 3D op
-        # Closed-form 7-point assembly (h-independent: diag 6, off -1) —
-        # probing a 3D operator with unit grids would ship ~(n-1)^3 whole
-        # cubes through the device (OOM at n >= 16 on the tunnel).
+    if isinstance(op, ConstStencilOp3D):
+        # Closed-form 7-point assembly (h-independent: diag 6, off -1),
+        # for the constant-stencil 3D op ONLY (var/directional/19-point
+        # 3D ops take the probe or dense-from-planes paths) — probing a
+        # 3D operator with unit grids would ship ~(n-1)^3 whole cubes
+        # through the device (OOM at n >= 16 on the tunnel).
         m1 = n - 1
         m = m1 ** 3
         idx = np.arange(m).reshape(m1, m1, m1)

@@ -108,6 +108,99 @@ class ConstStencilOp3D:
         return f"ConstStencilOp3D(n={self.n}, S={self.S}, Sx={self.Sx})"
 
 
+@jax.tree_util.register_pytree_node_class
+class Const19Op:
+    """Matrix-free compact 19-point Mehrstellen operator in 3D (4th order).
+
+    h-independent scaling: ``A = (1/6)(24 I - 2 faces - edges)``; the
+    standard fourth-order compact discretization of ``-lap`` with the
+    smoothed RHS ``h^2 (f + h^2/12 lap f)`` (problems/poisson4_3d.py).
+    Like :class:`Const9Op`, carries no array state.
+    """
+
+    ndim = 3
+    DIAG = 4.0  # 24 / 6
+
+    def __init__(self, n: int, S: int, Sx: int = None):
+        self.n = int(n)
+        self.S = int(S)
+        self.Sx = int(Sx) if Sx is not None else int(S)
+
+    @property
+    def grid_shape(self):
+        return (self.S, self.S, self.Sx)
+
+    def tree_flatten(self):
+        return (), (self.n, self.S, self.Sx)
+
+    @classmethod
+    def tree_unflatten(cls, aux, _children):
+        return cls(*aux)
+
+    @staticmethod
+    def _off_sum(u):
+        """(2 * faces + edges) / 6 — the negated off-diagonal part."""
+        zp, zm = jnp.roll(u, -1, -3), jnp.roll(u, 1, -3)
+        yp, ym = jnp.roll(u, -1, -2), jnp.roll(u, 1, -2)
+        faces = (zp + zm + yp + ym
+                 + jnp.roll(u, 1, -1) + jnp.roll(u, -1, -1))
+        edges = jnp.zeros_like(u)
+        for a in (zp, zm):
+            edges = edges + jnp.roll(a, 1, -2) + jnp.roll(a, -1, -2) \
+                + jnp.roll(a, 1, -1) + jnp.roll(a, -1, -1)
+        for a in (yp, ym):
+            edges = edges + jnp.roll(a, 1, -1) + jnp.roll(a, -1, -1)
+        return (2.0 * faces + edges) * (1.0 / 6.0)
+
+    def _mask(self, u):
+        from . import ops3d
+        return ops3d.mask_interior3(u, self.n)
+
+    def apply(self, u):
+        return self._mask((self.DIAG * u - self._off_sum(u)).astype(u.dtype))
+
+    def residual(self, u, b):
+        return self._mask((b - self.DIAG * u
+                           + self._off_sum(u)).astype(u.dtype))
+
+    def smooth(self, u, b, *, smoother: str, omega, sweeps: int):
+        if sweeps <= 0:
+            return u
+        from . import ops3d
+        m = ops3d.interior_mask3(u.shape[-3:], self.n)
+        inv_d = 1.0 / self.DIAG
+        if smoother == "jacobi":
+            ws = omega if isinstance(omega, tuple) else (omega,) * sweeps
+            if len(ws) < sweeps:
+                ws = tuple(ws[i % len(ws)] for i in range(sweeps))
+            v = u
+            for w in ws[:sweeps]:
+                vn = (jnp.asarray(1.0 - w, u.dtype) * v
+                      + jnp.asarray(w * inv_d, u.dtype)
+                      * (b + self._off_sum(v)))
+                v = jnp.where(m, vn, jnp.zeros((), u.dtype))
+            return v
+        elif smoother == "rbgs":
+            shape = u.shape[-3:]
+            i = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+            j = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+            k = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
+            par = (i + j + k) % 2
+            # edges couple same-color nodes: damped block relaxation,
+            # not exact GS (same caveat as Const9Op)
+            v = u
+            for _ in range(sweeps):
+                for parity in (0, 1):
+                    vn = jnp.asarray(inv_d, u.dtype) * (b + self._off_sum(v))
+                    v = jnp.where(m & (par == parity),
+                                  vn.astype(u.dtype), v)
+            return v
+        raise ValueError(f"unknown smoother {smoother!r}")
+
+    def __repr__(self):
+        return f"Const19Op(n={self.n}, S={self.S}, Sx={self.Sx})"
+
+
 def _shift(u, di, dj):
     """u[i+di, j+dj] with zero-invariant wrap (callers mask non-interior)."""
     out = u
