@@ -246,3 +246,60 @@ class TestSolve3d:
         r1 = solve_until_tol(p1.hierarchy, cfg, p1.rhs(), tol=1e-10)
         n = 16
         np.testing.assert_allclose(grid(r1.u, n), grid(r0.u, n), rtol=1e-8)
+
+
+class TestBoundaryLifting3D:
+    """Inhomogeneous Dirichlet via lifting in 3D (boundary_grid3 +
+    _run's ndim dispatch), across all four 3D operator families."""
+
+    def test_constant_boundary_all_families(self):
+        import tpu_multigrid as mg
+
+        cfg = MultigridConfig(finest_level=3, coarsest_level=2,
+                              smoother="chebyshev", nu1=3, nu2=2,
+                              use_pallas=False, dtype=jnp.float64)
+        ccfg = MultigridConfig(finest_level=3, coarsest_level=2,
+                               smoother="rbgs", nu1=2, nu2=2,
+                               use_pallas=False, dtype=jnp.float64)
+        runs = [
+            mg.solve_poisson3d(3, forcing=0.0, boundary=2.0, config=cfg,
+                               tol=1e-11),
+            mg.solve_diffusion3d(3, coefficient=lambda x, y, z: 1 + z,
+                                 forcing=0.0, boundary=2.0, config=cfg,
+                                 tol=1e-11),
+            mg.solve_convection_diffusion3d(3, eps=0.1, bx=1.0,
+                                            forcing=0.0, boundary=2.0,
+                                            config=ccfg, tol=1e-11),
+            mg.solve_poisson3d(3, order=4, forcing=0.0, boundary=2.0,
+                               config=cfg, tol=1e-11),
+        ]
+        for r in runs:
+            u = np.asarray(r.u)[:9, :9, :9]
+            np.testing.assert_allclose(u, 2.0, atol=1e-9)
+
+    def test_harmonic_linear_exact(self):
+        """u = x + y + z is discretely harmonic: lifting reproduces it to
+        roundoff at any n (no discretization error for linears)."""
+        import tpu_multigrid as mg
+
+        cfg = MultigridConfig(finest_level=3, coarsest_level=2,
+                              smoother="chebyshev", nu1=3, nu2=2,
+                              use_pallas=False, dtype=jnp.float64)
+        g = lambda x, y, z: x + y + z
+        r = mg.solve_poisson3d(3, forcing=0.0, boundary=g, config=cfg,
+                               tol=1e-12)
+        n = 8
+        idx = np.arange(n + 1) / n
+        want = (idx[:, None, None] + idx[None, :, None]
+                + idx[None, None, :])
+        u = np.asarray(r.u)[: n + 1, : n + 1, : n + 1]
+        np.testing.assert_allclose(u, want, atol=1e-10)
+
+    def test_periodic_rejects_boundary(self):
+        import math
+
+        import tpu_multigrid as mg
+
+        f = lambda x, y, z: jnp.sin(2 * math.pi * x) * jnp.ones_like(y * z)
+        with pytest.raises(ValueError):
+            mg.solve_poisson3d(3, bc="periodic", forcing=f, boundary=1.0)

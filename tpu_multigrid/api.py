@@ -391,6 +391,7 @@ def solve_convection_diffusion3d(
     max_cycles: int = 100,
     num_cycles: Optional[int] = None,
     use_fmg: bool = False,
+    boundary: Optional[Union[float, Callable]] = None,
     jit: bool = True,
 ) -> SolveResult:
     """Solve -eps lap(u) + b . grad(u) = forcing on the unit cube
@@ -406,7 +407,8 @@ def solve_convection_diffusion3d(
     from .problems.convection3d import ConvectionDiffusion3DProblem
     problem = ConvectionDiffusion3DProblem(config, eps=eps, bx=bx, by=by,
                                            bz=bz, forcing=forcing)
-    return _run(problem, config, tol, max_cycles, num_cycles, use_fmg, jit)
+    return _run(problem, config, tol, max_cycles, num_cycles, use_fmg, jit,
+                boundary=boundary)
 
 
 def solve_poisson3d(
@@ -422,9 +424,12 @@ def solve_poisson3d(
     mesh=None,
     bc: str = "dirichlet",
     order: int = 2,
+    boundary: Optional[Union[float, Callable]] = None,
     jit: bool = True,
 ) -> SolveResult:
     """Solve -lap(u) = forcing on the unit cube, homogeneous Dirichlet BCs
+    (``boundary`` — a constant or ``g(x, y, z)`` — imposes inhomogeneous
+    Dirichlet values on the six faces via lifting)
     (or the unit 3-torus with ``bc="periodic"``: zero-mean callable
     forcing, mean-zero gauge — problems/periodic3d.py).  ``order=4``
     uses the compact 19-point Mehrstellen stencil + smoothed RHS
@@ -463,13 +468,13 @@ def solve_poisson3d(
         pcfg = _dc.replace(config, use_pallas=False)  # 19-point is jnp
         problem = Poisson4_3DProblem(pcfg, forcing=forcing)
         return _run(problem, pcfg, tol, max_cycles, num_cycles, use_fmg,
-                    jit)
+                    jit, boundary=boundary)
     if order != 2:
         raise ValueError(f"order must be 2 or 4, got {order}")
     if bc == "periodic":
-        if mesh is not None or refined:
+        if mesh is not None or refined or boundary is not None:
             raise ValueError("bc='periodic' (3D) supports the single-chip "
-                             "unrefined path")
+                             "unrefined path (and has no boundary)")
         import dataclasses as _dc
 
         from .problems.periodic3d import Periodic3DPoissonProblem
@@ -481,9 +486,10 @@ def solve_poisson3d(
         raise ValueError(f'bc must be "dirichlet" or "periodic", got '
                          f"{bc!r}")
     if mesh is not None:
-        if callable(forcing) or use_fmg or refined:
+        if callable(forcing) or use_fmg or refined or boundary is not None:
             raise ValueError("solve_poisson3d(mesh=...) supports constant "
-                             "forcing without use_fmg/refined for now")
+                             "forcing without use_fmg/refined/boundary "
+                             "for now")
         from .dist.shard_cycle3 import sharded_solve3
         res, _ = sharded_solve3(config, mesh, forcing=float(forcing),
                                 tol=tol if tol is not None else 0.0,
@@ -498,7 +504,7 @@ def solve_poisson3d(
     problem = Poisson3DProblem(config, forcing=forcing, align=16,
                                min_pad_level=0, lane_align=128)
     return _run(problem, config, tol, max_cycles, num_cycles, use_fmg, jit,
-                refined=refined)
+                refined=refined, boundary=boundary)
 
 
 def solve_diffusion3d(
@@ -513,10 +519,12 @@ def solve_diffusion3d(
     num_cycles: Optional[int] = None,
     use_fmg: bool = False,
     mesh=None,
+    boundary: Optional[Union[float, Callable]] = None,
     jit: bool = True,
 ) -> SolveResult:
     """Solve -div(a grad u) + shift*u = forcing on the unit cube with
-    per-cell coefficients a(x, y, z) (problems/diffusion3d.py).
+    per-cell coefficients a(x, y, z) (problems/diffusion3d.py);
+    ``boundary`` imposes inhomogeneous Dirichlet face values via lifting.
 
     ``shift`` is an optional zeroth-order reaction/Helmholtz term —
     constant or ``c(x, y, z)`` — re-discretized per level (the 3D
@@ -543,6 +551,8 @@ def solve_diffusion3d(
             raise ValueError("solve_diffusion3d(mesh=...) does not "
                              "support the reaction shift (the sharded "
                              "path recomputes diagonals from t planes)")
+        if boundary is not None:
+            raise ValueError("mesh= does not support boundary lifting")
         from .dist.shard_cycle3 import sharded_solve3
         res, _ = sharded_solve3(config, mesh, forcing=float(forcing),
                                 coefficient=coefficient,
@@ -553,7 +563,8 @@ def solve_diffusion3d(
     from .problems import Diffusion3DProblem
     problem = Diffusion3DProblem(config, coefficient=coefficient,
                                  shift=shift, forcing=forcing)
-    return _run(problem, config, tol, max_cycles, num_cycles, use_fmg, jit)
+    return _run(problem, config, tol, max_cycles, num_cycles, use_fmg, jit,
+                boundary=boundary)
 
 
 def _run(problem, config, tol, max_cycles, num_cycles, use_fmg, use_jit,
@@ -566,12 +577,16 @@ def _run(problem, config, tol, max_cycles, num_cycles, use_fmg, use_jit,
         # Inhomogeneous Dirichlet lifting: u = w + G with G carrying the
         # boundary values; w solves the homogeneous problem A w = b - A G
         # (op.apply's interior masking makes -A G exactly the boundary
-        # coupling term).  Works for both the Poisson stencil and
-        # variable-coefficient flux/Galerkin operators.
-        from .problems.poisson import boundary_grid
-
+        # coupling term).  Works for any operator family with masked
+        # apply (Poisson/flux/Galerkin/upwind stencils, 2D and 3D).
         op0 = hier.levels[0]
-        lift = boundary_grid(op0.n, op0.S, boundary, config.dtype)
+        if getattr(op0, "ndim", 2) == 3:
+            from .problems.poisson3d import boundary_grid3
+            lift = boundary_grid3(op0.n, op0.grid_shape, boundary,
+                                  config.dtype)
+        else:
+            from .problems.poisson import boundary_grid
+            lift = boundary_grid(op0.n, op0.S, boundary, config.dtype)
         b = b - op0.apply(lift)
 
     # The hierarchy is a jit ARGUMENT, not a closure: closed-over arrays

@@ -34,6 +34,33 @@ def node_coordinates3(n: int, S, dtype=jnp.float32):
     return x, y, z
 
 
+def boundary_grid3(n: int, S, g: Union[float, Callable],
+                   dtype=jnp.float32) -> jnp.ndarray:
+    """Padded grid holding the Dirichlet values ``g`` on the six physical
+    boundary faces (any axis index in {0, n}) and zeros elsewhere.
+
+    3D twin of ``problems.poisson.boundary_grid`` for inhomogeneous
+    Dirichlet lifting u = w + G, A w = b - A G.
+    """
+    shape = ops3d._shape3(S)
+    if callable(g):
+        x, y, z = node_coordinates3(n, S, dtype)
+        vals = jnp.broadcast_to(g(x, y, z), shape).astype(dtype)
+    else:
+        vals = jnp.full(shape, float(g), dtype)
+
+    def ax_masks(sz):
+        i = jnp.arange(sz)
+        return (i == 0) | (i == n), (i >= 0) & (i <= n)
+
+    ez, rz = ax_masks(shape[0])
+    ey, ry = ax_masks(shape[1])
+    ex, rx = ax_masks(shape[2])
+    in_rng = (rz[:, None, None] & ry[None, :, None] & rx[None, None, :])
+    on_face = (ez[:, None, None] | ey[None, :, None] | ex[None, None, :])
+    return jnp.where(in_rng & on_face, vals, jnp.zeros((), dtype))
+
+
 def poisson3d_rhs(n: int, S, f: Union[float, Callable] = 6.0,
                   dtype=jnp.float32) -> jnp.ndarray:
     """Padded RHS grid: b = f(x, y, z) * h² on the interior.
