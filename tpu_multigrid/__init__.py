@@ -18,6 +18,7 @@ from .config import REFERENCE_CONFIG, MultigridConfig
 from .core import (ConstStencilOp, Hierarchy, VarStencilOp,
                    build_galerkin_hierarchy, build_poisson_hierarchy, ops)
 from .cycles import SolveResult, cycle, fmg, solve_fixed, solve_until_tol
+from .eigen import smallest_eigenpair
 from .krylov import bicgstab_solve, pcg_solve
 from .problems import (AnisotropicPoissonProblem,
                        ConvectionDiffusionProblem, Diffusion3DProblem,
@@ -38,7 +39,7 @@ __all__ = [
     "solve_convection_diffusion3d",
     "extract_solution",
     "SolveResult", "cycle", "fmg", "solve_fixed", "solve_until_tol",
-    "pcg_solve", "bicgstab_solve",
+    "pcg_solve", "bicgstab_solve", "smallest_eigenpair",
     "PoissonProblem", "DiffusionProblem", "poisson_rhs",
     "Poisson3DProblem", "poisson3d_rhs", "MixedBCPoissonProblem",
     "HelmholtzProblem", "Diffusion3DProblem", "solve_diffusion3d",
