@@ -152,6 +152,42 @@ std::int64_t tmg_assemble(std::int64_t n, const double* cell_coeff,
   return static_cast<std::int64_t>(csr.data.size());
 }
 
+// ---- General 9-point stencil assembly from coefficient planes. ----
+// coef: (3*3*S*S) row-major planes, coef[((di+1)*3+(dj+1))*S*S + i*S + j]
+// multiplying u[i+di, j+dj] in (A u)[i, j]; unknowns are the Dirichlet
+// interior 1..n-1 (columns at non-unknown nodes are dropped — they
+// multiply hard zeros on the padded grids).  Serves as the independent
+// host oracle for EVERY stencil family the Python side builds
+// (anisotropic/rotated tensors, Helmholtz shifts, upwind convection,
+// Galerkin coarse operators).  Buffers: indptr[(n-1)^2+1],
+// indices/data[9*(n-1)^2].  Returns nnz.
+std::int64_t tmg_assemble_stencil9(std::int64_t n, std::int64_t S,
+                                   const double* coef, std::int64_t* indptr,
+                                   std::int64_t* indices, double* data) {
+  const std::int64_t m1 = n - 1;
+  std::int64_t nnz = 0;
+  indptr[0] = 0;
+  std::int64_t row = 0;
+  for (std::int64_t i = 1; i <= m1; ++i) {
+    for (std::int64_t j = 1; j <= m1; ++j, ++row) {
+      for (int di = -1; di <= 1; ++di) {
+        for (int dj = -1; dj <= 1; ++dj) {
+          const std::int64_t ii = i + di, jj = j + dj;
+          if (ii < 1 || ii > m1 || jj < 1 || jj > m1) continue;
+          const double v =
+              coef[((di + 1) * 3 + (dj + 1)) * S * S + i * S + j];
+          if (v == 0.0) continue;
+          indices[nnz] = (ii - 1) * m1 + (jj - 1);
+          data[nnz] = v;
+          ++nnz;
+        }
+      }
+      indptr[row + 1] = nnz;
+    }
+  }
+  return nnz;
+}
+
 // ---- Load vector b = f * h^2 over the interior (row-major (n-1)^2). ----
 // f_values: per-node forcing sampled at interior nodes, or nullptr for the
 // reference's constant f = 4 (Poissons_SYCL.cpp:121).

@@ -87,3 +87,63 @@ def test_native_solve_matches_framework():
     u = np.asarray(extract_solution(res.u, n))[1:n, 1:n]
     rel = np.linalg.norm(u - direct) / np.linalg.norm(direct)
     assert rel < 1e-10, rel
+
+
+class TestStencil9Oracle:
+    """tmg_assemble_stencil9: the native CSR oracle for the whole
+    VarStencilOp family — cross-validated against each operator's
+    masked apply()."""
+
+    @pytest.mark.parametrize("make_op", [
+        lambda n, S: __import__(
+            "tpu_multigrid.problems.anisotropic",
+            fromlist=["anisotropic_poisson_op"]).anisotropic_poisson_op(
+                n, S, 25.0, 1.0, dtype=np.float64),
+        lambda n, S: __import__(
+            "tpu_multigrid.problems.anisotropic",
+            fromlist=["anisotropic_poisson_op"]).anisotropic_poisson_op(
+                n, S, 1.0, 0.05, angle=0.5, dtype=np.float64),
+        lambda n, S: __import__(
+            "tpu_multigrid.problems.convection",
+            fromlist=["convection_diffusion_op"]).convection_diffusion_op(
+                n, S, 0.01, 1.0, -0.5, dtype=np.float64),
+        lambda n, S: __import__(
+            "tpu_multigrid.problems.helmholtz",
+            fromlist=["helmholtz_op_host"]).helmholtz_op_host(
+                n, S, lambda x, y: 10.0 * x, dtype=np.float64),
+    ])
+    def test_matches_op_apply(self, make_op, rng):
+        if not native.available():
+            pytest.skip("no g++ / native lib")
+        import jax.numpy as jnp
+
+        n, S = 12, 13
+        op = make_op(n, S)
+        indptr, indices, data = native.assemble_stencil9(
+            np.asarray(op.coef, np.float64), n)
+        u = np.zeros((S, S))
+        u[1:n, 1:n] = rng.standard_normal((n - 1, n - 1))
+        want = np.asarray(op.apply(jnp.asarray(u)))[1:n, 1:n].ravel()
+        got = native.spmv(indptr, indices, data, u[1:n, 1:n].ravel())
+        np.testing.assert_allclose(got, want, atol=1e-13)
+
+    def test_galerkin_coarse_op(self, rng):
+        """The Galerkin coarse operator's stencil assembles identically."""
+        if not native.available():
+            pytest.skip("no g++ / native lib")
+        import jax.numpy as jnp
+
+        from tpu_multigrid.core.operators import galerkin_coarsen_host
+        from tpu_multigrid.problems.anisotropic import (
+            anisotropic_poisson_op)
+
+        fine = anisotropic_poisson_op(16, 17, 7.0, 1.0, dtype=np.float64)
+        opc = galerkin_coarsen_host(fine, 9)
+        nc = 8
+        indptr, indices, data = native.assemble_stencil9(
+            np.asarray(opc.coef, np.float64), nc)
+        u = np.zeros((9, 9))
+        u[1:nc, 1:nc] = rng.standard_normal((nc - 1, nc - 1))
+        want = np.asarray(opc.apply(jnp.asarray(u)))[1:nc, 1:nc].ravel()
+        got = native.spmv(indptr, indices, data, u[1:nc, 1:nc].ravel())
+        np.testing.assert_allclose(got, want, atol=1e-13)

@@ -67,6 +67,10 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.tmg_assemble_rhs.restype = None
         lib.tmg_assemble_rhs.argtypes = [ctypes.c_int64, ctypes.c_void_p,
                                          _f64p]
+        lib.tmg_assemble_stencil9.restype = ctypes.c_int64
+        lib.tmg_assemble_stencil9.argtypes = [ctypes.c_int64,
+                                              ctypes.c_int64, _f64p,
+                                              _i64p, _i64p, _f64p]
         lib.tmg_spmv.restype = None
         lib.tmg_spmv.argtypes = [ctypes.c_int64, _i64p, _i64p, _f64p,
                                  _f64p, _f64p]
@@ -102,6 +106,31 @@ def assemble_csr(n: int, cell_coeff: Optional[np.ndarray] = None
     else:
         ccp = None
     nnz = lib.tmg_assemble(n, ccp, indptr, indices, data)
+    return indptr, indices[:nnz].copy(), data[:nnz].copy()
+
+
+def assemble_stencil9(coef: np.ndarray, n: int
+                      ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """General 9-point stencil -> interior CSR: (indptr, indices, data).
+
+    ``coef`` is the (3, 3, S, S) coefficient array of any framework
+    stencil family (anisotropic/rotated, Helmholtz, upwind convection,
+    Galerkin coarse ops); columns at non-unknown nodes are dropped.
+    The independent native oracle for the whole VarStencilOp family.
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable (no g++?)")
+    cc = np.ascontiguousarray(coef, np.float64)
+    assert cc.ndim == 4 and cc.shape[:2] == (3, 3) \
+        and cc.shape[2] == cc.shape[3], cc.shape
+    S = cc.shape[2]
+    m = (n - 1) ** 2
+    indptr = np.zeros(m + 1, np.int64)
+    indices = np.zeros(9 * m, np.int64)
+    data = np.zeros(9 * m, np.float64)
+    nnz = lib.tmg_assemble_stencil9(n, S, cc.reshape(-1), indptr,
+                                    indices, data)
     return indptr, indices[:nnz].copy(), data[:nnz].copy()
 
 
