@@ -34,12 +34,13 @@ def loop_time(step, args_, n1=3, n2=13, reps=3):
         return run
     r1, r2 = make(n1), make(n2)
     float(r1(*args_)); float(r2(*args_))
-    best = float("inf")
+    # median, not min: min-of-noisy-slope-differences is biased low
+    slopes = []
     for _ in range(reps):
         t1 = time.perf_counter(); float(r1(*args_)); t1 = time.perf_counter() - t1
         t2 = time.perf_counter(); float(r2(*args_)); t2 = time.perf_counter() - t2
-        best = min(best, (t2 - t1) / (n2 - n1))
-    return best
+        slopes.append((t2 - t1) / (n2 - n1))
+    return sorted(slopes)[len(slopes) // 2]
 
 
 def main():

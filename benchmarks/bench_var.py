@@ -63,14 +63,15 @@ def main():
         t0 = time.perf_counter()
         float(r1(hier, u0, b)); float(r2(hier, u0, b))
         compile_s = time.perf_counter() - t0
-        best = float("inf")
+        # median, not min: min-of-noisy-slope-differences is biased low
+        slopes = []
         for _ in range(args.repeats):
             t1 = time.perf_counter(); float(r1(hier, u0, b))
             t1 = time.perf_counter() - t1
             t2 = time.perf_counter(); float(r2(hier, u0, b))
             t2 = time.perf_counter() - t2
-            best = min(best, (t2 - t1) / (c2 - c1))
-        return best * 1e3, compile_s
+            slopes.append((t2 - t1) / (c2 - c1))
+        return sorted(slopes)[len(slopes) // 2] * 1e3, compile_s
 
     import dataclasses
     ms_f, cs_f = bench(cfg)
