@@ -24,7 +24,6 @@ if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
 
 import jax.numpy as jnp
 
-import os
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from tpu_multigrid import MultigridConfig

@@ -716,7 +716,7 @@ class VarStencilOp3D:
     ndim = 3
 
     def __init__(self, tz, ty, tx, inv_diag, n: int, S: int, Sx: int,
-                 c2=None):
+                 c2=None, t_minus=None):
         self.tz = tz
         self.ty = ty
         self.tx = tx
@@ -730,14 +730,27 @@ class VarStencilOp3D:
         # 3D path recomputes diagonals from the t planes and does not
         # carry c2 (its builders never set it).
         self.c2 = c2
+        # Optional precomputed minus-direction planes (tz@z-1, ty@y-1,
+        # tx@x-1): the -direction couplings otherwise re-roll the STATIC
+        # planes on every smoother application (3 extra HBM passes +
+        # roll compute per sweep).  Host builders set them.
+        self.t_minus = tuple(t_minus) if t_minus is not None else None
 
     def tree_flatten(self):
-        return ((self.tz, self.ty, self.tx, self.inv_diag, self.c2),
+        return ((self.tz, self.ty, self.tx, self.inv_diag, self.c2,
+                 self.t_minus),
                 (self.n, self.S, self.Sx))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children[:4], *aux, c2=children[4])
+        return cls(*children[:4], *aux, c2=children[4],
+                   t_minus=children[5])
+
+    def _tm(self):
+        if self.t_minus is not None:
+            return self.t_minus
+        return (jnp.roll(self.tz, 1, -3), jnp.roll(self.ty, 1, -2),
+                jnp.roll(self.tx, 1, -1))
 
     @property
     def grid_shape(self):
@@ -748,21 +761,22 @@ class VarStencilOp3D:
         return ops3d.mask_interior3(u, self.n)
 
     def _diag(self, dtype):
-        d = (self.tx + jnp.roll(self.tx, 1, -1)
-             + self.ty + jnp.roll(self.ty, 1, -2)
-             + self.tz + jnp.roll(self.tz, 1, -3))
+        tzm, tym, txm = self._tm()
+        d = (self.tx + txm + self.ty + tym + self.tz + tzm)
         if self.c2 is not None:
             d = d + self.c2
         return d.astype(dtype)
 
     def _off_diag_apply(self, u):
         # coupling to +dir uses t at this node; to -dir the shifted t
+        # (precomputed at setup when t_minus is present)
+        tzm, tym, txm = self._tm()
         acc = (self.tx * jnp.roll(u, -1, -1)
-               + jnp.roll(self.tx, 1, -1) * jnp.roll(u, 1, -1)
+               + txm * jnp.roll(u, 1, -1)
                + self.ty * jnp.roll(u, -1, -2)
-               + jnp.roll(self.ty, 1, -2) * jnp.roll(u, 1, -2)
+               + tym * jnp.roll(u, 1, -2)
                + self.tz * jnp.roll(u, -1, -3)
-               + jnp.roll(self.tz, 1, -3) * jnp.roll(u, 1, -3))
+               + tzm * jnp.roll(u, 1, -3))
         return acc.astype(u.dtype)
 
     def apply(self, u):
@@ -858,11 +872,14 @@ def diffusion_op3_host(cell_coeff, n: int, S: int, Sx: int):
     def rollp(t, ax):
         return np.roll(t, 1, ax)
 
-    diag = (tx + rollp(tx, 2) + ty + rollp(ty, 1) + tz + rollp(tz, 0))
+    tzm, tym, txm = rollp(tz, 0), rollp(ty, 1), rollp(tx, 2)
+    diag = (tx + txm + ty + tym + tz + tzm)
     inter = np.zeros(shape, bool)
     inter[1: n, 1: n, 1: n] = True
     inv_diag = np.zeros(shape, dt)
     inv_diag[inter] = 1.0 / diag[inter]
     return VarStencilOp3D(tx=tx.astype(dt), ty=ty.astype(dt),
                           tz=tz.astype(dt), inv_diag=inv_diag,
-                          n=n, S=S, Sx=Sx)
+                          n=n, S=S, Sx=Sx,
+                          t_minus=(tzm.astype(dt), tym.astype(dt),
+                                   txm.astype(dt)))

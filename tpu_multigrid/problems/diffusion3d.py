@@ -86,7 +86,8 @@ def _with_shift3(op, c, np_dt):
     inv_diag[inter] = 1.0 / diag[inter]
     return VarStencilOp3D(tz=tz, ty=ty, tx=tx,
                           inv_diag=inv_diag.astype(np_dt), n=n, S=S,
-                          Sx=Sx, c2=c2)
+                          Sx=Sx, c2=c2, t_minus=getattr(op, "t_minus",
+                                                        None))
 
 
 def build_diffusion3d_hierarchy(config: MultigridConfig, a, *,
