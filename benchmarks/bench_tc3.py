@@ -94,10 +94,12 @@ def main():
                     uu, bb, n=n, shape_c=shape_c, steps=args.steps,
                     smoother="jacobi", omega=2 / 3)[0],
                 (u, b))
+            # NB: without want_resnorm, _prolong_smooth3 returns the
+            # updated u directly (no tuple) — do not index it.
             t2 = loop_time(
                 lambda uu, bb, ee: T3._prolong_smooth3(
                     uu, bb, ee, n=n, steps=args.steps, smoother="jacobi",
-                    omega=2 / 3)[0],
+                    omega=2 / 3),
                 (u, b, ec))
         except Exception as e:  # VMEM OOM at large budgets — record it
             print(f"WB={mb:5.1f}MB  k1 tiles {g1}  k2 tiles {g2}  "

@@ -716,7 +716,7 @@ class VarStencilOp3D:
     ndim = 3
 
     def __init__(self, tz, ty, tx, inv_diag, n: int, S: int, Sx: int,
-                 c2=None, t_minus=None):
+                 c2=None, t_minus=None, coef_stack=None):
         self.tz = tz
         self.ty = ty
         self.tx = tx
@@ -724,6 +724,11 @@ class VarStencilOp3D:
         self.n = int(n)
         self.S = int(S)
         self.Sx = int(Sx)
+        # Optional setup-time (C, S, S, Sx) stack [tz, ty, tx (, c2)] for
+        # the fused Pallas kernels' coefficient streaming
+        # (kernels/vartransfer3d.py) — uploaded with the hierarchy so no
+        # per-program restack, mirroring VarStencilOp.coef_sym.
+        self.coef_stack = coef_stack
         # Optional zeroth-order (reaction/Helmholtz) term: nodal
         # c(x,y,z) * h^2, added to the diagonal (problems/diffusion3d.py
         # with shift=...).  inv_diag must be built WITH it.  The sharded
@@ -738,13 +743,13 @@ class VarStencilOp3D:
 
     def tree_flatten(self):
         return ((self.tz, self.ty, self.tx, self.inv_diag, self.c2,
-                 self.t_minus),
+                 self.t_minus, self.coef_stack),
                 (self.n, self.S, self.Sx))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(*children[:4], *aux, c2=children[4],
-                   t_minus=children[5])
+                   t_minus=children[5], coef_stack=children[6])
 
     def _tm(self):
         if self.t_minus is not None:
@@ -882,4 +887,7 @@ def diffusion_op3_host(cell_coeff, n: int, S: int, Sx: int):
                           tz=tz.astype(dt), inv_diag=inv_diag,
                           n=n, S=S, Sx=Sx,
                           t_minus=(tzm.astype(dt), tym.astype(dt),
-                                   txm.astype(dt)))
+                                   txm.astype(dt)),
+                          coef_stack=np.stack([tz.astype(dt),
+                                               ty.astype(dt),
+                                               tx.astype(dt)]))

@@ -23,7 +23,8 @@ import jax.numpy as jnp
 from ..config import MultigridConfig
 from ..core import ops
 from ..core.grids import Hierarchy, coarse_solve
-from ..core.operators import ConstStencilOp, ConstStencilOp3D, VarStencilOp
+from ..core.operators import (ConstStencilOp, ConstStencilOp3D,
+                              VarStencilOp, VarStencilOp3D)
 
 
 # ---------------------------------------------------------------------------
@@ -334,6 +335,49 @@ def _fused_k2_3d(op, cfg: MultigridConfig, u, b, ec, *, resnorm=False):
     return _t3.prolong_smooth3(u, b, ec, op.n, cfg.nu2, smoother, omega)
 
 
+def _use_var_super_kernels3(op, opc, cfg: MultigridConfig, dtype) -> bool:
+    """Whether the fused 3D var-coefficient super-kernels (K1v₃/K2v₃)
+    apply at this level.  ``VarStencilOp3D`` is always flux-symmetric
+    (minus couplings are rolls of the stored planes), so no
+    ``is_symmetric`` gate is needed; the nonsymmetric 3D family
+    (Directional7Op) is a different class."""
+    if not (cfg.use_pallas and isinstance(op, VarStencilOp3D)
+            and isinstance(opc, VarStencilOp3D)):
+        return False
+    if cfg.smoother not in ("jacobi", "rbgs", "chebyshev"):
+        return False
+    if cfg.effective_smooth_dtype != dtype:
+        return False
+    if cfg.restriction != "fw" or cfg.prolongation != "bilinear":
+        return False
+    from ..kernels import vartransfer3d as _vt3
+    mult = 2 if cfg.smoother == "rbgs" else 1
+    steps = mult * max(cfg.nu1, cfg.nu2)
+    nplanes = 3 if op.c2 is None else 4
+    return _vt3.supported_var3(op.grid_shape, opc.grid_shape, steps,
+                               dtype, nplanes)
+
+
+def _fused_k1v3(op, opc, cfg: MultigridConfig, u, b):
+    from ..kernels import vartransfer3d as _vt3
+    smoother, omega = _sm(cfg, cfg.nu1)
+    return _vt3.var_smooth_restrict3(u, b, _vt3._flat_coef3(op), op.n,
+                                     opc.grid_shape, cfg.nu1, smoother,
+                                     omega)
+
+
+def _fused_k2v3(op, cfg: MultigridConfig, u, b, ec, *, resnorm=False):
+    from ..kernels import vartransfer3d as _vt3
+    smoother, omega = _sm(cfg, cfg.nu2)
+    if resnorm:
+        return _vt3.var_prolong_smooth_resnorm3(u, b, ec,
+                                                _vt3._flat_coef3(op),
+                                                op.n, cfg.nu2, smoother,
+                                                omega)
+    return _vt3.var_prolong_smooth3(u, b, ec, _vt3._flat_coef3(op), op.n,
+                                    cfg.nu2, smoother, omega)
+
+
 def cycle(hier: Hierarchy, cfg: MultigridConfig, u, b, k: int = 0):
     """One multigrid cycle (V, W, or F per ``cfg.cycle``) at level index k.
 
@@ -354,12 +398,16 @@ def cycle(hier: Hierarchy, cfg: MultigridConfig, u, b, k: int = 0):
     fusedv = (not fused) and _use_var_super_kernels(op, opc, cfg, u.dtype)
     fused3 = (not (fused or fusedv)) and _use_super_kernels3(op, opc, cfg,
                                                             u.dtype)
+    fusedv3 = (not (fused or fusedv or fused3)) and _use_var_super_kernels3(
+        op, opc, cfg, u.dtype)
     if fused:
         u, rc = _fused_k1(op, opc, cfg, u, b)
     elif fusedv:
         u, rc = _fused_k1v(op, opc, cfg, u, b)
     elif fused3:
         u, rc = _fused_k1_3d(op, opc, cfg, u, b)
+    elif fusedv3:
+        u, rc = _fused_k1v3(op, opc, cfg, u, b)
     else:
         u, r = _smooth_residual(op, u, b, cfg, cfg.nu1)
         if hasattr(opc, "restrict_into"):
@@ -385,6 +433,8 @@ def cycle(hier: Hierarchy, cfg: MultigridConfig, u, b, k: int = 0):
         u = _fused_k2v(op, cfg, u, b, ec)
     elif fused3:
         u = _fused_k2_3d(op, cfg, u, b, ec)
+    elif fusedv3:
+        u = _fused_k2v3(op, cfg, u, b, ec)
     elif hasattr(opc, "prolong_add_into"):
         u = opc.prolong_add_into(u, ec, op)
         u = _smooth(op, u, b, cfg, cfg.nu2)
@@ -417,13 +467,17 @@ def cycle_with_norm(hier: Hierarchy, cfg: MultigridConfig, u, b):
     fusedv = (not fused) and _use_var_super_kernels(op, opc, cfg, u.dtype)
     fused3 = (not (fused or fusedv)) and _use_super_kernels3(op, opc, cfg,
                                                             u.dtype)
-    if fused or fusedv or fused3:
+    fusedv3 = (not (fused or fusedv or fused3)) and _use_var_super_kernels3(
+        op, opc, cfg, u.dtype)
+    if fused or fusedv or fused3 or fusedv3:
         if fused:
             u, rc = _fused_k1(op, opc, cfg, u, b)
         elif fusedv:
             u, rc = _fused_k1v(op, opc, cfg, u, b)
-        else:
+        elif fused3:
             u, rc = _fused_k1_3d(op, opc, cfg, u, b)
+        else:
+            u, rc = _fused_k1v3(op, opc, cfg, u, b)
         ec = _zeros(opc, u.dtype)
         ec = cycle(hier, cfg, ec, rc, 1)
         if cfg.cycle == "W":
@@ -434,7 +488,9 @@ def cycle_with_norm(hier: Hierarchy, cfg: MultigridConfig, u, b):
             return _fused_k2(op, cfg, u, b, ec, resnorm=True)
         if fusedv:
             return _fused_k2v(op, cfg, u, b, ec, resnorm=True)
-        return _fused_k2_3d(op, cfg, u, b, ec, resnorm=True)
+        if fused3:
+            return _fused_k2_3d(op, cfg, u, b, ec, resnorm=True)
+        return _fused_k2v3(op, cfg, u, b, ec, resnorm=True)
     u = cycle(hier, cfg, u, b)
     return u, ops.norm2(_residual(op, u, b, cfg))
 

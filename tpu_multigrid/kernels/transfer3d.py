@@ -87,16 +87,18 @@ def _masks3(z0, y0, WZ, WY, Sx, n):
 # K1₃ geometry
 # ---------------------------------------------------------------------------
 
-def _tiles_k1(shape, H: int, dtype):
+def _tiles_k1(shape, H: int, dtype, budget=None):
     """(TZ, HZ, TY, HY) for K1₃, or None.
 
     Quanta: TZ/HZ even (static decimation parity), TY multiple of 16 with
     HY = 16 (coarse y offsets stay 8-aligned).  Balanced two-axis halos
-    under the WINDOW_BYTES budget, with whole-axis fallbacks.
+    under the WINDOW_BYTES budget (or ``budget`` when given — the
+    var-coefficient kernels stream extra slabs and use smaller windows),
+    with whole-axis fallbacks.
     """
     Sz, Sy, Sx = shape
     rb = _row_bytes(Sx, dtype)
-    rows = WINDOW_BYTES // rb
+    rows = (budget if budget is not None else WINDOW_BYTES) // rb
     HZ = _round_up(H, 2)
     HY = 16
     if rows >= Sz * Sy:
@@ -395,7 +397,7 @@ def _smooth_restrict3(u, b, *, n, shape_c, steps, smoother, omega,
 # K2₃: prolong + add correction + post-smooth (+ optional fused resnorm)
 # ---------------------------------------------------------------------------
 
-def _tiles_k2(shape, H: int, dtype):
+def _tiles_k2(shape, H: int, dtype, budget=None):
     """(TZ, TY, HZc, HYc) for K2₃, or None.
 
     Fine tile (TZ, TY) with TZ even, TY mult 16; coarse halos
@@ -404,7 +406,7 @@ def _tiles_k2(shape, H: int, dtype):
     """
     Sz, Sy, Sx = shape
     rb = _row_bytes(Sx, dtype)
-    rows = WINDOW_BYTES // rb
+    rows = (budget if budget is not None else WINDOW_BYTES) // rb
     HZc = (H + 2) // 2
     HYc = 8
     if rows >= Sz * Sy:

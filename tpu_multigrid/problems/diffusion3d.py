@@ -87,7 +87,10 @@ def _with_shift3(op, c, np_dt):
     return VarStencilOp3D(tz=tz, ty=ty, tx=tx,
                           inv_diag=inv_diag.astype(np_dt), n=n, S=S,
                           Sx=Sx, c2=c2, t_minus=getattr(op, "t_minus",
-                                                        None))
+                                                        None),
+                          coef_stack=np.stack(
+                              [tz.astype(np_dt), ty.astype(np_dt),
+                               tx.astype(np_dt), c2.astype(np_dt)]))
 
 
 def build_diffusion3d_hierarchy(config: MultigridConfig, a, *,
