@@ -129,6 +129,24 @@ def main():
     h = np.asarray(r.res_history)
     check("periodic torus reduction", h[6] / h[0], 0.0, 5e-4)
 
+    # Fused 3D var-coefficient tier (K1v₃/K2v₃): end-to-end at level 7
+    # (finest pair fused; Sx=256) + bitwise-level parity vs the jnp tier.
+    dcfg = mg.MultigridConfig(finest_level=7, coarsest_level=3,
+                              smoother="chebyshev", nu1=3, nu2=2,
+                              use_pallas=True)
+    a_fn = lambda x, y, z: 1.0 + x + 2.0 * y + z
+    rv = mg.solve_diffusion3d(7, coefficient=a_fn, config=dcfg,
+                              num_cycles=6, tol=None)
+    h = np.asarray(rv.res_history)
+    check("3D var fused (K1v3/K2v3) reduction", h[6] / h[0], 0.0, 5e-4)
+    import dataclasses as _dc
+    rj = mg.solve_diffusion3d(
+        7, coefficient=a_fn,
+        config=_dc.replace(dcfg, use_pallas=False), num_cycles=6,
+        tol=None)
+    check("3D var fused vs jnp solution", np.asarray(rv.u),
+          np.asarray(rj.u), 5e-6)
+
     if FAILURES:
         print(f"\n{len(FAILURES)} FAILURES: {FAILURES}")
         sys.exit(1)

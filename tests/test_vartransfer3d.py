@@ -151,7 +151,11 @@ def test_fused_var_cycle_matches_jnp(monkeypatch):
     from tpu_multigrid import cycles
     from tpu_multigrid.problems import Diffusion3DProblem
 
-    cfg = MultigridConfig(finest_level=5, coarsest_level=4,
+    # coarsest 3 (n=8, 343 unknowns): a coarsest of 4 means a 3375²
+    # dense inverse whose host assembly dominates the test (~minutes on
+    # this 1-core host).  Three levels also put TWO pairs on the fused
+    # var branch.
+    cfg = MultigridConfig(finest_level=5, coarsest_level=3,
                           smoother="chebyshev", nu1=3, nu2=2,
                           dtype=jnp.float32, use_pallas=True)
     prob = Diffusion3DProblem(

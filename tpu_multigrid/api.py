@@ -529,8 +529,10 @@ def solve_diffusion3d(
     ``shift`` is an optional zeroth-order reaction/Helmholtz term —
     constant or ``c(x, y, z)`` — re-discretized per level (the 3D
     analogue of ``solve_helmholtz``; positive-definite regime only).
-    Runs the jnp 7-point flux-stencil path (the 3D Pallas kernels are
-    specialized to the constant stencil); coarse operators re-discretize
+    Wide levels run the fused 3D var super-kernels (K1v₃/K2v₃,
+    kernels/vartransfer3d.py: 3-plane transmissibility streaming, 4 with
+    ``shift``); narrow levels the jnp 7-point flux path.  Coarse
+    operators re-discretize
     from 2x2x2 cell-averaged coefficients.  ``mesh``: optional 2D device
     mesh — the cube decomposes (gz, gy) with the transmissibility planes
     sharded alongside u/b (dist.local_var3; shift unsupported there).
