@@ -31,6 +31,12 @@ from tpu_multigrid.cycles import cycle
 
 
 def time_cycles(hier, cfg, b, n1=2, n2=10, reps=3):
+    # Pin the hierarchy's (possibly large) host-numpy coefficient planes
+    # on device ONCE: numpy jit args re-upload per call, and over the
+    # remote tunnel that transfer noise dwarfs the per-cycle slope for
+    # the coefficient-heavy families (measured: negative slopes for
+    # semicoarsen/zebra before this).
+    hier = jax.device_put(hier)
     op = hier.levels[0]
     u0 = jnp.zeros(getattr(op, "grid_shape", (op.S, op.S)), cfg.dtype)
 

@@ -216,62 +216,94 @@ def redblack_gs_sweeps(
 # Inter-grid transfers
 # ---------------------------------------------------------------------------
 
-def _conv2d(x: jnp.ndarray, w: jnp.ndarray, *, stride=1, lhs_dilation=1):
-    """Single-channel 2D convolution over the trailing two axes.
+def _blur121(x: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Zero-boundary [1/2, 1, 1/2] window along one trailing axis.
 
-    Strided slicing / scattered strided writes are pathological on TPU
-    (lane-dimension gathers: ~400 ms per 8193^2 transfer measured), whereas
-    stride-2 and input-dilated convolutions lower to native XLA:TPU conv
-    kernels — so both inter-grid transfers are expressed as convs.
+    Pad-then-unit-stride-slice rather than roll, so out-of-range taps read
+    exact zeros for ANY input (matching a zero-padded convolution) instead
+    of wrapped values.  Unit-stride offset slices lower cleanly on XLA:TPU;
+    it is stride-2 slices/scatters and 1-channel spatial convs that are
+    pathological there (measured: conv restrict 92 ms, strided scatter
+    ~400 ms per 8193^2 transfer vs ~1 ms for this formulation).
     """
-    batch = x.shape[:-2]
-    xb = x.reshape((-1,) + x.shape[-2:])[:, None]          # N, C=1, H, W
-    out = jax.lax.conv_general_dilated(
-        xb, w[None, None].astype(x.dtype),
-        window_strides=(stride, stride),
-        padding=((1, 1), (1, 1)),
-        lhs_dilation=(lhs_dilation, lhs_dilation),
-        preferred_element_type=x.dtype if x.dtype != jnp.bfloat16 else jnp.float32,
-        # XLA:TPU lowers f32 convs through bf16 MXU passes by default
-        # (~1e-2 relative error — enough to disturb coarse corrections);
-        # HIGHEST forces f32-accurate accumulation.
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    out = out[:, 0].astype(x.dtype)
-    return out.reshape(batch + out.shape[-2:])
+    ax = axis if axis >= 0 else x.ndim + axis
+    pad = [(0, 0)] * x.ndim
+    pad[ax] = (1, 1)
+    xp = jnp.pad(x, pad)
+    L = x.shape[ax]
+    lo = jax.lax.slice_in_dim(xp, 0, L, axis=ax)
+    hi = jax.lax.slice_in_dim(xp, 2, L + 2, axis=ax)
+    half = jnp.asarray(0.5, x.dtype)
+    return (x + half * (lo + hi)).astype(x.dtype)
 
 
-_FW_STENCIL = [[0.25, 0.5, 0.25], [0.5, 1.0, 0.5], [0.25, 0.5, 0.25]]
+def _even_decimate(x: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Keep even indices along a trailing axis — sublane parity reshape
+    ``(..., 2m, C) -> (..., m, 2, C)[..., 0, :]``; the lane axis is
+    conjugated by a transpose pair (minor-dim reshapes to ``(..., 2)``
+    explode via T(8,128) lane padding on TPU).  Output length is
+    ``ceil(L/2)`` — the same as a stride-2 conv with (1, 1) padding."""
+    ax = axis if axis >= 0 else x.ndim + axis
+    if ax == x.ndim - 1:
+        return _even_decimate(x.mT, -2).mT
+    L = x.shape[-2]
+    if L % 2:
+        pad = [(0, 0)] * x.ndim
+        pad[-2] = (0, 1)
+        x = jnp.pad(x, pad)
+        L += 1
+    m = L // 2
+    return x.reshape(x.shape[:-2] + (m, 2, x.shape[-1]))[..., :, 0, :]
+
+
+def _interleave(a: jnp.ndarray, b: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """out[..., 2t, ...] = a[..., t, ...]; out[..., 2t+1, ...] = b — via
+    stack + merge-reshape (never a strided scatter).  Lane axis routes
+    through a transpose pair like :func:`_even_decimate`."""
+    ax = axis if axis >= 0 else a.ndim + axis
+    if ax == a.ndim - 1:
+        return _interleave(a.mT, b.mT, -2).mT
+    st = jnp.stack([a, b], axis=-2)                # (..., m, 2, C)
+    return st.reshape(a.shape[:-2] + (2 * a.shape[-2], a.shape[-1]))
+
+
+def _pad_tail(x: jnp.ndarray, axis: int, k: int = 1) -> jnp.ndarray:
+    pad = [(0, 0)] * x.ndim
+    pad[axis if axis >= 0 else x.ndim + axis] = (0, k)
+    return jnp.pad(x, pad)
+
+
+def _crop_pad_square(x: jnp.ndarray, S: int) -> jnp.ndarray:
+    """Crop or zero-pad the trailing two axes to (S, S)."""
+    side = x.shape[-1]
+    if side >= S:
+        return x[..., :S, :S]
+    pad = S - side
+    return jnp.pad(x, [(0, 0)] * (x.ndim - 2) + [(0, pad), (0, pad)])
 
 
 def restrict_fw(rf: jnp.ndarray, nf: int, Sc: int, box=None) -> jnp.ndarray:
     """Full-weighting restriction, FEM scaling R = P^T (stencil /4).
 
     Fine grid ``(Sf, Sf)`` with ``nf`` cells -> coarse grid ``(Sc, Sc)`` with
-    ``nf//2`` cells: a stride-2 convolution with the [[1,2,1],[2,4,2],
-    [1,2,1]]/4 kernel.  Requires ``Sf >= 2*Sc - 1`` (hierarchy construction
-    guarantees this).  Reference: ``restriction2d``
-    (``Poissons_SYCL.cpp:531-546``), with its integer-division bug fixed and
-    the FEM /4 scaling so that R A P equals the coarse FEM stiffness.
+    ``nf//2`` cells: the [[1,2,1],[2,4,2],[1,2,1]]/4 kernel applied at even
+    fine nodes.  Separable: per-axis zero-boundary [1/2, 1, 1/2] blur then
+    even-index parity-reshape decimation (a stride-2 conv formulation
+    measured 92 ms at 8193^2 on v5e vs ~1 ms for this path — XLA:TPU is
+    pathological for 1-channel spatial convs and strided lane ops).
+    Requires ``Sf >= 2*Sc - 1`` (hierarchy construction guarantees this).
+    Reference: ``restriction2d`` (``Poissons_SYCL.cpp:531-546``), with its
+    integer-division bug fixed and the FEM /4 scaling so that R A P equals
+    the coarse FEM stiffness.
 
     ``box``: optional inclusive coarse unknown box (mixed-BC problems; the
-    conv's zero padding makes the boundary rows exactly P^T of the
+    zero-boundary blur makes the boundary rows exactly P^T of the
     truncated prolongation, so R = P^T holds on boxes too).
     """
     nc = nf // 2
-    Sf = rf.shape[-1]
-    w = jnp.asarray(_FW_STENCIL, jnp.float32)
-    coarse = _conv2d(rf, w, stride=2)              # side = (Sf+1)//2
-    side = coarse.shape[-1]
-    if side >= Sc:
-        coarse = coarse[..., :Sc, :Sc]
-    else:
-        # Coarse array is padded beyond the fine array's even rows; the
-        # extra rows/cols are non-physical (side > nc always since
-        # Sf >= nf+1) and stay zero.
-        pad = Sc - side
-        coarse = jnp.pad(coarse,
-                         [(0, 0)] * (coarse.ndim - 2) + [(0, pad), (0, pad)])
+    t = _blur121(_blur121(rf, -1), -2)
+    coarse = _even_decimate(_even_decimate(t, -2), -1)  # side = (Sf+1)//2
+    coarse = _crop_pad_square(coarse, Sc)
     if box is not None:
         return mask_box(coarse, box)
     return mask_interior(coarse, nc)
@@ -284,34 +316,43 @@ def prolong(ec: jnp.ndarray, nc: int, Sf: int, box=None) -> jnp.ndarray:
     4.  Reference: ``interpolation2d`` (``Poissons_SYCL.cpp:337-425``), whose
     89 lines of even/odd case analysis collapse to four phase averages here.
 
-    Fallback (CPU / coarse-level) implementation: phase averages via rolls +
-    four strided scatters.  (An lhs-dilated conv formulation materializes a
-    multi-GB intermediate on XLA:TPU, and strided lane scatters are slow
-    there — the TPU hot path uses the Pallas transfer kernels instead.)
+    Implemented as phase averages + stack/reshape interleaves (the 2D
+    analogue of ``ops3d.prolong3``): an lhs-dilated conv formulation
+    materializes a multi-GB intermediate on XLA:TPU, and strided lane
+    scatters measured ~400 ms per 8193^2 transfer there.  The Pallas
+    transfer kernels remain the hot path for the fused Poisson tier; this
+    is the everything-else tier (var/upwind/Mehrstellen/coarse levels).
 
     ``box``: optional inclusive fine unknown box (mixed-BC problems).
     """
-    Sc = ec.shape[-1]
+    return _prolong_phases(ec, nc, Sf, diag="bilinear", box=box)
+
+
+def _prolong_phases(ec, nc, Sf, *, diag: str, box=None) -> jnp.ndarray:
+    """Shared bilinear/P1 prolongation core: four parity phases at coarse
+    resolution, interleaved rows-then-columns (lane axis via a transpose
+    pair).  ``diag``: "bilinear" = 4-point odd-odd average; "p1" = 2-point
+    diagonal-edge average (criss-cross triangulation)."""
     nf = 2 * nc
-    batch = ec.shape[:-2]
     # Only the coarse rows/cols that land inside the fine array matter;
     # everything past nc is non-physical padding (zero) anyway.
-    m = min(Sc, (Sf + 1) // 2)
+    m = min(ec.shape[-1], (Sf + 1) // 2)
     e = ec[..., :m, :m]
-    f = jnp.zeros(batch + (Sf, Sf), ec.dtype)
-    lim = 2 * m - 1
-    # Even-even: direct injection.
-    f = f.at[..., 0:lim:2, 0:lim:2].set(e)
-    # Odd rows: vertical 2-point average (contiguous slices).
-    va = 0.5 * (e[..., :-1, :] + e[..., 1:, :])
-    f = f.at[..., 1 : lim - 1 : 2, 0:lim:2].set(va.astype(ec.dtype))
-    # Odd cols: horizontal 2-point average.
-    ha = 0.5 * (e[..., :, :-1] + e[..., :, 1:])
-    f = f.at[..., 0:lim:2, 1 : lim - 1 : 2].set(ha.astype(ec.dtype))
-    # Odd-odd: 4-point average.
-    qa = 0.25 * (e[..., :-1, :-1] + e[..., :-1, 1:]
-                 + e[..., 1:, :-1] + e[..., 1:, 1:])
-    f = f.at[..., 1 : lim - 1 : 2, 1 : lim - 1 : 2].set(qa.astype(ec.dtype))
+    half = jnp.asarray(0.5, ec.dtype)
+    # Phase (odd row, even col): vertical 2-point average; last row pads 0.
+    va = _pad_tail(half * (e[..., :-1, :] + e[..., 1:, :]), -2)
+    # Phase (even row, odd col): horizontal 2-point average.
+    ha = _pad_tail(half * (e[..., :, :-1] + e[..., :, 1:]), -1)
+    if diag == "bilinear":
+        dd = jnp.asarray(0.25, ec.dtype) * (
+            e[..., :-1, :-1] + e[..., :-1, 1:]
+            + e[..., 1:, :-1] + e[..., 1:, 1:])
+    else:  # P1 diagonal-edge midpoint: avg of the two diagonal endpoints.
+        dd = half * (e[..., 1:, :-1] + e[..., :-1, 1:])
+    dd = _pad_tail(_pad_tail(dd, -2), -1)
+    col_even = _interleave(e, va.astype(ec.dtype), -2)          # (2m, m)
+    col_odd = _interleave(ha.astype(ec.dtype), dd.astype(ec.dtype), -2)
+    f = _crop_pad_square(_interleave(col_even, col_odd, -1), Sf)
     if box is not None:
         return mask_box(f, box)
     return mask_interior(f, nf)
@@ -327,15 +368,9 @@ def restrict_injection(rf: jnp.ndarray, nf: int, Sc: int) -> jnp.ndarray:
     sum so constants transfer identically.
     """
     nc = nf // 2
-    w = jnp.zeros((3, 3), jnp.float32).at[1, 1].set(4.0)
-    coarse = _conv2d(rf, w, stride=2)
-    side = coarse.shape[-1]
-    if side >= Sc:
-        coarse = coarse[..., :Sc, :Sc]
-    else:
-        pad = Sc - side
-        coarse = jnp.pad(coarse,
-                         [(0, 0)] * (coarse.ndim - 2) + [(0, pad), (0, pad)])
+    coarse = jnp.asarray(4.0, rf.dtype) * _even_decimate(
+        _even_decimate(rf, -2), -1)
+    coarse = _crop_pad_square(coarse, Sc)
     return mask_interior(coarse, nc)
 
 
@@ -348,24 +383,10 @@ def prolong_p1(ec: jnp.ndarray, nc: int, Sf: int) -> jnp.ndarray:
     edge-midpoint nodes average the edge's two endpoints — including the
     odd-odd nodes, which sit on the *diagonal* edge and average its two
     endpoints (c[i,j+1] and c[i+1,j] for the NE-SW diagonal), unlike
-    bilinear's 4-point average.
+    bilinear's 4-point average.  Same interleave machinery as
+    :func:`prolong` (TPU-safe; no strided scatters).
     """
-    Sc = ec.shape[-1]
-    nf = 2 * nc
-    batch = ec.shape[:-2]
-    m = min(Sc, (Sf + 1) // 2)
-    e = ec[..., :m, :m]
-    f = jnp.zeros(batch + (Sf, Sf), ec.dtype)
-    lim = 2 * m - 1
-    f = f.at[..., 0:lim:2, 0:lim:2].set(e)
-    va = 0.5 * (e[..., :-1, :] + e[..., 1:, :])
-    f = f.at[..., 1 : lim - 1 : 2, 0:lim:2].set(va.astype(ec.dtype))
-    ha = 0.5 * (e[..., :, :-1] + e[..., :, 1:])
-    f = f.at[..., 0:lim:2, 1 : lim - 1 : 2].set(ha.astype(ec.dtype))
-    # Diagonal-edge midpoint: avg of the two diagonal endpoints.
-    da = 0.5 * (e[..., 1:, :-1] + e[..., :-1, 1:])
-    f = f.at[..., 1 : lim - 1 : 2, 1 : lim - 1 : 2].set(da.astype(ec.dtype))
-    return mask_interior(f, nf)
+    return _prolong_phases(ec, nc, Sf, diag="p1")
 
 
 def norm2(r: jnp.ndarray) -> jnp.ndarray:

@@ -43,6 +43,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import MultigridConfig
+from . import ops
 from .grids import Hierarchy, coarse_dense_inverse
 
 
@@ -238,43 +239,16 @@ def semi_anisotropic_op(ny: int, nx: int, eps_x: float, eps_y: float,
 _W1D = (0.5, 1.0, 0.5)
 
 
-def _conv_axis(x: jnp.ndarray, axis: int, stride: int) -> jnp.ndarray:
-    """[1/2, 1, 1/2] window-3 convolution along one trailing axis.
-
-    Expressed as an XLA conv (stride-2 lane slicing is pathological on
-    XLA:TPU — CLAUDE.md perf facts — while strided convs lower natively).
-    ``precision=HIGHEST`` for the same reason as ``core.ops._conv2d``: the
-    default routes f32 through bf16 MXU passes (~1e-2 relative error).
-    """
-    batch = x.shape[:-2]
-    xb = x.reshape((-1,) + x.shape[-2:])[:, None]
-    w = jnp.asarray(_W1D, jnp.float32)
-    if axis % 2 == 1:  # x (minor) axis
-        kern = w[None, :]
-        strides = (1, stride)
-        padding = ((0, 0), (1, 1))
-    else:
-        kern = w[:, None]
-        strides = (stride, 1)
-        padding = ((1, 1), (0, 0))
-    out = jax.lax.conv_general_dilated(
-        xb, kern[None, None].astype(x.dtype),
-        window_strides=strides, padding=padding,
-        preferred_element_type=(x.dtype if x.dtype != jnp.bfloat16
-                                else jnp.float32),
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    out = out[:, 0].astype(x.dtype)
-    return out.reshape(batch + out.shape[-2:])
-
-
 def restrict_axis(r: jnp.ndarray, axis: int, Sc_ax: int) -> jnp.ndarray:
-    """One-axis restriction ``R_a = P_a^T``: window-3 stride-2 conv.
+    """One-axis restriction ``R_a = P_a^T``: zero-boundary [1/2, 1, 1/2]
+    blur + even-index parity-reshape decimation (``core.ops`` helpers —
+    1-channel spatial convs and stride-2 lane slicing are both
+    pathological on XLA:TPU; this path stays bandwidth-bound).
 
     Output size along ``axis`` is cropped/zero-padded to ``Sc_ax``; the
     caller masks to the coarse unknown box.
     """
-    out = _conv_axis(r, axis, stride=2)
+    out = ops._even_decimate(ops._blur121(r, axis), axis)
     side = out.shape[axis]
     sl = [slice(None)] * out.ndim
     if side >= Sc_ax:
@@ -288,12 +262,11 @@ def restrict_axis(r: jnp.ndarray, axis: int, Sc_ax: int) -> jnp.ndarray:
 def prolong_axis(e: jnp.ndarray, axis: int, Sf_ax: int) -> jnp.ndarray:
     """One-axis linear interpolation ``P_a``: even inject, odd average.
 
-    Strided-scatter fallback form (matches ``core.ops.prolong``'s CPU
-    path); the semi-coarsened tier currently runs jnp end-to-end.
+    Interleave form (``core.ops._interleave``: stack + merge-reshape, lane
+    axis via a transpose pair) — never a strided scatter.
     """
     Sc_ax = e.shape[axis]
     m = min(Sc_ax, (Sf_ax + 1) // 2)
-    lim = 2 * m - 1
 
     def ax_slice(arr, s):
         sl = [slice(None)] * arr.ndim
@@ -301,15 +274,16 @@ def prolong_axis(e: jnp.ndarray, axis: int, Sf_ax: int) -> jnp.ndarray:
         return tuple(sl)
 
     e = e[ax_slice(e, slice(0, m))]
-    shape = list(e.shape)
-    shape[axis] = Sf_ax
-    f = jnp.zeros(tuple(shape), e.dtype)
-    f = f.at[ax_slice(f, slice(0, lim, 2))].set(e)
     lo = e[ax_slice(e, slice(0, m - 1))]
     hi = e[ax_slice(e, slice(1, m))]
-    f = f.at[ax_slice(f, slice(1, lim - 1, 2))].set(
-        (0.5 * (lo + hi)).astype(e.dtype))
-    return f
+    odd = ops._pad_tail((0.5 * (lo + hi)).astype(e.dtype), axis)
+    f = ops._interleave(e, odd, axis)              # length 2m along axis
+    L = f.shape[axis]
+    if L >= Sf_ax:
+        return f[ax_slice(f, slice(0, Sf_ax))]
+    pad = [(0, 0)] * f.ndim
+    pad[axis if axis >= 0 else f.ndim + axis] = (0, Sf_ax - L)
+    return jnp.pad(f, pad)
 
 
 def restrict_to(r: jnp.ndarray, opc: SemiOp) -> jnp.ndarray:
