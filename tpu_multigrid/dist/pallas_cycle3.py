@@ -30,6 +30,7 @@ from ..core.grids import Hierarchy, coarse_dense_inverse, round_up
 from ..core.operators import ConstStencilOp3D
 from ..cycles import SolveResult, _coarsest_solve, _sm, cycle
 from ..kernels import transfer3d as KT3
+from ..kernels import vartransfer3d as KV3
 from . import local_ops3 as L3
 from .shard_cycle3 import GRID_AXES3, make_grid_mesh3
 
@@ -203,14 +204,18 @@ def _replicated_cycle3(hier, cfg, k0, u, b):
 def _vcycle_pallas3(levels: PallasLevels3, hier: Hierarchy,
                     cfg: MultigridConfig, mesh_shape: Tuple[int, int],
                     k: int, u, b, want_norm: bool = False,
-                    halo: str = "lean", u_ghosts_fresh: bool = False):
+                    halo: str = "lean", u_ghosts_fresh: bool = False,
+                    coefs: Tuple = ()):
     """V/W/F-cycle at sharded level k on extended blocks (in shard_map).
 
     ``halo="lean"`` sends depth-reduced strips and elides the pre-K2 u
     exchange (bitwise identical to "full" — tests/test_dist_pallas3.py).
     ``u_ghosts_fresh``: the caller guarantees u's ghosts are already what a
     refresh would deliver (downward-pass ec is freshly zero), eliding the
-    pre-K1 exchange bitwise-identically."""
+    pre-K1 exchange bitwise-identically.
+    ``coefs``: per-sharded-level ghost-extended (C, ez, ey, Sx) coefficient
+    blocks (var-coefficient levels run K1v₃/K2v₃; ``None`` slots run the
+    constant-stencil kernels)."""
     mz, my = mesh_shape
     n, S, Sx = levels.sizes[k]
     lz, ly = S // mz, S // my
@@ -220,11 +225,17 @@ def _vcycle_pallas3(levels: PallasLevels3, hier: Hierarchy,
     Scx = round_up(n // 2 + 1, 128)
     shape_lc = (lz // 2 + 2 * GZ3, ly // 2 + 2 * GY3, Scx)
     lean, dz, dy = _halo_depths3(cfg, halo)
+    cf = coefs[k] if k < len(coefs) else None
 
     if not u_ghosts_fresh:
         u = refresh_ghosts3(u, n, lz, ly, dz, dy)
-    u, rc = KT3.smooth_restrict_ext3(u, b, origin, n, shape_lc, cfg.nu1,
-                                     sm1, om1, ghost=(GZ3, GY3))
+    if cf is not None:
+        u, rc = KV3.var_smooth_restrict_ext3(u, b, cf, origin, n, shape_lc,
+                                             cfg.nu1, sm1, om1,
+                                             ghost=(GZ3, GY3))
+    else:
+        u, rc = KT3.smooth_restrict_ext3(u, b, origin, n, shape_lc, cfg.nu1,
+                                         sm1, om1, ghost=(GZ3, GY3))
 
     recurse_cnt = 2 if cfg.cycle in ("W", "F") else 1
     if k + 1 < levels.num_sharded:
@@ -234,7 +245,8 @@ def _vcycle_pallas3(levels: PallasLevels3, hier: Hierarchy,
             sub = cfg if (cfg.cycle != "F" or i == 0) else \
                 dataclasses.replace(cfg, cycle="V")
             ec = _vcycle_pallas3(levels, hier, sub, mesh_shape, k + 1,
-                                 ec, rc, halo=halo, u_ghosts_fresh=(i == 0))
+                                 ec, rc, halo=halo, u_ghosts_fresh=(i == 0),
+                                 coefs=coefs)
     else:
         rc_full = gather_owned3(rc)
         ec_full = jnp.zeros_like(rc_full)
@@ -255,6 +267,17 @@ def _vcycle_pallas3(levels: PallasLevels3, hier: Hierarchy,
                          GY3 // 2 if lean else GY3)
     if not lean:
         u = refresh_ghosts3(u, n, lz, ly)
+    if cf is not None:
+        if want_norm:
+            u, ss = KV3.var_prolong_smooth_ext3(u, b, ec, cf, origin, n,
+                                                cfg.nu2, sm2, om2,
+                                                ghost=(GZ3, GY3),
+                                                want_resnorm=True)
+            ss = lax.psum(lax.psum(ss, GZAX), GYAX)
+            return u, jnp.sqrt(ss).astype(jnp.float32)
+        return KV3.var_prolong_smooth_ext3(u, b, ec, cf, origin, n,
+                                           cfg.nu2, sm2, om2,
+                                           ghost=(GZ3, GY3))
     if want_norm:
         u, ss = KT3.prolong_smooth_ext3(u, b, ec, origin, n, cfg.nu2,
                                         sm2, om2, ghost=(GZ3, GY3),
@@ -342,5 +365,237 @@ def sharded_solve_pallas3(config: MultigridConfig, mesh: Mesh, *,
     if jit:
         run = jax.jit(run)
     u, hist, iters, conv = run(b_glob)
+    return SolveResult(u=u, res_history=hist, iterations=iters,
+                       converged=conv), levels
+
+
+# ---------------------------------------------------------------------------
+# Variable-coefficient tier: K1v₃/K2v₃ on ghost-extended shards
+# ---------------------------------------------------------------------------
+
+def pallas_var_level_sizes3(config: MultigridConfig,
+                            mesh_shape: Tuple[int, int], *,
+                            nplanes: int = 3,
+                            replicate_below: int = 32) -> PallasLevels3:
+    """``pallas_level_sizes3`` under the var-kernel support gate (smaller
+    VMEM windows: the coefficient slab shares the budget)."""
+    import math
+    mz, my = mesh_shape
+    n0 = 2 ** config.finest_level
+    quantum = math.lcm(4 * mz, 32 * my, 16)
+    S0 = round_up(n0 + 1, quantum)
+    mult = 2 if config.smoother == "rbgs" else 1
+    steps = mult * max(config.nu1, config.nu2, 1)
+    sizes: List[Tuple[int, int, int]] = []
+    num_sharded = 0
+    S = S0
+    for i, lvl in enumerate(range(config.finest_level,
+                                  config.coarsest_level - 1, -1)):
+        n = 2 ** lvl
+        Sx = round_up(n + 1, 128)
+        lz, ly = S // mz, S // my
+        shape_l = (lz + 2 * GZ3, ly + 2 * GY3, Sx)
+        shape_lc = (lz // 2 + 2 * GZ3, ly // 2 + 2 * GY3,
+                    round_up(n // 2 + 1, 128))
+        ok = (num_sharded == i and S % mz == 0 and S % my == 0
+              and lz % 2 == 0 and ly % 16 == 0
+              and min(lz, ly) >= replicate_below and S >= n + 1
+              and (S // 2) % mz == 0 and (S // 2) % my == 0
+              and KV3.supported_local_var3(shape_l, shape_lc, steps + 2,
+                                           config.dtype, ghost=(GZ3, GY3),
+                                           nplanes=nplanes))
+        if ok:
+            sizes.append((n, S, Sx))
+            num_sharded += 1
+            S //= 2
+        elif num_sharded == i:
+            Sr = max(S, n + 1)
+            sizes.append((n, Sr, Sx))
+            S = Sr
+        else:
+            sizes.append((n, n + 1, round_up(n + 1, 128)))
+    num_sharded = min(num_sharded, len(sizes) - 1)
+    return PallasLevels3(tuple(sizes), num_sharded)
+
+
+def build_pallas_diffusion3(config: MultigridConfig, mesh: Mesh,
+                            coefficient, *, shift=0.0,
+                            replicate_below: int = 32):
+    """Variable-coefficient (7-point flux) hierarchy at the fused-kernel
+    distributed level sizes.
+
+    Mirrors ``problems.diffusion3d.build_diffusion3d_hierarchy`` (2x2x2
+    cell-averaged coarse re-discretization, optional reaction ``shift``)
+    at ``pallas_var_level_sizes3``'s mesh-aligned (n, S, Sx) sizes.  All
+    host numpy until device placement.
+    """
+    from ..problems.diffusion3d import (_with_shift3, cell_coefficients3,
+                                        coarsen_cells3)
+    from ..core.operators import diffusion_op3_host
+
+    mz, my = mesh.devices.shape
+    with_shift = callable(shift) or float(shift) != 0.0
+    levels = pallas_var_level_sizes3(
+        config, (mz, my), nplanes=4 if with_shift else 3,
+        replicate_below=replicate_below)
+    np_dt = np.dtype(jnp.dtype(config.dtype).name)
+    cells = cell_coefficients3(2 ** config.finest_level, coefficient)
+    hops = []
+    for (n, S, Sx) in levels.sizes:
+        op = diffusion_op3_host(cells.astype(np_dt), n, S, Sx)
+        if with_shift:
+            op = _with_shift3(op, shift, np_dt)
+        hops.append(op)
+        if n > 2 ** config.coarsest_level:
+            cells = coarsen_cells3(cells)
+    coarse_inv = None
+    if config.coarse_solver == "direct":
+        coarse_inv = coarse_dense_inverse(hops[-1])
+    return levels, Hierarchy(tuple(hops), coarse_inv)
+
+
+def _ext_coef_layout3(op, mz: int, my: int) -> np.ndarray:
+    """Host (C, mz*ez, my*ey, Sx) extended-block coefficient layout.
+
+    Block (iz, iy) holds its ghost-INCLUSIVE slice of the global planes
+    (true neighbor values in the ghost shells — coefficients are static,
+    so the exchange happens once here instead of per cycle; domain-edge
+    ghosts read the zero padding, which the kernels' masks ignore).
+    Sharded with P(None, gz, gy, None), each device's shard is exactly
+    its extended block.
+    """
+    from ..kernels.vartransfer3d import _flat_coef3
+    st = getattr(op, "coef_stack", None)
+    if st is None:
+        st = np.asarray(_flat_coef3(op))
+    st = np.asarray(st)
+    C, S, _, Sx = st.shape
+    lz, ly = S // mz, S // my
+    ez, ey = lz + 2 * GZ3, ly + 2 * GY3
+    cpad = np.pad(st, ((0, 0), (GZ3, GZ3), (GY3, GY3), (0, 0)))
+    glob = np.zeros((C, mz * ez, my * ey, Sx), st.dtype)
+    for iz in range(mz):
+        zrows = cpad[:, iz * lz: iz * lz + ez]
+        for iy in range(my):
+            glob[:, iz * ez: (iz + 1) * ez, iy * ey: (iy + 1) * ey] = \
+                zrows[:, :, iy * ly: iy * ly + ey]
+    return glob
+
+
+def _split_pallas_var3(levels: PallasLevels3, hier: Hierarchy, mesh: Mesh):
+    """(coefs, hier_repl): per-sharded-level extended coefficient blocks
+    placed with the extended-block sharding, and the hierarchy with the
+    sharded levels' arrays replaced by array-free placeholders (the
+    replicated tail keeps its true var operators and coarse inverse —
+    passed into shard_map as a replicated argument, never a closure)."""
+    from ..core.operators import VarStencilOp3D
+
+    mz, my = mesh.devices.shape
+    spec = NamedSharding(mesh, jax.sharding.PartitionSpec(
+        None, GZAX, GYAX, None))
+    coefs = []
+    repl_ops = []
+    for k, op in enumerate(hier.levels):
+        if k < levels.num_sharded and isinstance(op, VarStencilOp3D):
+            coefs.append(jax.device_put(_ext_coef_layout3(op, mz, my),
+                                        spec))
+            repl_ops.append(ConstStencilOp3D(op.n, op.S, op.Sx))
+        else:
+            if k < levels.num_sharded:
+                coefs.append(None)
+            repl_ops.append(op)
+    return tuple(coefs), Hierarchy(tuple(repl_ops), hier.coarse_inv)
+
+
+def sharded_solve_pallas_var3(config: MultigridConfig, mesh: Mesh, *,
+                              coefficient, forcing: float = 6.0,
+                              shift=0.0, tol: float = 1e-5,
+                              max_cycles: int = 100,
+                              num_cycles: Optional[int] = None,
+                              replicate_below: int = 32,
+                              jit: bool = True, halo: str = "lean"):
+    """Distributed 3D variable-coefficient diffusion on the fused
+    K1v₃/K2v₃ local-kernel path.
+
+    The reference's v2 operator-general intent
+    (``Multigrid_functions.cpp:16-26``) at multi-chip scale with the
+    fused-kernel bandwidth profile: per-level flux planes live sharded in
+    the extended-block layout (ghosts pre-filled at setup — coefficients
+    are static, so they are never exchanged again), u/b ride the same
+    ghost machinery as the Poisson path.
+    """
+    mz, my = mesh.devices.shape
+    levels, hier = build_pallas_diffusion3(
+        config, mesh, coefficient, shift=shift,
+        replicate_below=replicate_below)
+    if levels.num_sharded < 1:
+        raise ValueError(
+            f"no level satisfies the 3D var Pallas shard constraints for "
+            f"mesh {(mz, my)} at finest_level={config.finest_level} "
+            f"(levels: {levels.sizes})")
+    n0, S0, Sx0 = levels.sizes[0]
+    lz, ly = S0 // mz, S0 // my
+    h2 = (1.0 / n0) ** 2
+    spec = P(*GRID_AXES3, None)
+
+    coefs, hier_repl = _split_pallas_var3(levels, hier, mesh)
+    coef_specs = jax.tree.map(
+        lambda _: P(None, *GRID_AXES3, None), coefs)
+
+    b_glob = jax.device_put(np.zeros((S0, S0, Sx0), np.float32),
+                            NamedSharding(mesh, spec))
+
+    @functools.partial(shard_map, mesh=mesh,
+                       in_specs=(spec, coef_specs, P()),
+                       out_specs=(spec, P(), P(), P()),
+                       check_vma=False)
+    def run(b_loc, coefs_loc, hier_loc):
+        ext_shape = (lz + 2 * GZ3, ly + 2 * GY3, Sx0)
+        oz = lax.axis_index(GZAX) * lz - GZ3
+        oy = lax.axis_index(GYAX) * ly - GY3
+        gz = lax.broadcasted_iota(jnp.int32, ext_shape, 0) + oz
+        gy = lax.broadcasted_iota(jnp.int32, ext_shape, 1) + oy
+        gx = lax.broadcasted_iota(jnp.int32, ext_shape, 2)
+        inter = ((gz >= 1) & (gz <= n0 - 1) & (gy >= 1) & (gy <= n0 - 1)
+                 & (gx >= 1) & (gx <= n0 - 1))
+        owned = ((gz >= lax.axis_index(GZAX) * lz)
+                 & (gz < (lax.axis_index(GZAX) + 1) * lz)
+                 & (gy >= lax.axis_index(GYAX) * ly)
+                 & (gy < (lax.axis_index(GYAX) + 1) * ly))
+        b_ext = jnp.where(inter & owned,
+                          jnp.asarray(forcing * h2, jnp.float32),
+                          jnp.zeros((), jnp.float32))
+        b_ext = refresh_ghosts3(b_ext, n0, lz, ly)
+
+        u = jnp.zeros_like(b_ext)
+        r0 = L3.norm2_local3(owned_view3(b_ext))
+        target = jnp.asarray(tol, jnp.float32) * r0
+        ncyc = num_cycles if num_cycles is not None else max_cycles
+        hist = jnp.full((ncyc + 1,), jnp.nan, jnp.float32).at[0].set(r0)
+
+        def cond(carry):
+            _, i, rnorm, prev, _ = carry
+            keep = i < ncyc
+            if num_cycles is None:
+                progressing = rnorm < 0.9 * prev
+                keep &= (rnorm > target) & progressing
+            return keep
+
+        def body(carry):
+            u, i, rnorm, _, hist = carry
+            u, rnew = _vcycle_pallas3(levels, hier_loc, config, (mz, my),
+                                      0, u, b_ext, want_norm=True,
+                                      halo=halo, coefs=coefs_loc)
+            hist = hist.at[i + 1].set(rnew)
+            return u, i + 1, rnew, rnorm, hist
+
+        inf = jnp.asarray(jnp.inf, jnp.float32)
+        u, iters, rnorm, _, hist = lax.while_loop(
+            cond, body, (u, jnp.asarray(0, jnp.int32), r0, inf, hist))
+        return owned_view3(u), hist, iters, rnorm <= target
+
+    if jit:
+        run = jax.jit(run)
+    u, hist, iters, conv = run(b_glob, coefs, hier_repl)
     return SolveResult(u=u, res_history=hist, iterations=iters,
                        converged=conv), levels

@@ -144,9 +144,14 @@ def _var_step3(state, bwin, invd, planes, interior, parity, j,
 # ---------------------------------------------------------------------------
 
 def _var_smooth_restrict3(u, b, coef, *, n, shape_c, steps, smoother,
-                          omega):
+                          omega, origin=None, ghost=(0, 0)):
+    """``origin``/``ghost``: distributed mode (dist.pallas_cycle3) — the
+    same ghost-extended-block contract as ``transfer3d._smooth_restrict3``
+    (masks in global coordinates via the (1, 2) int32 even ``origin``;
+    coarse output lands at local l/2 + ghost/2)."""
     Sz, Sy, Sx = u.shape
     Szc, Syc, Scx = shape_c
+    gz2, gy2 = ghost[0] // 2, ghost[1] // 2
     C = coef.shape[0]
     dtype = u.dtype
     H = steps + 2                    # +1 residual ring, +1 blur ring
@@ -159,8 +164,8 @@ def _var_smooth_restrict3(u, b, coef, *, n, shape_c, steps, smoother,
     nc = n // 2
     Cx2 = Sx // 2
 
-    def kernel(u_hbm, b_hbm, c_hbm, out_u, out_rc, u_buf, b_buf, c_buf,
-               rc_buf, in_sem, c_sem, out_sem):
+    def kernel(org_smem, u_hbm, b_hbm, c_hbm, out_u, out_rc, u_buf, b_buf,
+               c_buf, rc_buf, in_sem, c_sem, out_sem):
         def coords(t):
             tz = t // nty
             ty = t % nty
@@ -198,8 +203,9 @@ def _var_smooth_restrict3(u, b, coef, *, n, shape_c, steps, smoother,
                 pltpu.make_async_copy(
                     rc_buf.at[slot, pl.ds(oz // 2, TZ // 2),
                               pl.ds(pl.multiple_of(oy // 2, 8), TY // 2)],
-                    out_rc.at[pl.ds(zo // 2, TZ // 2),
-                              pl.ds(pl.multiple_of(yo // 2, 8), TY // 2)],
+                    out_rc.at[pl.ds(zo // 2 + gz2, TZ // 2),
+                              pl.ds(pl.multiple_of(yo // 2 + gy2, 8),
+                                    TY // 2)],
                     out_sem.at[slot, 1]),
             )
 
@@ -226,7 +232,8 @@ def _var_smooth_restrict3(u, b, coef, *, n, shape_c, steps, smoother,
             coef_dma(t).wait()
 
             z0, y0, _, _ = coords(t)
-            interior, parity = _masks3(z0, y0, WZ, WY, Sx, n)
+            interior, parity = _masks3(z0 + org_smem[0, 0],
+                                       y0 + org_smem[0, 1], WZ, WY, Sx, n)
             diag, invd, planes = _expand_t3(c_buf, WZ, WY, Sx, dtype)
             state = u_buf[slot].reshape(WZ * WY, Sx)
             bwin = b_buf[slot].reshape(WZ * WY, Sx)
@@ -239,8 +246,8 @@ def _var_smooth_restrict3(u, b, coef, *, n, shape_c, steps, smoother,
             rc = 0.5 * _decimate3(_blur3(r, WY), WZ, WY)
             fr = jax.lax.broadcasted_iota(
                 jnp.int32, (WZ // 2 * (WY // 2), Cx2), 0)
-            gz = z0 // 2 + fr // (WY // 2)
-            gy = y0 // 2 + fr % (WY // 2)
+            gz = (z0 + org_smem[0, 0]) // 2 + fr // (WY // 2)
+            gy = (y0 + org_smem[0, 1]) // 2 + fr % (WY // 2)
             gx = jax.lax.broadcasted_iota(
                 jnp.int32, (WZ // 2 * (WY // 2), Cx2), 1)
             cmask = ((gz >= 1) & (gz <= nc - 1) & (gy >= 1) & (gy <= nc - 1)
@@ -265,11 +272,14 @@ def _var_smooth_restrict3(u, b, coef, *, n, shape_c, steps, smoother,
             d.wait()
 
     bytes_win = WZ * WY * _row_bytes(Sx, dtype)
+    if origin is None:
+        origin = jnp.zeros((1, 2), jnp.int32)
     return pl.pallas_call(
         kernel,
         out_shape=(jax.ShapeDtypeStruct((Sz, Sy, Sx), dtype),
                    jax.ShapeDtypeStruct((Szc, Syc, Scx), dtype)),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+                 + [pl.BlockSpec(memory_space=pl.ANY)] * 3,
         out_specs=(pl.BlockSpec(memory_space=pl.ANY),
                    pl.BlockSpec(memory_space=pl.ANY)),
         scratch_shapes=[
@@ -290,7 +300,7 @@ def _var_smooth_restrict3(u, b, coef, *, n, shape_c, steps, smoother,
             bytes_accessed=int(Sz * Sy * Sx * 4 * (3.3 + C)),
             transcendentals=0,
         ),
-    )(u, b, coef)
+    )(origin, u, b, coef)
 
 
 # ---------------------------------------------------------------------------
@@ -472,6 +482,237 @@ def _var_prolong_smooth3(u, b, ec, coef, *, n, steps, smoother, omega,
         u_out, ss = result
         return u_out, jnp.sqrt(ss[0, 0])
     return result
+
+
+# ---------------------------------------------------------------------------
+# Ghost-extended-block variants (dist.pallas_cycle3 var path)
+# ---------------------------------------------------------------------------
+
+def supported_local_var3(shape, shape_c, steps: int, dtype,
+                         ghost=(16, 16), nplanes: int = 3) -> bool:
+    """Whether the extended-block K1v₃/K2v₃ handle a local block pair.
+
+    ``transfer3d.supported_local3``'s geometry quanta under the var
+    window budget (the coefficient slab shares VMEM with u/b windows).
+    """
+    Rz, Ry, Sx = shape
+    Rzc, Ryc, Scx = shape_c
+    GZ, GY = ghost
+    if jnp.dtype(dtype) != jnp.dtype(jnp.float32):
+        return False
+    if nplanes not in (3, 4):
+        return False
+    if Sx % 128 or Scx % 128 or Sx < 128 or 2 * Scx < Sx:
+        return False
+    if GZ % 2 or GY % 16 or Rz % 2 or Ry % 16:
+        return False
+    if steps + 2 > min(GZ, GY):
+        return False
+    if Rzc != Rz // 2 + GZ or Ryc != Ry // 2 + GY:
+        return False
+    if _tiles_k1(shape, steps + 2, dtype, budget=VAR_WINDOW_BYTES) is None:
+        return False
+    return True
+
+
+def _var_prolong_smooth_local3(u, b, ec, coef, origin, *, n, steps,
+                               smoother, omega, ghost,
+                               want_resnorm=False):
+    """K2v₃ on a ghost-extended local block (dist.pallas_cycle3 var path).
+
+    Geometry follows ``transfer3d._prolong_smooth_local3`` (coarse window
+    for a fine window at (z0, y0) sits at (z0/2 + GZ/2, y0/2 + GY/2));
+    compute follows ``_var_prolong_smooth3`` (coefficient slab streamed
+    per tile, minus-planes from in-window rolls).  Output is valid on the
+    owned region; ghost outputs are garbage (caller refreshes).
+    """
+    Rz, Ry, Sx = u.shape
+    Rzc, Ryc, Scx = ec.shape
+    GZ, GY = ghost
+    gz2, gy2 = GZ // 2, GY // 2
+    C = coef.shape[0]
+    dtype = u.dtype
+    H = steps + (1 if want_resnorm else 0) + 1   # +1 prolong garbage ring
+    TZ, HZ, TY, HY = _tiles_k1(u.shape, H, dtype, budget=VAR_WINDOW_BYTES)
+    WZ, WY = TZ + 2 * HZ, TY + 2 * HY
+    Wzc, Wyc = WZ // 2, WY // 2
+    ntz = pl.cdiv(Rz, TZ)
+    nty = pl.cdiv(Ry, TY)
+    nt = ntz * nty
+    Cx2 = 2 * Scx
+
+    def kernel(org_smem, u_hbm, b_hbm, ec_hbm, c_hbm, out_u, out_ss,
+               u_buf, b_buf, e_buf, c_buf, ss_acc, in_sem, c_sem, out_sem):
+        def coords(t):
+            tz = t // nty
+            ty = t % nty
+            z0 = jnp.clip(tz * TZ - HZ, 0, Rz - WZ)
+            y0 = pl.multiple_of(jnp.clip(ty * TY - HY, 0, Ry - WY), 16)
+            zo = jnp.clip(tz * TZ, 0, Rz - TZ)
+            yo = pl.multiple_of(jnp.clip(ty * TY, 0, Ry - TY), 16)
+            return z0, y0, zo, yo
+
+        def in_dmas(slot, t):
+            z0, y0, _, _ = coords(t)
+            mc0 = z0 // 2 + gz2
+            my0 = pl.multiple_of(y0 // 2 + gy2, 8)
+            return (
+                pltpu.make_async_copy(
+                    u_hbm.at[pl.ds(z0, WZ), pl.ds(y0, WY)], u_buf.at[slot],
+                    in_sem.at[slot, 0]),
+                pltpu.make_async_copy(
+                    b_hbm.at[pl.ds(z0, WZ), pl.ds(y0, WY)], b_buf.at[slot],
+                    in_sem.at[slot, 1]),
+                pltpu.make_async_copy(
+                    ec_hbm.at[pl.ds(mc0, Wzc), pl.ds(my0, Wyc)],
+                    e_buf.at[slot], in_sem.at[slot, 2]),
+            )
+
+        def coef_dma(t):
+            z0, y0, _, _ = coords(t)
+            return pltpu.make_async_copy(
+                c_hbm.at[:, pl.ds(z0, WZ), pl.ds(y0, WY)], c_buf, c_sem)
+
+        def out_dma(slot, t):
+            z0, y0, zo, yo = coords(t)
+            oz = zo - z0
+            oy = pl.multiple_of(yo - y0, 16)
+            return pltpu.make_async_copy(
+                u_buf.at[slot, pl.ds(oz, TZ), pl.ds(oy, TY)],
+                out_u.at[pl.ds(zo, TZ), pl.ds(yo, TY)],
+                out_sem.at[slot])
+
+        for d in in_dmas(0, 0):
+            d.start()
+        coef_dma(0).start()
+
+        def body(t, carry):
+            slot = t % 2
+            nxt = 1 - slot
+
+            @pl.when(t >= 1)
+            def _():
+                out_dma(nxt, t - 1).wait()
+
+            @pl.when(t + 1 < nt)
+            def _():
+                for d in in_dmas(nxt, t + 1):
+                    d.start()
+
+            for d in in_dmas(slot, t):
+                d.wait()
+            coef_dma(t).wait()
+
+            z0, y0, _, _ = coords(t)
+            interior, parity = _masks3(z0 + org_smem[0, 0],
+                                       y0 + org_smem[0, 1], WZ, WY, Sx, n)
+            diag, invd, planes = _expand_t3(c_buf, WZ, WY, Sx, dtype)
+            corr = _prolong3_vmem(
+                e_buf[slot].reshape(Wzc * Wyc, Scx), Wzc, Wyc)
+            corr = corr.reshape(WZ, WY, Cx2)[:, :, :Sx]
+            corr = corr.reshape(WZ * WY, Sx)
+            state = jnp.where(interior,
+                              u_buf[slot].reshape(WZ * WY, Sx) + corr,
+                              jnp.zeros((), dtype))
+            bwin = b_buf[slot].reshape(WZ * WY, Sx)
+            for j in range(steps):
+                state = _var_step3(state, bwin, invd, planes, interior,
+                                   parity, j, smoother, omega, dtype)
+            u_buf[slot] = state.reshape(WZ, WY, Sx)
+            if want_resnorm:
+                tz = t // nty
+                ty = t % nty
+                fr = jax.lax.broadcasted_iota(jnp.int32, (WZ * WY, Sx), 0)
+                lz = z0 + fr // WY
+                ly = y0 + fr % WY
+                # owned-and-claimed local cells only (no ghost cells, no
+                # clamp-overlap double counts)
+                claim = (interior
+                         & (lz >= jnp.maximum(tz * TZ, GZ))
+                         & (lz < jnp.minimum((tz + 1) * TZ, Rz - GZ))
+                         & (ly >= jnp.maximum(ty * TY, GY))
+                         & (ly < jnp.minimum((ty + 1) * TY, Ry - GY)))
+                r = bwin - diag * state + _offdiag3(planes, state)
+                r = jnp.where(claim, r,
+                              jnp.zeros((), dtype)).astype(jnp.float32)
+                ss_acc[0, 0] = ss_acc[0, 0] + jnp.sum(r * r)
+            out_dma(slot, t).start()
+
+            @pl.when(t + 1 < nt)
+            def _():
+                coef_dma(t + 1).start()
+            return carry
+
+        ss_acc[0, 0] = jnp.float32(0.0)
+        jax.lax.fori_loop(0, nt, body, 0)
+        out_ss[0, 0] = ss_acc[0, 0]
+        out_dma((nt - 1) % 2, nt - 1).wait()
+
+    bytes_win = WZ * WY * _row_bytes(Sx, dtype)
+    if origin is None:
+        origin = jnp.zeros((1, 2), jnp.int32)
+    return pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((Rz, Ry, Sx), dtype),
+                   jax.ShapeDtypeStruct((1, 1), jnp.float32)),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+                 + [pl.BlockSpec(memory_space=pl.ANY)] * 4,
+        out_specs=(pl.BlockSpec(memory_space=pl.ANY),
+                   pl.BlockSpec(memory_space=pltpu.SMEM)),
+        scratch_shapes=[
+            pltpu.VMEM((2, WZ, WY, Sx), dtype),
+            pltpu.VMEM((2, WZ, WY, Sx), dtype),
+            pltpu.VMEM((2, Wzc, Wyc, Scx), dtype),
+            pltpu.VMEM((C, WZ, WY, Sx), dtype),
+            pltpu.SMEM((1, 1), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 3)),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(int((13.5 + C) * bytes_win) + 2 ** 21,
+                                 127 * 2 ** 20),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=int(nt * WZ * WY * Sx * (16 * steps + 24)),
+            bytes_accessed=int(Rz * Ry * Sx * 4 * (3.3 + C)),
+            transcendentals=0,
+        ),
+    )(origin, u, b, ec, coef)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "shape_c", "sweeps",
+                                             "smoother", "omega", "ghost"))
+def var_smooth_restrict_ext3(u, b, coef, origin, n, shape_c, sweeps,
+                             smoother="jacobi", omega=2.0 / 3.0,
+                             ghost=(16, 16)):
+    """K1v₃ on a ghost-extended local block (inside shard_map).
+
+    Returns (u', rc_ext): rc_ext is the next level's extended block with
+    valid owned region (caller refreshes its ghosts)."""
+    steps = 2 * sweeps if smoother == "rbgs" else sweeps
+    om = omega if isinstance(omega, tuple) else float(omega)
+    return _var_smooth_restrict3(u, b, coef, n=n, shape_c=tuple(shape_c),
+                                 steps=steps, smoother=smoother, omega=om,
+                                 origin=origin, ghost=ghost)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "sweeps", "smoother",
+                                             "omega", "ghost",
+                                             "want_resnorm"))
+def var_prolong_smooth_ext3(u, b, ec, coef, origin, n, sweeps,
+                            smoother="jacobi", omega=2.0 / 3.0,
+                            ghost=(16, 16), want_resnorm=False):
+    """K2v₃ on a ghost-extended local block (inside shard_map)."""
+    steps = 2 * sweeps if smoother == "rbgs" else sweeps
+    om = omega if isinstance(omega, tuple) else float(omega)
+    un, ss = _var_prolong_smooth_local3(u, b, ec, coef, origin, n=n,
+                                        steps=steps, smoother=smoother,
+                                        omega=om, ghost=ghost,
+                                        want_resnorm=want_resnorm)
+    if want_resnorm:
+        return un, ss[0, 0]
+    return un
 
 
 # ---------------------------------------------------------------------------
