@@ -311,10 +311,13 @@ def solve_anisotropic(
         coarsening = "semi" if (ratio > 4.0 and not zebra
                                 and angle == 0.0) else "full"
     from .problems import AnisotropicPoissonProblem
+    # 128-aligned level padding puts zebra_x on the fused PCR kernel
+    # (kernels/lines.py) and the var smoothers on their kernels.
+    pad = _pad_kw(config) if coarsening == "full" else {}
     problem = AnisotropicPoissonProblem(config, eps_x=eps_x, eps_y=eps_y,
                                         forcing=forcing,
                                         coarsening=coarsening,
-                                        angle=angle)
+                                        angle=angle, **pad)
     return _run(problem, config, tol, max_cycles, num_cycles, use_fmg, jit,
                 boundary=boundary)
 

@@ -101,6 +101,13 @@ def _smooth_raw(op, u, b, cfg: MultigridConfig, sweeps: int):
         return _v.var_smooth(u, b, _v._flat_coef(op), op.n, sweeps,
                              smoother, omega,
                              box=getattr(op, "box", None))
+    if (cfg.use_pallas and isinstance(op, VarStencilOp)
+            and smoother == "zebra_x" and getattr(op, "box", None) is None
+            and cfg.effective_smooth_dtype == u.dtype):
+        from ..kernels import lines as _zl
+        if _zl.supported_zebra(op.S, sweeps, u.dtype):
+            return _zl.zebra_sweeps_pallas(
+                u, b, op.coef.reshape(9, op.S, op.S), op.n, sweeps)
     return op.smooth(u, b, smoother=smoother, omega=omega, sweeps=sweeps)
 
 

@@ -61,12 +61,17 @@ def anisotropic_poisson_op(n: int, S: int, eps_x: float = 1.0,
 
 
 def build_anisotropic_hierarchy(config: MultigridConfig, eps_x: float,
-                                eps_y: float,
-                                angle: float = 0.0) -> Hierarchy:
-    """Galerkin hierarchy (R A P in closed form on the host)."""
+                                eps_y: float, angle: float = 0.0,
+                                align: int = 1,
+                                min_pad_level: int = 99) -> Hierarchy:
+    """Galerkin hierarchy (R A P in closed form on the host).
+
+    ``align``/``min_pad_level``: per-level padded sizes (the fused zebra
+    kernel needs S mult 128; kernels/lines.py) — padding is per-level
+    independent and the Galerkin formula carries it transparently."""
     from ..core.operators import galerkin_coarsen_host
 
-    sizes = level_sizes(config)
+    sizes = level_sizes(config, align=align, min_pad_level=min_pad_level)
     dt = np.dtype(jnp.dtype(config.dtype).name)
     fine = anisotropic_poisson_op(sizes[0][0], sizes[0][1], eps_x, eps_y,
                                   angle=angle, dtype=dt)
@@ -102,6 +107,10 @@ class AnisotropicPoissonProblem:
     forcing: Union[float, Callable] = 4.0
     coarsening: str = "full"
     angle: float = 0.0
+    # Level padding (only meaningful for coarsening="full"): the fused
+    # zebra kernel needs S mult 128 (kernels/lines.supported_zebra).
+    align: int = 1
+    min_pad_level: int = 99
 
     def __post_init__(self):
         if self.coarsening == "semi":
@@ -115,7 +124,8 @@ class AnisotropicPoissonProblem:
                 self.config, self.eps_x, self.eps_y)
         elif self.coarsening == "full":
             self.hierarchy = build_anisotropic_hierarchy(
-                self.config, self.eps_x, self.eps_y, angle=self.angle)
+                self.config, self.eps_x, self.eps_y, angle=self.angle,
+                align=self.align, min_pad_level=self.min_pad_level)
         else:
             raise ValueError(
                 f'coarsening must be "full" or "semi", got '
