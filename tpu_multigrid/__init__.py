@@ -23,7 +23,8 @@ from .krylov import bicgstab_solve, pcg_solve
 from .problems import (AnisotropicPoissonProblem,
                        ConvectionDiffusionProblem, Diffusion3DProblem,
                        DiffusionProblem, HelmholtzProblem,
-                       MixedBCPoissonProblem, PeriodicPoissonProblem,
+                       MixedBCPoissonProblem, MixedBC3DPoissonProblem,
+                       PeriodicPoissonProblem,
                        Poisson3DProblem, Poisson4Problem, PoissonProblem,
                        poisson3d_rhs, poisson_rhs)
 from .topo import (EllOp, TopoHierarchy, TopoTransfer,
@@ -42,6 +43,7 @@ __all__ = [
     "pcg_solve", "bicgstab_solve", "smallest_eigenpair",
     "PoissonProblem", "DiffusionProblem", "poisson_rhs",
     "Poisson3DProblem", "poisson3d_rhs", "MixedBCPoissonProblem",
+    "MixedBC3DPoissonProblem",
     "HelmholtzProblem", "Diffusion3DProblem", "solve_diffusion3d",
     "AnisotropicPoissonProblem", "ConvectionDiffusionProblem",
     "Poisson4Problem", "PeriodicPoissonProblem",

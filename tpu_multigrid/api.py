@@ -428,6 +428,8 @@ def solve_poisson3d(
     bc: str = "dirichlet",
     order: int = 2,
     boundary: Optional[Union[float, Callable]] = None,
+    neumann=(),
+    neumann_value: Union[float, Callable] = 0.0,
     jit: bool = True,
 ) -> SolveResult:
     """Solve -lap(u) = forcing on the unit cube, homogeneous Dirichlet BCs
@@ -461,6 +463,22 @@ def solve_poisson3d(
             use_pallas=jax.devices()[0].platform != "cpu")
     elif config.finest_level != finest_level:
         config = dataclasses.replace(config, finest_level=finest_level)
+    if neumann:
+        if (bc != "dirichlet" or order != 2 or mesh is not None
+                or refined or boundary is not None or use_fmg):
+            raise ValueError(
+                "neumann= (3D) supports the single-chip second-order "
+                "V/W-cycle path (no boundary lifting / refined / mesh / "
+                "fmg)")
+        import dataclasses as _dc
+
+        from .problems.mixedbc3d import MixedBC3DPoissonProblem
+        pcfg = _dc.replace(config, use_pallas=False)  # box ops are jnp
+        problem = MixedBC3DPoissonProblem(pcfg, neumann=neumann,
+                                          forcing=forcing,
+                                          neumann_value=neumann_value)
+        return _run(problem, pcfg, tol, max_cycles, num_cycles, use_fmg,
+                    jit)
     if order == 4:
         if bc != "dirichlet" or mesh is not None or refined:
             raise ValueError("order=4 (3D) supports the single-chip "

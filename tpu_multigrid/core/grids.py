@@ -160,6 +160,10 @@ def _unknown_slices(op):
         return tuple(us)
     box = getattr(op, "box", None)
     if box is not None:
+        if len(box) == 6:   # 3D mixed-BC box (problems/mixedbc3d.py)
+            i0, i1, j0, j1, k0, k1 = box
+            return (slice(i0, i1 + 1), slice(j0, j1 + 1),
+                    slice(k0, k1 + 1))
         i0, i1, j0, j1 = box
         return (slice(i0, i1 + 1), slice(j0, j1 + 1))
     return (slice(1, op.n),) * getattr(op, "ndim", 2)

@@ -716,7 +716,7 @@ class VarStencilOp3D:
     ndim = 3
 
     def __init__(self, tz, ty, tx, inv_diag, n: int, S: int, Sx: int,
-                 c2=None, t_minus=None, coef_stack=None):
+                 c2=None, t_minus=None, coef_stack=None, box=None):
         self.tz = tz
         self.ty = ty
         self.tx = tx
@@ -740,16 +740,22 @@ class VarStencilOp3D:
         # planes on every smoother application (3 extra HBM passes +
         # roll compute per sweep).  Host builders set them.
         self.t_minus = tuple(t_minus) if t_minus is not None else None
+        # Optional inclusive unknown box (i0, i1, j0, j1, k0, k1) replacing
+        # the default Dirichlet interior (mixed Dirichlet/Neumann problems,
+        # problems/mixedbc3d.py).  Box operators run the jnp path (the 3D
+        # Pallas kernels' masks are interior-specialized).
+        self.box = tuple(int(v) for v in box) if box is not None else None
 
     def tree_flatten(self):
         return ((self.tz, self.ty, self.tx, self.inv_diag, self.c2,
                  self.t_minus, self.coef_stack),
-                (self.n, self.S, self.Sx))
+                (self.n, self.S, self.Sx, self.box))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children[:4], *aux, c2=children[4],
-                   t_minus=children[5], coef_stack=children[6])
+        return cls(*children[:4], *aux[:3], c2=children[4],
+                   t_minus=children[5], coef_stack=children[6],
+                   box=aux[3])
 
     def _tm(self):
         if self.t_minus is not None:
@@ -763,7 +769,15 @@ class VarStencilOp3D:
 
     def _mask(self, u):
         from . import ops3d
+        if self.box is not None:
+            return ops3d.mask_box3(u, self.box)
         return ops3d.mask_interior3(u, self.n)
+
+    def _unknown_mask(self, shape):
+        from . import ops3d
+        if self.box is not None:
+            return ops3d.box_mask3(shape, self.box)
+        return ops3d.interior_mask3(shape, self.n)
 
     def _diag(self, dtype):
         tzm, tym, txm = self._tm()
@@ -794,8 +808,7 @@ class VarStencilOp3D:
     def smooth(self, u, b, *, smoother: str, omega, sweeps: int):
         if sweeps <= 0:
             return u
-        from . import ops3d
-        m = ops3d.interior_mask3(u.shape[-3:], self.n)
+        m = self._unknown_mask(u.shape[-3:])
         inv_d = self.inv_diag.astype(u.dtype)
         if smoother == "jacobi":
             if isinstance(omega, tuple):

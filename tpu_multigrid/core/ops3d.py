@@ -56,6 +56,24 @@ def mask_interior3(u: jnp.ndarray, n: int) -> jnp.ndarray:
     return jnp.where(m, u, jnp.zeros((), u.dtype))
 
 
+def box_mask3(S, box) -> jnp.ndarray:
+    """Inclusive unknown box (i0, i1, j0, j1, k0, k1) over a (Sz, Sy, Sx)
+    grid — the 3D analogue of ``ops.box_mask`` (mixed Dirichlet/Neumann
+    problems keep Neumann-side boundary nodes as unknowns)."""
+    shape = _shape3(S)
+    i0, i1, j0, j1, k0, k1 = box
+    i = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    k = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
+    return ((i >= i0) & (i <= i1) & (j >= j0) & (j <= j1)
+            & (k >= k0) & (k <= k1))
+
+
+def mask_box3(u: jnp.ndarray, box) -> jnp.ndarray:
+    m = box_mask3(u.shape[-3:], box)
+    return jnp.where(m, u, jnp.zeros((), u.dtype))
+
+
 # ---------------------------------------------------------------------------
 # 7-point stencil primitives
 # ---------------------------------------------------------------------------
@@ -154,24 +172,74 @@ def _blur_decimate(t: jnp.ndarray, ax: int) -> jnp.ndarray:
     return t[:, : 2 * m].reshape(t.shape[0], m, 2, t.shape[2])[:, :, 0]
 
 
-def restrict_fw3(rf: jnp.ndarray, nf: int, Sc) -> jnp.ndarray:
+def _shift_zero3(t: jnp.ndarray, d: int, ax: int) -> jnp.ndarray:
+    """t shifted by ``d`` along ``ax`` with ZERO fill (pad + unit-stride
+    slice — no wrap).  Box problems (mixed BCs) have live values on the
+    edge planes, so the roll-wrap-onto-masked-cells invariant the interior
+    transfers rely on does not hold for them."""
+    pad = [(0, 0)] * 3
+    sl = [slice(None)] * 3
+    if d > 0:
+        pad[ax] = (d, 0)
+        sl[ax] = slice(0, t.shape[ax])
+    else:
+        pad[ax] = (0, -d)
+        sl[ax] = slice(-d, t.shape[ax] - d)
+    return jnp.pad(t, pad)[tuple(sl)]
+
+
+def _blur_decimate_box(t: jnp.ndarray, ax: int) -> jnp.ndarray:
+    """:func:`_blur_decimate` with zero-fill shifts (box-safe), keeping
+    the TOP even plane.
+
+    The interior decimation drops fine index 2*(S//2) when S is odd —
+    harmless there (index n is a masked Dirichlet plane) but it IS the
+    live hi-side Neumann boundary plane on boxes: without this the
+    restriction zeroed coarse node n_c and R = P^T/2 adjointness broke
+    (measured rel err 8.1 for a yhi box).  Pad one zero plane so the
+    parity reshape keeps indices 0, 2, ..., 2*ceil(S/2)-2 >= n."""
+    half = jnp.asarray(0.5, t.dtype)
+    t = t + half * (_shift_zero3(t, 1, ax) + _shift_zero3(t, -1, ax))
+    if t.shape[ax] % 2:
+        pad = [(0, 0)] * 3
+        pad[ax] = (0, 1)
+        t = jnp.pad(t, pad)
+    if ax == 2:
+        tt = t.transpose(2, 0, 1)
+        m = tt.shape[0] // 2
+        out = tt[: 2 * m].reshape(m, 2, tt.shape[1], tt.shape[2])[:, 0]
+        return out.transpose(1, 2, 0)
+    m = t.shape[ax] // 2
+    if ax == 0:
+        return t[: 2 * m].reshape(m, 2, t.shape[1], t.shape[2])[:, 0]
+    return t[:, : 2 * m].reshape(t.shape[0], m, 2, t.shape[2])[:, :, 0]
+
+
+def restrict_fw3(rf: jnp.ndarray, nf: int, Sc, box=None) -> jnp.ndarray:
     """Full-weighting restriction R = P^T/2, fine -> coarse padded grid.
 
     Separable: per-axis [0.5, 1, 0.5] blur + even-index decimation (volume
     halves each axis, so the whole restriction costs ~2 fine-grid passes),
     scaled by the 0.5 FD-consistency factor (module docstring).
+
+    ``box``: the COARSE unknown box (mixed BCs) — zero-fill shifts replace
+    the rolls (edge planes hold live values) and the output masks to the
+    box instead of the Dirichlet interior.
     """
     nc = nf // 2
     shc = _shape3(Sc)
     t = rf
     for ax in (0, 1, 2):
-        t = _blur_decimate(t, ax)
+        t = (_blur_decimate_box if box is not None
+             else _blur_decimate)(t, ax)
     coarse = jnp.asarray(0.5, rf.dtype) * t
     coarse = coarse[tuple(slice(0, min(coarse.shape[ax], shc[ax]))
                           for ax in range(3))]
     pad = [(0, shc[ax] - coarse.shape[ax]) for ax in range(3)]
     if any(p != (0, 0) for p in pad):
         coarse = jnp.pad(coarse, pad)
+    if box is not None:
+        return mask_box3(coarse, box)
     return mask_interior3(coarse, nc)
 
 
@@ -186,7 +254,8 @@ def _interleave_axis(a: jnp.ndarray, b: jnp.ndarray, axis: int):
     return st.reshape(shape)
 
 
-def prolong3(ec: jnp.ndarray, nc: int, Sf: int) -> jnp.ndarray:
+def prolong3(ec: jnp.ndarray, nc: int, Sf: int,
+             box=None) -> jnp.ndarray:
     """Trilinear prolongation, coarse (Sc,)^3 -> fine (Sf,)^3.
 
     Eight parity phases: even axes inject, odd axes average the two coarse
@@ -231,4 +300,6 @@ def prolong3(ec: jnp.ndarray, nc: int, Sf: int) -> jnp.ndarray:
     pad = [(0, shf[ax] - f.shape[ax]) for ax in range(3)]
     if any(p != (0, 0) for p in pad):
         f = jnp.pad(f, pad)
+    if box is not None:
+        return mask_box3(f, box)   # FINE unknown box (mixed BCs)
     return mask_interior3(f, nf)

@@ -194,7 +194,7 @@ def _tshape(op):
 def _restrict(r, nf, Sc, cfg: MultigridConfig, ndim: int = 2, box=None):
     if ndim == 3:
         from ..core import ops3d
-        return ops3d.restrict_fw3(r, nf, Sc)
+        return ops3d.restrict_fw3(r, nf, Sc, box=box)
     if cfg.restriction == "injection":
         return ops.restrict_injection(r, nf, Sc)
     if _transfer_kernels_ok(r.shape[-1], Sc, cfg, r.dtype):
@@ -215,7 +215,7 @@ def _prolong_add(u, e, nc, Sf, cfg: MultigridConfig, ndim: int = 2,
     XLA's strided-scatter lowering on variable-coefficient levels)."""
     if ndim == 3:
         from ..core import ops3d
-        return u + ops3d.prolong3(e, nc, Sf)
+        return u + ops3d.prolong3(e, nc, Sf, box=box)
     if (cfg.prolongation == "bilinear"
             and _transfer_kernels_ok(Sf, e.shape[-1], cfg, u.dtype)):
         from ..kernels import transfer as _t
@@ -351,6 +351,9 @@ def _use_var_super_kernels3(op, opc, cfg: MultigridConfig, dtype) -> bool:
     if not (cfg.use_pallas and isinstance(op, VarStencilOp3D)
             and isinstance(opc, VarStencilOp3D)):
         return False
+    if getattr(op, "box", None) is not None \
+            or getattr(opc, "box", None) is not None:
+        return False  # kernel masks are interior-specialized
     if cfg.smoother not in ("jacobi", "rbgs", "chebyshev"):
         return False
     if cfg.effective_smooth_dtype != dtype:

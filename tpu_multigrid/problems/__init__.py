@@ -2,6 +2,7 @@ from .poisson import PoissonProblem, poisson_rhs
 from .poisson3d import Poisson3DProblem, poisson3d_rhs
 from .diffusion import DiffusionProblem
 from .mixedbc import MixedBCPoissonProblem
+from .mixedbc3d import MixedBC3DPoissonProblem
 from .anisotropic import AnisotropicPoissonProblem
 from .helmholtz import HelmholtzProblem
 from .diffusion3d import Diffusion3DProblem
@@ -13,6 +14,7 @@ from .poisson4 import Poisson4Problem
 
 __all__ = ["PoissonProblem", "poisson_rhs", "DiffusionProblem",
            "Poisson3DProblem", "poisson3d_rhs", "MixedBCPoissonProblem",
+           "MixedBC3DPoissonProblem",
            "AnisotropicPoissonProblem", "HelmholtzProblem",
            "Diffusion3DProblem", "ConvectionDiffusionProblem",
            "Poisson4Problem", "PeriodicPoissonProblem",
