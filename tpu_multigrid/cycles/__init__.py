@@ -388,6 +388,44 @@ def _fused_k2v3(op, cfg: MultigridConfig, u, b, ec, *, resnorm=False):
                                     cfg.nu2, smoother, omega)
 
 
+def _use_zebra_super_kernels(op, opc, cfg: MultigridConfig, dtype) -> bool:
+    """Whether the fused zebra level-visit kernels (K1z/K2z) apply.
+
+    Same scope as the standalone fused zebra smoother (zebra_x, f32,
+    interior Dirichlet) plus the transfer-geometry gates (S mult 256,
+    coarse covers the odd-column strip)."""
+    if not (cfg.use_pallas and isinstance(op, VarStencilOp)
+            and isinstance(opc, VarStencilOp)):
+        return False
+    if cfg.smoother != "zebra_x":
+        return False
+    if getattr(op, "box", None) is not None \
+            or getattr(opc, "box", None) is not None:
+        return False
+    if cfg.effective_smooth_dtype != dtype:
+        return False
+    if cfg.restriction != "fw" or cfg.prolongation != "bilinear":
+        return False
+    from ..kernels import lines as _zl
+    return _zl.supported_zebra_fused(op.S, opc.S, max(cfg.nu1, cfg.nu2),
+                                     dtype)
+
+
+def _fused_k1z(op, opc, cfg: MultigridConfig, u, b):
+    from ..kernels import lines as _zl
+    return _zl.zebra_smooth_restrict(u, b, op.coef.reshape(9, op.S, op.S),
+                                     op.n, opc.S, cfg.nu1)
+
+
+def _fused_k2z(op, cfg: MultigridConfig, u, b, ec, *, resnorm=False):
+    from ..kernels import lines as _zl
+    coef = op.coef.reshape(9, op.S, op.S)
+    if resnorm:
+        return _zl.prolong_zebra_smooth_resnorm(u, b, ec, coef, op.n,
+                                                cfg.nu2)
+    return _zl.prolong_zebra_smooth(u, b, ec, coef, op.n, cfg.nu2)
+
+
 def cycle(hier: Hierarchy, cfg: MultigridConfig, u, b, k: int = 0):
     """One multigrid cycle (V, W, or F per ``cfg.cycle``) at level index k.
 
@@ -410,6 +448,8 @@ def cycle(hier: Hierarchy, cfg: MultigridConfig, u, b, k: int = 0):
                                                             u.dtype)
     fusedv3 = (not (fused or fusedv or fused3)) and _use_var_super_kernels3(
         op, opc, cfg, u.dtype)
+    fusedz = (not (fused or fusedv or fused3 or fusedv3)) \
+        and _use_zebra_super_kernels(op, opc, cfg, u.dtype)
     if fused:
         u, rc = _fused_k1(op, opc, cfg, u, b)
     elif fusedv:
@@ -418,6 +458,8 @@ def cycle(hier: Hierarchy, cfg: MultigridConfig, u, b, k: int = 0):
         u, rc = _fused_k1_3d(op, opc, cfg, u, b)
     elif fusedv3:
         u, rc = _fused_k1v3(op, opc, cfg, u, b)
+    elif fusedz:
+        u, rc = _fused_k1z(op, opc, cfg, u, b)
     else:
         u, r = _smooth_residual(op, u, b, cfg, cfg.nu1)
         if hasattr(opc, "restrict_into"):
@@ -445,6 +487,8 @@ def cycle(hier: Hierarchy, cfg: MultigridConfig, u, b, k: int = 0):
         u = _fused_k2_3d(op, cfg, u, b, ec)
     elif fusedv3:
         u = _fused_k2v3(op, cfg, u, b, ec)
+    elif fusedz:
+        u = _fused_k2z(op, cfg, u, b, ec)
     elif hasattr(opc, "prolong_add_into"):
         u = opc.prolong_add_into(u, ec, op)
         u = _smooth(op, u, b, cfg, cfg.nu2)
@@ -479,15 +523,19 @@ def cycle_with_norm(hier: Hierarchy, cfg: MultigridConfig, u, b):
                                                             u.dtype)
     fusedv3 = (not (fused or fusedv or fused3)) and _use_var_super_kernels3(
         op, opc, cfg, u.dtype)
-    if fused or fusedv or fused3 or fusedv3:
+    fusedz = (not (fused or fusedv or fused3 or fusedv3)) \
+        and _use_zebra_super_kernels(op, opc, cfg, u.dtype)
+    if fused or fusedv or fused3 or fusedv3 or fusedz:
         if fused:
             u, rc = _fused_k1(op, opc, cfg, u, b)
         elif fusedv:
             u, rc = _fused_k1v(op, opc, cfg, u, b)
         elif fused3:
             u, rc = _fused_k1_3d(op, opc, cfg, u, b)
-        else:
+        elif fusedv3:
             u, rc = _fused_k1v3(op, opc, cfg, u, b)
+        else:
+            u, rc = _fused_k1z(op, opc, cfg, u, b)
         ec = _zeros(opc, u.dtype)
         ec = cycle(hier, cfg, ec, rc, 1)
         if cfg.cycle == "W":
@@ -500,7 +548,9 @@ def cycle_with_norm(hier: Hierarchy, cfg: MultigridConfig, u, b):
             return _fused_k2v(op, cfg, u, b, ec, resnorm=True)
         if fused3:
             return _fused_k2_3d(op, cfg, u, b, ec, resnorm=True)
-        return _fused_k2v3(op, cfg, u, b, ec, resnorm=True)
+        if fusedv3:
+            return _fused_k2v3(op, cfg, u, b, ec, resnorm=True)
+        return _fused_k2z(op, cfg, u, b, ec, resnorm=True)
     u = cycle(hier, cfg, u, b)
     return u, ops.norm2(_residual(op, u, b, cfg))
 

@@ -293,3 +293,377 @@ def zebra_sweeps_pallas(u, b, coef, n, sweeps,
     (axis=1) to f32 roundoff.
     """
     return _zebra_streamed(u, b, coef, n=n, sweeps=sweeps, budget=budget)
+
+
+# ---------------------------------------------------------------------------
+# Zebra super-kernels: K1z (zebra + residual + FW restrict) and
+# K2z (bilinear prolong + add + zebra [+ fused residual norm])
+# ---------------------------------------------------------------------------
+#
+# The standalone fused smoother above still leaves the anisotropic level
+# visit at four launches and ~40 HBM plane passes (the jnp 9-point residual
+# re-reads u plus all 9 coefficient planes the smoother just streamed).
+# K1z/K2z extend the row-strip streaming with the K1v/K2v tails
+# (kernels/vartransfer.py): the residual/restrict ride the coefficient
+# windows already in VMEM, cutting a level visit to two launches and
+# ~25 plane passes.  Same zebra_x / f32 / interior-Dirichlet scope.
+
+_NSLAB_K1 = 36   # + rc half-slabs + residual temps over the smoother's 34
+_NSLAB_K2 = 38   # + ec windows + prolong replication temps
+_HR_FUSED = 16   # row halo: mult-16 so coarse offsets stay 8-aligned
+
+
+def _rows_for_fused(S: int, sweeps: int, dtype, budget: int, nslab: int):
+    """(TR, HR) with mult-16 tiles/halos (coarse DMA offsets need
+    ``off_r // 2`` on the 8-sublane quantum), or None if infeasible."""
+    if jnp.dtype(dtype) != jnp.dtype(jnp.float32):
+        return None
+    bytes_row = S * 4
+    wr_max = budget // (nslab * bytes_row)
+    if wr_max >= S:
+        return S, 0
+    if 2 * sweeps + 2 > _HR_FUSED:
+        return None
+    wr = (wr_max // 16) * 16
+    tr = wr - 2 * _HR_FUSED
+    if tr < 16:
+        return None
+    return min(tr, 512), _HR_FUSED
+
+
+def supported_zebra_fused(S: int, Sc: int, sweeps: int, dtype,
+                          budget: int = ZEBRA_WINDOW_BYTES) -> bool:
+    """Whether the fused zebra level-visit kernels handle the pair.
+
+    ``S`` mult 256 (the restrict output's ``S/2`` lane extent must sit on
+    the 128-lane DMA quantum) and ``Sc >= S/2 + 128`` (K2z streams one
+    extra 128-lane coarse strip for the odd-column interpolants) — both
+    hold for the standard ``round_up(n + 1, 256)`` hierarchy padding.
+    """
+    if jnp.dtype(dtype) != jnp.dtype(jnp.float32):
+        return False
+    if S % 256 or S < 256 or Sc % 128:
+        return False
+    if Sc < S // 2 + 128:
+        return False
+    if _rows_for_fused(S, sweeps, dtype, budget, _NSLAB_K1) is None:
+        return False
+    return _rows_for_fused(S, sweeps, dtype, budget, _NSLAB_K2) is not None
+
+
+def _residual9(u, b, cp, r0, n, S):
+    """Interior-masked 9-point residual on a (WR, S) window.
+
+    ``cp`` layout: k ↔ (di, dj) = (k//3 - 1, k%3 - 1) — the coefficient of
+    ``u[i+di, j+dj]`` in row ``A u``.  Row-window wraps land on rows the
+    caller never restricts (halo >= contamination + 2); the lane wraps land
+    on interior-masked padding columns.
+    """
+    WR = u.shape[0]
+    un = _roll(u, 1, 0)        # u[i-1, :]
+    us = _roll(u, WR - 1, 0)   # u[i+1, :]
+
+    def row_term(c_m, c_0, c_p, x):
+        return (c_m * _roll(x, 1, 1) + c_0 * x
+                + c_p * _roll(x, S - 1, 1))
+
+    Au = (row_term(cp[0], cp[1], cp[2], un)
+          + row_term(cp[3], cp[4], cp[5], u)
+          + row_term(cp[6], cp[7], cp[8], us))
+    gi = jax.lax.broadcasted_iota(jnp.int32, u.shape, 0) + r0
+    gj = jax.lax.broadcasted_iota(jnp.int32, u.shape, 1)
+    inter = (gi >= 1) & (gi <= n - 1) & (gj >= 1) & (gj <= n - 1)
+    return jnp.where(inter, b - Au, jnp.zeros((), u.dtype))
+
+
+def _zebra_smooth_restrict(u, b, coef, *, n, Sc, sweeps, budget):
+    from .transfer import _fw_even2
+    S = u.shape[-1]
+    dtype = u.dtype
+    tr, hr = _rows_for_fused(S, sweeps, dtype, budget, _NSLAB_K1)
+    WR = tr + 2 * hr
+    nt = pl.cdiv(S, tr)
+    half = S // 2
+    nc = n // 2
+
+    def kernel(u_hbm, b_hbm, c_hbm, out_u, out_rc, u_buf, b_buf, c_buf,
+               rc_buf, in_sem, c_sem, out_sem):
+        def coords(t):
+            ro = pl.multiple_of(jnp.clip(t * tr, 0, S - tr), 16)
+            r0 = pl.multiple_of(jnp.clip(ro - hr, 0, S - WR), 16)
+            return ro, r0
+
+        def in_dmas(slot, t):
+            _, r0 = coords(t)
+            return (
+                pltpu.make_async_copy(
+                    u_hbm.at[pl.ds(r0, WR)], u_buf.at[slot],
+                    in_sem.at[slot, 0]),
+                pltpu.make_async_copy(
+                    b_hbm.at[pl.ds(r0, WR)], b_buf.at[slot],
+                    in_sem.at[slot, 1]),
+            )
+
+        def coef_dma(t):
+            _, r0 = coords(t)
+            return pltpu.make_async_copy(
+                c_hbm.at[:, pl.ds(r0, WR)], c_buf, c_sem)
+
+        def out_dmas(slot, t):
+            ro, r0 = coords(t)
+            off_r = pl.multiple_of(ro - r0, 16)
+            return (
+                pltpu.make_async_copy(
+                    u_buf.at[slot, pl.ds(off_r, tr)],
+                    out_u.at[pl.ds(ro, tr)], out_sem.at[slot, 0]),
+                pltpu.make_async_copy(
+                    rc_buf.at[slot,
+                              pl.ds(pl.multiple_of(off_r // 2, 8), tr // 2)],
+                    out_rc.at[pl.ds(pl.multiple_of(ro // 2, 8), tr // 2),
+                              pl.ds(0, half)],
+                    out_sem.at[slot, 1]),
+            )
+
+        for dma in in_dmas(0, 0):
+            dma.start()
+        coef_dma(0).start()
+
+        def body(t, carry):
+            slot = t % 2
+            nxt = 1 - slot
+
+            @pl.when(t >= 1)
+            def _():
+                for dma in out_dmas(nxt, t - 1):
+                    dma.wait()
+
+            @pl.when(t + 1 < nt)
+            def _():
+                for dma in in_dmas(nxt, t + 1):
+                    dma.start()
+
+            for dma in in_dmas(slot, t):
+                dma.wait()
+            coef_dma(t).wait()
+
+            _, r0 = coords(t)
+            cp_all = [c_buf[k] for k in range(9)]
+            state = u_buf[slot]
+            bwin = b_buf[slot]
+            for _ in range(sweeps):
+                state = _half_sweep_x(state, bwin, cp_all, r0, 1, n, S)
+                state = _half_sweep_x(state, bwin, cp_all, r0, 0, n, S)
+            u_buf[slot] = state
+            r = _residual9(state, bwin, cp_all, r0, n, S)
+            rc = _fw_even2(r)
+            gi = (jax.lax.broadcasted_iota(jnp.int32, (WR // 2, half), 0)
+                  + r0 // 2)
+            gj = jax.lax.broadcasted_iota(jnp.int32, (WR // 2, half), 1)
+            cmask = (gi >= 1) & (gi <= nc - 1) & (gj >= 1) & (gj <= nc - 1)
+            rc_buf[slot] = jnp.where(cmask, rc, jnp.zeros((), dtype))
+
+            for dma in out_dmas(slot, t):
+                dma.start()
+
+            @pl.when(t + 1 < nt)
+            def _():
+                coef_dma(t + 1).start()
+            return carry
+
+        jax.lax.fori_loop(0, nt, body, 0)
+        for dma in out_dmas((nt - 1) % 2, nt - 1):
+            dma.wait()
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((S, S), dtype),
+                   jax.ShapeDtypeStruct((Sc, Sc), dtype)),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
+        out_specs=(pl.BlockSpec(memory_space=pl.ANY),
+                   pl.BlockSpec(memory_space=pl.ANY)),
+        scratch_shapes=[
+            pltpu.VMEM((2, WR, S), dtype),
+            pltpu.VMEM((2, WR, S), dtype),
+            pltpu.VMEM((9, WR, S), dtype),
+            pltpu.VMEM((2, WR // 2, half), dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2 ** 20,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=int(nt * WR * S
+                      * (2 * sweeps * (6 * math.ceil(math.log2(S)) + 12)
+                         + 30)),
+            bytes_accessed=int(S * S * 4 * 13.25),
+            transcendentals=0,
+        ),
+    )(u, b, coef)
+
+
+def _prolong_zebra_smooth(u, b, ec, coef, *, n, sweeps, want_resnorm,
+                          budget):
+    from .transfer import _bilinear_prolong
+    S = u.shape[-1]
+    dtype = u.dtype
+    tr, hr = _rows_for_fused(S, sweeps, dtype, budget, _NSLAB_K2)
+    WR = tr + 2 * hr
+    nt = pl.cdiv(S, tr)
+    Wcc = S // 2 + 128
+
+    def kernel(u_hbm, b_hbm, ec_hbm, c_hbm, out_u, out_ss, u_buf, b_buf,
+               e_buf, c_buf, ss_acc, in_sem, c_sem, out_sem):
+        def coords(t):
+            ro = pl.multiple_of(jnp.clip(t * tr, 0, S - tr), 16)
+            r0 = pl.multiple_of(jnp.clip(ro - hr, 0, S - WR), 16)
+            return ro, r0
+
+        def in_dmas(slot, t):
+            _, r0 = coords(t)
+            return (
+                pltpu.make_async_copy(
+                    u_hbm.at[pl.ds(r0, WR)], u_buf.at[slot],
+                    in_sem.at[slot, 0]),
+                pltpu.make_async_copy(
+                    b_hbm.at[pl.ds(r0, WR)], b_buf.at[slot],
+                    in_sem.at[slot, 1]),
+                pltpu.make_async_copy(
+                    ec_hbm.at[pl.ds(pl.multiple_of(r0 // 2, 8), WR // 2),
+                              pl.ds(0, Wcc)],
+                    e_buf.at[slot], in_sem.at[slot, 2]),
+            )
+
+        def coef_dma(t):
+            _, r0 = coords(t)
+            return pltpu.make_async_copy(
+                c_hbm.at[:, pl.ds(r0, WR)], c_buf, c_sem)
+
+        def out_dma(slot, t):
+            ro, r0 = coords(t)
+            off_r = pl.multiple_of(ro - r0, 16)
+            return pltpu.make_async_copy(
+                u_buf.at[slot, pl.ds(off_r, tr)],
+                out_u.at[pl.ds(ro, tr)], out_sem.at[slot])
+
+        for dma in in_dmas(0, 0):
+            dma.start()
+        coef_dma(0).start()
+
+        def body(t, carry):
+            slot = t % 2
+            nxt = 1 - slot
+
+            @pl.when(t >= 1)
+            def _():
+                out_dma(nxt, t - 1).wait()
+
+            @pl.when(t + 1 < nt)
+            def _():
+                for dma in in_dmas(nxt, t + 1):
+                    dma.start()
+
+            for dma in in_dmas(slot, t):
+                dma.wait()
+            coef_dma(t).wait()
+
+            ro, r0 = coords(t)
+            cp_all = [c_buf[k] for k in range(9)]
+            gi = jax.lax.broadcasted_iota(jnp.int32, (WR, S), 0) + r0
+            gj = jax.lax.broadcasted_iota(jnp.int32, (WR, S), 1)
+            inter = (gi >= 1) & (gi <= n - 1) & (gj >= 1) & (gj <= n - 1)
+            corr = _bilinear_prolong(e_buf[slot])[:, :S]
+            state = jnp.where(inter, u_buf[slot] + corr,
+                              jnp.zeros((), dtype))
+            bwin = b_buf[slot]
+            for _ in range(sweeps):
+                state = _half_sweep_x(state, bwin, cp_all, r0, 1, n, S)
+                state = _half_sweep_x(state, bwin, cp_all, r0, 0, n, S)
+            u_buf[slot] = state
+            if want_resnorm:
+                # Unclipped tile bounds: edge tiles overlap their clipped
+                # windows, but each global row is claimed by exactly one t.
+                claim = inter & (gi >= t * tr) & (gi < (t + 1) * tr)
+                r = jnp.where(claim,
+                              _residual9(state, bwin, cp_all, r0, n, S),
+                              jnp.zeros((), dtype)).astype(jnp.float32)
+                ss_acc[0, 0] = ss_acc[0, 0] + jnp.sum(r * r)
+            out_dma(slot, t).start()
+
+            @pl.when(t + 1 < nt)
+            def _():
+                coef_dma(t + 1).start()
+            return carry
+
+        ss_acc[0, 0] = jnp.float32(0.0)
+        jax.lax.fori_loop(0, nt, body, 0)
+        out_ss[0, 0] = ss_acc[0, 0]
+        out_dma((nt - 1) % 2, nt - 1).wait()
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((S, S), dtype),
+                   jax.ShapeDtypeStruct((1, 1), jnp.float32)),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
+        out_specs=(pl.BlockSpec(memory_space=pl.ANY),
+                   pl.BlockSpec(memory_space=pltpu.SMEM)),
+        scratch_shapes=[
+            pltpu.VMEM((2, WR, S), dtype),
+            pltpu.VMEM((2, WR, S), dtype),
+            pltpu.VMEM((2, WR // 2, Wcc), dtype),
+            pltpu.VMEM((9, WR, S), dtype),
+            pltpu.SMEM((1, 1), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 3)),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2 ** 20,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=int(nt * WR * S
+                      * (2 * sweeps * (6 * math.ceil(math.log2(S)) + 12)
+                         + 20)),
+            bytes_accessed=int(S * S * 4 * 12.5),
+            transcendentals=0,
+        ),
+    )(u, b, ec, coef)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n", "Sc", "sweeps", "budget"))
+def zebra_smooth_restrict(u, b, coef, n: int, Sc: int, sweeps: int,
+                          budget: int = ZEBRA_WINDOW_BYTES):
+    """K1z: ``sweeps`` zebra_x sweeps + 9-point residual + FW restrict.
+
+    Returns ``(u', r_c)`` with ``r_c`` a (Sc, Sc) coarse grid (the region
+    beyond ``S/2`` is explicit zero — per-level padding is independent)."""
+    un, rc = _zebra_smooth_restrict(u, b, coef, n=n, Sc=Sc, sweeps=sweeps,
+                                    budget=budget)
+    S = u.shape[-1]
+    half = S // 2
+    if Sc > half:
+        zr = jnp.zeros((Sc - half, Sc), un.dtype)
+        zc = jnp.zeros((half, Sc - half), un.dtype)
+        rc = jax.lax.dynamic_update_slice(rc, zr, (half, 0))
+        rc = jax.lax.dynamic_update_slice(rc, zc, (0, half))
+    return un, rc
+
+
+@functools.partial(jax.jit, static_argnames=("n", "sweeps", "budget"))
+def prolong_zebra_smooth(u, b, ec, coef, n: int, sweeps: int,
+                         budget: int = ZEBRA_WINDOW_BYTES):
+    """K2z: u <- zebra-smooth(u + P e_c, b, sweeps)."""
+    un, _ = _prolong_zebra_smooth(u, b, ec, coef, n=n, sweeps=sweeps,
+                                  want_resnorm=False, budget=budget)
+    return un
+
+
+@functools.partial(jax.jit, static_argnames=("n", "sweeps", "budget"))
+def prolong_zebra_smooth_resnorm(u, b, ec, coef, n: int, sweeps: int,
+                                 budget: int = ZEBRA_WINDOW_BYTES):
+    """K2z + fused post-smooth residual norm (until-tol driver)."""
+    un, ss = _prolong_zebra_smooth(u, b, ec, coef, n=n, sweeps=sweeps,
+                                   want_resnorm=True, budget=budget)
+    return un, jnp.sqrt(ss[0, 0])
