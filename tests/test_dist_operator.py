@@ -56,6 +56,53 @@ class TestParity:
         np.testing.assert_allclose(h4, h1, rtol=3e-4)
 
 
+class TestZebraLines:
+    """Distributed zebra line relaxation: lines stay shard-local on band
+    meshes (zebra_x on (k, 1) rows, zebra_y on (1, k) columns)."""
+
+    def test_zebra_x_1_vs_4_rowband(self):
+        factory = lambda n, S: anisotropic_poisson_op(n, S, 1.0, 0.01,
+                                                      dtype=np.float32)
+        h1, l1 = _solve((1, 1), 1, factory, "galerkin", "zebra_x",
+                        nu=(1, 1))
+        h4, l4 = _solve((4, 1), 4, factory, "galerkin", "zebra_x",
+                        nu=(1, 1))
+        assert l1.sizes == l4.sizes
+        assert np.isfinite(h4).all()
+        np.testing.assert_allclose(h4, h1, rtol=3e-4)
+        # strong-anisotropy robustness: line relaxation actually contracts
+        assert h4[-1] < 1e-4 * h4[0], h4
+
+    def test_zebra_y_1_vs_4_colband(self):
+        factory = lambda n, S: anisotropic_poisson_op(n, S, 0.01, 1.0,
+                                                      dtype=np.float32)
+        h1, _ = _solve((1, 1), 1, factory, "galerkin", "zebra_y",
+                       nu=(1, 1))
+        h4, _ = _solve((1, 4), 4, factory, "galerkin", "zebra_y",
+                       nu=(1, 1))
+        assert np.isfinite(h4).all()
+        np.testing.assert_allclose(h4, h1, rtol=3e-4)
+        assert h4[-1] < 1e-4 * h4[0], h4
+
+    def test_zebra_api_rowband_mesh(self):
+        mesh = make_grid_mesh(shape=(4, 1), devices=jax.devices()[:4])
+        cfg = MultigridConfig(finest_level=6, coarsest_level=3,
+                              smoother="zebra_x", nu1=1, nu2=1,
+                              mesh_shape=(4, 1))
+        r = mg.solve_anisotropic(6, eps_x=1.0, eps_y=0.01,
+                                 coarsening="full", config=cfg, mesh=mesh,
+                                 num_cycles=6, tol=0.0)
+        h = np.asarray(r.res_history)
+        assert h[6] < 1e-4 * h[0], h
+
+    def test_zebra_wrong_mesh_shape_rejected(self):
+        mesh = make_grid_mesh(shape=(2, 2), devices=jax.devices()[:4])
+        cfg = MultigridConfig(finest_level=5, coarsest_level=3,
+                              smoother="zebra_y", mesh_shape=(2, 2))
+        with pytest.raises(ValueError):
+            mg.solve_anisotropic(5, eps_x=100.0, config=cfg, mesh=mesh)
+
+
 class TestAPI:
     def test_distributed_family_solves_converge(self):
         mesh = make_grid_mesh(shape=(2, 4), devices=jax.devices()[:8])

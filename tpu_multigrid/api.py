@@ -287,9 +287,14 @@ def solve_anisotropic(
         if coarsening == "semi":
             raise ValueError("mesh= distributes the full-coarsening "
                              "Galerkin path only")
-        if config.smoother in ("zebra_x", "zebra_y"):
-            raise ValueError("line smoothers are single-chip; use "
-                             "jacobi/chebyshev/rbgs with mesh=")
+        if config.smoother == "zebra_x" and mesh.devices.shape[1] != 1:
+            raise ValueError("zebra_x distributes only over row-band "
+                             "meshes (mesh_shape=(k, 1)): the x-line "
+                             "tridiagonals must stay shard-local")
+        if config.smoother == "zebra_y" and mesh.devices.shape[0] != 1:
+            raise ValueError("zebra_y distributes only over column-band "
+                             "meshes (mesh_shape=(1, k)): the y-line "
+                             "tridiagonals must stay shard-local")
         if boundary is not None:
             raise ValueError("mesh= does not support boundary lifting")
         import numpy as _np

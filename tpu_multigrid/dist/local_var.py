@@ -108,3 +108,73 @@ def var_rbgs_local(u, b, coef, inv_diag, n, sweeps):
         return half(half(v, red), black)
 
     return lax.fori_loop(0, sweeps, body, u, unroll=min(sweeps, 4))
+
+
+def var_zebra_local(u, b, coef, n, sweeps, axis: int = 1):
+    """Zebra line relaxation on shard-local blocks (core.lines semantics).
+
+    Lines must be shard-local: ``axis=1`` (tridiagonals along x / lanes)
+    requires a rows-only decomposition (mesh ``gx == 1``) so every shard
+    owns full grid rows; ``axis=0`` requires ``gy == 1``.  The off-line
+    couplings (the six non-tridiagonal stencil terms) pull one ghost ring
+    per half-sweep via ppermute; the PCR solves never cross shards.
+    Matches ``core.lines.zebra_sweeps`` bitwise on CPU (same term order,
+    same PCR arithmetic per line).
+    """
+    from ..core.lines import tridiag_pcr
+
+    if axis == 1 and lax.axis_size(L.GX) != 1:
+        raise ValueError("zebra_x on a mesh needs full rows per shard "
+                         f"(mesh gx == 1, got {lax.axis_size(L.GX)}); "
+                         "use a (devices, 1) mesh_shape")
+    if axis == 0 and lax.axis_size(L.GY) != 1:
+        raise ValueError("zebra_y on a mesh needs full columns per shard "
+                         f"(mesh gy == 1, got {lax.axis_size(L.GY)}); "
+                         "use a (1, devices) mesh_shape")
+    if sweeps <= 0:
+        return u
+    r, c = u.shape
+    dtype = u.dtype
+    m = L.interior_mask_local(u.shape, n)
+    r0, c0 = L._local_offsets(u.shape)
+    if axis == 1:
+        line_idx = lax.broadcasted_iota(jnp.int32, (r, c), 0) + r0
+        dl_c, du_c = coef[1, 0], coef[1, 2]
+    else:
+        line_idx = lax.broadcasted_iota(jnp.int32, (r, c), 1) + c0
+        dl_c, du_c = coef[0, 1], coef[2, 1]
+    one = jnp.ones((), dtype)
+    zero = jnp.zeros((), dtype)
+    d = jnp.where(m, coef[1, 1], one)
+    dl = jnp.where(m, dl_c, zero)
+    du = jnp.where(m, du_c, zero)
+
+    def offline(v):
+        """All stencil terms except the in-line tridiagonal ones (same
+        di/dj order as core.lines.zebra_sweeps.offline_apply)."""
+        h = L.with_halo1(v)
+        acc = jnp.zeros_like(v)
+        for di in (-1, 0, 1):
+            for dj in (-1, 0, 1):
+                if di == 0 and dj == 0:
+                    continue
+                if axis == 1 and di == 0:
+                    continue
+                if axis == 0 and dj == 0:
+                    continue
+                acc = acc + coef[di + 1, dj + 1] * _win(h, di, dj, r, c)
+        return acc
+
+    def half(v, parity):
+        rhs = jnp.where(m, b - offline(v), zero)
+        if axis == 0:
+            sol = tridiag_pcr(dl.T, d.T, du.T, rhs.T).T
+        else:
+            sol = tridiag_pcr(dl, d, du, rhs)
+        upd = m & (line_idx % 2 == parity)
+        return jnp.where(upd, sol.astype(dtype), v)
+
+    for _ in range(sweeps):
+        u = half(u, 1)
+        u = half(u, 0)
+    return u

@@ -216,8 +216,14 @@ def _local_smooth(cfg: MultigridConfig, lv, n: int, u, b, sweeps: int):
             return V.var_jacobi_local(u, b, coef, inv_d, n, omega, sweeps)
         if smoother == "rbgs":
             return V.var_rbgs_local(u, b, coef, inv_d, n, sweeps)
-        raise ValueError(f"sharded var levels support jacobi/chebyshev/rbgs "
-                         f"smoothers, not {smoother!r}")
+        if smoother in ("zebra_x", "zebra_y"):
+            # Line relaxation distributes when the lines are shard-local:
+            # zebra_x needs a (k, 1) mesh (full rows per shard), zebra_y a
+            # (1, k) mesh — var_zebra_local validates against the mesh.
+            return V.var_zebra_local(u, b, coef, n, sweeps,
+                                     axis=1 if smoother == "zebra_x" else 0)
+        raise ValueError(f"sharded var levels support jacobi/chebyshev/"
+                         f"rbgs/zebra smoothers, not {smoother!r}")
     if smoother == "jacobi":
         return L.jacobi_local(u, b, n, omega, sweeps)
     if smoother == "rbgs":
