@@ -140,6 +140,33 @@ def test_supported_gate():
 
 
 @pytest.mark.slow
+def test_zebra_y_auto_transpose_matches_jnp():
+    """solve_anisotropic(smoother='zebra_y', use_pallas=True) solves the
+    transposed problem on the fused zebra_x tier and transposes back —
+    must match the direct jnp zebra_y solve (asymmetric forcing exercises
+    the argument swap)."""
+    import tpu_multigrid as mg
+
+    forcing = lambda x, y: 4.0 + 3.0 * x - y * y
+    kw = dict(eps_x=0.01, eps_y=1.0, coarsening="full", forcing=forcing,
+              num_cycles=3, tol=None)
+    cfg_j = MultigridConfig(finest_level=6, coarsest_level=4,
+                            smoother="zebra_y", nu1=1, nu2=1,
+                            use_pallas=False)
+    ref = mg.solve_anisotropic(6, config=cfg_j, **kw)
+    cfg_p = MultigridConfig(finest_level=6, coarsest_level=4,
+                            smoother="zebra_y", nu1=1, nu2=1,
+                            use_pallas=True)
+    with pltpu.force_tpu_interpret_mode():
+        got = mg.solve_anisotropic(6, config=cfg_p, **kw)
+        jax.block_until_ready(got.u)
+    n = 64
+    np.testing.assert_allclose(np.asarray(got.u)[:n + 1, :n + 1],
+                               np.asarray(ref.u)[:n + 1, :n + 1],
+                               rtol=1e-3, atol=5e-5)
+
+
+@pytest.mark.slow
 def test_cycle_dispatch_matches_jnp():
     """use_pallas V-cycles on a 256-aligned zebra hierarchy run the K1z/K2z
     path (gate asserted) and match the jnp path, including the fused

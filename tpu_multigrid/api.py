@@ -9,6 +9,7 @@ point those stood in for.
 from __future__ import annotations
 
 import dataclasses
+import math
 from typing import Callable, Optional, Union
 
 import jax
@@ -316,6 +317,26 @@ def solve_anisotropic(
         coarsening = "semi" if (ratio > 4.0 and not zebra
                                 and angle == 0.0) else "full"
     from .problems import AnisotropicPoissonProblem
+    if (coarsening == "full" and config.smoother == "zebra_y"
+            and config.use_pallas):
+        # The fused zebra tier is lane-axis only (sublane PCR would need
+        # full-height windows, kernels/lines.py) — solve the TRANSPOSED
+        # problem with zebra_x instead and transpose back.  Transposing
+        # the grid maps K -> P K P^T, realized by the SAME (eps_x, eps_y)
+        # with angle' = pi/2 - angle (K'_xx = K_yy, K'_xy = K_xy); the
+        # forcing/boundary fields swap arguments.
+        tcfg = dataclasses.replace(config, smoother="zebra_x")
+        tforce = ((lambda x, y: forcing(y, x)) if callable(forcing)
+                  else forcing)
+        tbound = ((lambda x, y: boundary(y, x)) if callable(boundary)
+                  else boundary)
+        problem = AnisotropicPoissonProblem(
+            tcfg, eps_x=eps_x, eps_y=eps_y, forcing=tforce,
+            coarsening="full", angle=math.pi / 2 - angle,
+            **_pad_kw(tcfg))
+        res = _run(problem, tcfg, tol, max_cycles, num_cycles, use_fmg,
+                   jit, boundary=tbound)
+        return dataclasses.replace(res, u=res.u.T)
     # 128-aligned level padding puts zebra_x on the fused PCR kernel
     # (kernels/lines.py) and the var smoothers on their kernels.
     pad = _pad_kw(config) if coarsening == "full" else {}
