@@ -79,14 +79,30 @@ def main():
     err = float(jnp.max(jnp.abs(got - want)))
     print(f"# on-chip |pallas - jnp|_max = {err:.3e}", flush=True)
 
-    for use_pallas in (False, True):
+    import tpu_multigrid.cycles as CY
+
+    def vcycle_ms(use_pallas, fused_visit=True):
+        """fused_visit=False: standalone zebra kernel + separate
+        residual/transfer launches (the pre-K1z/K2z path)."""
         c2 = MultigridConfig(finest_level=lvl, coarsest_level=3,
                              smoother="zebra_x", nu1=sweeps, nu2=sweeps,
                              use_pallas=use_pallas)
-        ms = slope(lambda v, bb, h: cycle(h, c2, v, bb), (u, b, hier),
-                   n1=1, n2=6)
-        print(f"V-cycle use_pallas={use_pallas!s:5s} {ms:9.3f} ms",
-              flush=True)
+        saved = CY._use_zebra_super_kernels
+        if not fused_visit:
+            CY._use_zebra_super_kernels = lambda *a: False
+        try:
+            return slope(lambda v, bb, h: cycle(h, c2, v, bb), (u, b, hier),
+                         n1=1, n2=6)
+        finally:
+            CY._use_zebra_super_kernels = saved
+
+    print(f"V-cycle jnp              {vcycle_ms(False):9.3f} ms",
+          flush=True)
+    ms_unf = vcycle_ms(True, fused_visit=False)
+    print(f"V-cycle pallas unfused   {ms_unf:9.3f} ms", flush=True)
+    ms_fus = vcycle_ms(True)
+    print(f"V-cycle pallas K1z/K2z   {ms_fus:9.3f} ms   "
+          f"({ms_unf / ms_fus:.2f}x over unfused visit)", flush=True)
 
 
 if __name__ == "__main__":

@@ -10,6 +10,7 @@ over HBM-resident grids, with fused Pallas stencil kernels and 2D
 """
 
 from .api import (extract_solution, solve_anisotropic,
+                  solve_anisotropic3d,
                   solve_convection_diffusion,
                   solve_convection_diffusion3d, solve_diffusion,
                   solve_diffusion3d, solve_helmholtz, solve_poisson,
@@ -36,7 +37,8 @@ __version__ = "0.1.0"
 __all__ = [
     "MultigridConfig", "REFERENCE_CONFIG",
     "solve_poisson", "solve_diffusion", "solve_poisson3d",
-    "solve_helmholtz", "solve_anisotropic", "solve_convection_diffusion",
+    "solve_helmholtz", "solve_anisotropic", "solve_anisotropic3d",
+    "solve_convection_diffusion",
     "solve_convection_diffusion3d",
     "extract_solution",
     "SolveResult", "cycle", "fmg", "solve_fixed", "solve_until_tol",

@@ -616,6 +616,49 @@ def solve_diffusion3d(
                 boundary=boundary)
 
 
+def solve_anisotropic3d(
+    finest_level: int = 6,
+    *,
+    eps_x: float = 1.0,
+    eps_y: float = 1.0,
+    eps_z: float = 1.0,
+    config: Optional[MultigridConfig] = None,
+    forcing: Union[float, Callable] = 6.0,
+    tol: Optional[float] = 1e-8,
+    max_cycles: int = 100,
+    num_cycles: Optional[int] = None,
+    use_fmg: bool = False,
+    balance: float = 2.0,
+    jit: bool = True,
+) -> SolveResult:
+    """Solve -(eps_x u_xx + eps_y u_yy + eps_z u_zz) = forcing on the
+    unit cube via the coupling-balanced SEMI-COARSENED hierarchy
+    (core.semicoarsen3): point Jacobi/Chebyshev smoothing stays
+    mesh-independent at any axis-aligned anisotropy because only the
+    strongly coupled axes coarsen per level.  For mild anisotropy the
+    full-coarsening variable-coefficient tier (``solve_diffusion3d``)
+    also works and runs the fused 3D Pallas kernels.
+
+    Extension beyond the isotropic-only reference
+    (``Poissons_SYCL.cpp:119-123``); 3D analogue of
+    ``solve_anisotropic(coarsening="semi")``.
+    """
+    if config is None:
+        config = MultigridConfig(finest_level=finest_level,
+                                 smoother="chebyshev", nu1=3, nu2=2)
+    elif config.finest_level != finest_level:
+        config = dataclasses.replace(config, finest_level=finest_level)
+    if config.smoother in ("zebra_x", "zebra_y"):
+        raise ValueError("3D semi-coarsening uses point smoothers "
+                         "(jacobi/chebyshev/rbgs); line relaxation is the "
+                         "2D remedy")
+    from .problems.anisotropic3d import AnisotropicPoisson3DProblem
+    problem = AnisotropicPoisson3DProblem(config, eps_x=eps_x,
+                                          eps_y=eps_y, eps_z=eps_z,
+                                          forcing=forcing, balance=balance)
+    return _run(problem, config, tol, max_cycles, num_cycles, use_fmg, jit)
+
+
 def _run(problem, config, tol, max_cycles, num_cycles, use_fmg, use_jit,
          refined: bool = False, boundary=None):
     hier = problem.hierarchy

@@ -4,6 +4,7 @@ from .diffusion import DiffusionProblem
 from .mixedbc import MixedBCPoissonProblem
 from .mixedbc3d import MixedBC3DPoissonProblem
 from .anisotropic import AnisotropicPoissonProblem
+from .anisotropic3d import AnisotropicPoisson3DProblem
 from .helmholtz import HelmholtzProblem
 from .diffusion3d import Diffusion3DProblem
 from .convection import ConvectionDiffusionProblem
@@ -15,7 +16,8 @@ from .poisson4 import Poisson4Problem
 __all__ = ["PoissonProblem", "poisson_rhs", "DiffusionProblem",
            "Poisson3DProblem", "poisson3d_rhs", "MixedBCPoissonProblem",
            "MixedBC3DPoissonProblem",
-           "AnisotropicPoissonProblem", "HelmholtzProblem",
+           "AnisotropicPoissonProblem", "AnisotropicPoisson3DProblem",
+           "HelmholtzProblem",
            "Diffusion3DProblem", "ConvectionDiffusionProblem",
            "Poisson4Problem", "PeriodicPoissonProblem",
            "ConvectionDiffusion3DProblem", "Periodic3DPoissonProblem"]
