@@ -147,6 +147,42 @@ def main():
     check("3D var fused vs jnp solution", np.asarray(rv.u),
           np.asarray(rj.u), 5e-6)
 
+    # FAS nonlinear tier (r3 session 7): Bratu pointwise + quasilinear
+    # flux families end-to-end on hardware (f32; reduction-bounded, the
+    # absolute floor is the usual eps*n^2 f32 scaling).
+    r = mg.solve_bratu(7, lam=5.0, config=mg.MultigridConfig(
+        finest_level=7, coarsest_level=3), num_cycles=8, tol=None)
+    h = np.asarray(r.res_history)
+    check("FAS bratu lam=5 reduction", h[8] / h[0], 0.0, 5e-4)
+    r = mg.solve_quasilinear_diffusion(7, gamma=2.0, num_cycles=8,
+                                       tol=None)
+    h = np.asarray(r.res_history)
+    check("FAS quasilinear gamma=2 reduction", h[8] / h[0], 0.0, 5e-4)
+
+    # Fused zebra level-visit super-kernels (K1z/K2z) vs the jnp line
+    # smoother: same anisotropic solve, pallas vs jnp iterates.
+    zcfg = mg.MultigridConfig(finest_level=7, coarsest_level=3,
+                              smoother="zebra_x", nu1=1, nu2=1,
+                              use_pallas=True)
+    rz = mg.solve_anisotropic(7, eps_x=1.0, eps_y=0.05,
+                              angle=math.radians(45), config=zcfg,
+                              num_cycles=6, tol=None)
+    h = np.asarray(rz.res_history)
+    check("zebra K1z/K2z aniso reduction", h[6] / h[0], 0.0, 5e-3)
+    rzj = mg.solve_anisotropic(7, eps_x=1.0, eps_y=0.05,
+                               angle=math.radians(45),
+                               config=_dc.replace(zcfg, use_pallas=False),
+                               num_cycles=6, tol=None)
+    check("zebra K1z/K2z vs jnp solution", np.asarray(rz.u),
+          np.asarray(rzj.u), 5e-6)
+
+    # 3D semi-coarsened multigrid (core/semicoarsen3.py) on hardware.
+    r3 = mg.solve_anisotropic3d(5, eps_x=1.0, eps_y=1.0, eps_z=100.0,
+                                coarsening="semi", config=cfg,
+                                num_cycles=6, tol=None)
+    h = np.asarray(r3.res_history)
+    check("3D semicoarsen aniso 100:1 reduction", h[6] / h[0], 0.0, 5e-3)
+
     if FAILURES:
         print(f"\n{len(FAILURES)} FAILURES: {FAILURES}")
         sys.exit(1)

@@ -10,15 +10,18 @@ over HBM-resident grids, with fused Pallas stencil kernels and 2D
 """
 
 from .api import (extract_solution, solve_anisotropic,
-                  solve_anisotropic3d,
+                  solve_anisotropic3d, solve_bratu,
                   solve_convection_diffusion,
                   solve_convection_diffusion3d, solve_diffusion,
-                  solve_diffusion3d, solve_helmholtz, solve_poisson,
-                  solve_poisson3d)
+                  solve_diffusion3d, solve_helmholtz,
+                  solve_nonlinear_poisson, solve_poisson,
+                  solve_poisson3d, solve_quasilinear_diffusion)
 from .config import REFERENCE_CONFIG, MultigridConfig
 from .core import (ConstStencilOp, Hierarchy, VarStencilOp,
                    build_galerkin_hierarchy, build_poisson_hierarchy, ops)
 from .cycles import SolveResult, cycle, fmg, solve_fixed, solve_until_tol
+from .cycles.fas import (fas_cycle, fas_solve_fixed, fas_solve_until_tol,
+                         fmg_fas)
 from .eigen import smallest_eigenpair
 from .krylov import bicgstab_solve, pcg_solve
 from .problems import (AnisotropicPoissonProblem,
@@ -40,6 +43,8 @@ __all__ = [
     "solve_helmholtz", "solve_anisotropic", "solve_anisotropic3d",
     "solve_convection_diffusion",
     "solve_convection_diffusion3d",
+    "solve_bratu", "solve_nonlinear_poisson", "solve_quasilinear_diffusion",
+    "fas_cycle", "fas_solve_fixed", "fas_solve_until_tol", "fmg_fas",
     "extract_solution",
     "SolveResult", "cycle", "fmg", "solve_fixed", "solve_until_tol",
     "pcg_solve", "bicgstab_solve", "smallest_eigenpair",

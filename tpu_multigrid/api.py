@@ -724,3 +724,123 @@ def extract_solution(result_u: jnp.ndarray, n: int) -> jnp.ndarray:
         pad = [(0, 1)] * result_u.ndim
         return jnp.pad(result_u, pad, mode="wrap")
     return result_u[(slice(0, n + 1),) * result_u.ndim]
+
+
+# ---------------------------------------------------------------------------
+# Nonlinear solves (FAS multigrid; cycles/fas.py)
+# ---------------------------------------------------------------------------
+
+def _run_fas(problem, config: MultigridConfig, tol, max_cycles, num_cycles,
+             use_fmg, use_jit) -> SolveResult:
+    """FAS analogue of :func:`_run` (nonlinear residual norms; FMG-FAS
+    prolongs the SOLUTION and needs per-level assembled RHS)."""
+    from .cycles.fas import fas_solve_fixed, fas_solve_until_tol, fmg_fas
+    hier = problem.hierarchy
+    if tol is None and num_cycles is None:
+        raise ValueError("need either tol or num_cycles (both are None)")
+    bs = problem.rhs_all_levels() if use_fmg else [problem.rhs()]
+
+    def go(hier, bs):
+        u0 = fmg_fas(hier, config, bs) if use_fmg else None
+        if num_cycles is not None:
+            return fas_solve_fixed(hier, config, bs[0], num_cycles, u0=u0)
+        return fas_solve_until_tol(hier, config, bs[0], tol=tol,
+                                   max_cycles=max_cycles, u0=u0)
+
+    if use_jit:
+        go = jax.jit(go)
+    return go(hier, bs)
+
+
+def solve_nonlinear_poisson(
+    finest_level: int = 8,
+    *,
+    phi: Callable,
+    dphi: Callable,
+    config: Optional[MultigridConfig] = None,
+    forcing: Union[float, Callable] = 4.0,
+    tol: Optional[float] = 1e-8,
+    max_cycles: int = 100,
+    num_cycles: Optional[int] = None,
+    use_fmg: bool = False,
+    jit: bool = True,
+) -> SolveResult:
+    """Solve -lap(u) + phi(u) = forcing by FAS multigrid.
+
+    ``phi``/``dphi`` are traceable pointwise callables (the nonlinearity
+    and its derivative).  Nonlinear capability surplus over the
+    linear-only reference (``Poissons_SYCL.cpp:119-123``); see
+    ``cycles/fas.py`` for the scheme.  ``use_fmg=True`` runs one FMG-FAS
+    (nested iteration) pass first.
+    """
+    if config is None:
+        config = MultigridConfig(finest_level=finest_level)
+    elif config.finest_level != finest_level:
+        config = dataclasses.replace(config, finest_level=finest_level)
+    from .problems.bratu import NonlinearPoissonProblem
+    problem = NonlinearPoissonProblem(config, phi=phi, dphi=dphi,
+                                      forcing=forcing)
+    return _run_fas(problem, config, tol, max_cycles, num_cycles, use_fmg,
+                    jit)
+
+
+def solve_bratu(
+    finest_level: int = 8,
+    *,
+    lam: float = 1.0,
+    config: Optional[MultigridConfig] = None,
+    forcing: Union[float, Callable] = 0.0,
+    tol: Optional[float] = 1e-8,
+    max_cycles: int = 100,
+    num_cycles: Optional[int] = None,
+    use_fmg: bool = False,
+    jit: bool = True,
+) -> SolveResult:
+    """Solve the Bratu problem -lap(u) - lam * exp(u) = forcing (FAS).
+
+    Converges to the lower solution branch for lam below the critical
+    value (~6.81 on the unit square); see problems/bratu.py.
+    """
+    if config is None:
+        config = MultigridConfig(finest_level=finest_level)
+    elif config.finest_level != finest_level:
+        config = dataclasses.replace(config, finest_level=finest_level)
+    from .problems.bratu import BratuProblem
+    problem = BratuProblem(config, lam=lam, forcing=forcing)
+    return _run_fas(problem, config, tol, max_cycles, num_cycles, use_fmg,
+                    jit)
+
+
+def solve_quasilinear_diffusion(
+    finest_level: int = 8,
+    *,
+    gamma: float = 1.0,
+    a: Optional[Callable] = None,
+    da: Optional[Callable] = None,
+    config: Optional[MultigridConfig] = None,
+    forcing: Union[float, Callable] = 4.0,
+    tol: Optional[float] = 1e-8,
+    max_cycles: int = 100,
+    num_cycles: Optional[int] = None,
+    use_fmg: bool = False,
+    jit: bool = True,
+) -> SolveResult:
+    """Solve -div(a(u) grad u) = forcing by FAS multigrid.
+
+    Default a(u) = 1 + gamma * u^2; pass any traceable positive ``a``
+    (``da`` is accepted for API symmetry).  Matrix-free flux operator with
+    Picard-Jacobi smoothing (problems/nldiffusion.py).  The coarsest level
+    is solved by smoothing; deep Picard sweeps there are cheap (9^2 grid
+    at the default coarsest_level=3).
+    """
+    if config is None:
+        config = MultigridConfig(finest_level=finest_level,
+                                 coarse_solver="smooth",
+                                 coarse_smooth_sweeps=40)
+    elif config.finest_level != finest_level:
+        config = dataclasses.replace(config, finest_level=finest_level)
+    from .problems.nldiffusion import QuasilinearDiffusionProblem
+    problem = QuasilinearDiffusionProblem(config, gamma=gamma, a=a, da=da,
+                                          forcing=forcing)
+    return _run_fas(problem, config, tol, max_cycles, num_cycles, use_fmg,
+                    jit)

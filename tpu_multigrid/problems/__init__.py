@@ -12,6 +12,8 @@ from .convection3d import ConvectionDiffusion3DProblem
 from .periodic import PeriodicPoissonProblem
 from .periodic3d import Periodic3DPoissonProblem
 from .poisson4 import Poisson4Problem
+from .bratu import BratuProblem, NonlinearPoissonProblem
+from .nldiffusion import QuasilinearDiffusionProblem
 
 __all__ = ["PoissonProblem", "poisson_rhs", "DiffusionProblem",
            "Poisson3DProblem", "poisson3d_rhs", "MixedBCPoissonProblem",
@@ -20,4 +22,6 @@ __all__ = ["PoissonProblem", "poisson_rhs", "DiffusionProblem",
            "HelmholtzProblem",
            "Diffusion3DProblem", "ConvectionDiffusionProblem",
            "Poisson4Problem", "PeriodicPoissonProblem",
-           "ConvectionDiffusion3DProblem", "Periodic3DPoissonProblem"]
+           "ConvectionDiffusion3DProblem", "Periodic3DPoissonProblem",
+           "BratuProblem", "NonlinearPoissonProblem",
+           "QuasilinearDiffusionProblem"]
