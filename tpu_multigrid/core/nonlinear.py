@@ -39,22 +39,23 @@ import numpy as np
 from . import ops
 
 
-def dense_poisson_matrix(n: int) -> np.ndarray:
-    """Dense (m, m) interior matrix of the h-independent 5-point stencil
-    (diag 4, off −1), m = (n−1)², row-major interior ordering.
+def dense_poisson_matrix(n: int, ndim: int = 2) -> np.ndarray:
+    """Dense (m, m) interior matrix of the h-independent 2·ndim+1-point
+    stencil (diag 2·ndim, off −1), m = (n−1)^ndim, row-major interior
+    ordering.
 
     Closed-form numpy assembly (no device probing), mirroring the 3D
     branch of :func:`..core.grids.coarse_dense_inverse`.  Used for the
     coarsest-level Newton solve in FAS.
     """
     m1 = n - 1
-    m = m1 * m1
-    idx = np.arange(m).reshape(m1, m1)
+    m = m1 ** ndim
+    idx = np.arange(m).reshape((m1,) * ndim)
     a = np.zeros((m, m))
-    a[np.arange(m), np.arange(m)] = 4.0
-    for ax in range(2):
-        lo = [slice(None)] * 2
-        hi = [slice(None)] * 2
+    a[np.arange(m), np.arange(m)] = 2.0 * ndim
+    for ax in range(ndim):
+        lo = [slice(None)] * ndim
+        hi = [slice(None)] * ndim
         lo[ax] = slice(0, -1)
         hi[ax] = slice(1, None)
         rows = idx[tuple(lo)].ravel()
@@ -102,13 +103,27 @@ class PointwiseNonlinearOp:
         return self.lin.S
 
     @property
+    def ndim(self) -> int:
+        return getattr(self.lin, "ndim", 2)
+
+    @property
+    def grid_shape(self):
+        return getattr(self.lin, "grid_shape", (self.lin.S, self.lin.S))
+
+    @property
     def h2(self) -> float:
         return (1.0 / self.lin.n) ** 2
+
+    def _mask(self, x):
+        if self.ndim == 3:
+            from . import ops3d
+            return ops3d.mask_interior3(x, self.n)
+        return ops.mask_interior(x, self.n)
 
     # -- nonlinear operator interface --
     def apply(self, u):
         nl = jnp.asarray(self.h2, u.dtype) * self.phi(u).astype(u.dtype)
-        return self.lin.apply(u) + ops.mask_interior(nl, self.n)
+        return self.lin.apply(u) + self._mask(nl)
 
     def residual(self, u, b):
         return b - self.apply(u)
@@ -126,7 +141,7 @@ class PointwiseNonlinearOp:
             r = self.residual(v, b)
             denom = self.diag + h2 * self.dphi(v).astype(v.dtype)
             upd = om * r / denom
-            return v + ops.mask_interior(upd, self.n)
+            return v + self._mask(upd)
 
         return jax.lax.fori_loop(0, sweeps, body, u)
 
@@ -141,13 +156,15 @@ class PointwiseNonlinearOp:
         m1 = n - 1
         h2 = jnp.asarray(self.h2, u.dtype)
         A = self.a_dense.astype(u.dtype)
+        inter = (slice(1, n),) * self.ndim
+        eshape = (m1,) * self.ndim
 
         def body(_, v):
-            rv = self.residual(v, b)[1:n, 1:n].reshape(-1)
-            dd = (h2 * self.dphi(v).astype(v.dtype))[1:n, 1:n].reshape(-1)
+            rv = self.residual(v, b)[inter].reshape(-1)
+            dd = (h2 * self.dphi(v).astype(v.dtype))[inter].reshape(-1)
             J = A + jnp.diag(dd)
             ev = jnp.linalg.solve(J, rv)
-            return v.at[1:n, 1:n].add(ev.reshape(m1, m1))
+            return v.at[inter].add(ev.reshape(eshape))
 
         return jax.lax.fori_loop(0, steps, body, u)
 
@@ -255,3 +272,32 @@ def inject_solution(u: jnp.ndarray, nf: int, Sc: int) -> jnp.ndarray:
     c = ops._even_decimate(ops._even_decimate(u, -2), -1)
     c = ops._crop_pad_square(c, Sc)
     return ops.mask_interior(c, nc)
+
+
+def inject_solution3(u: jnp.ndarray, nf: int, Sc) -> jnp.ndarray:
+    """3D literal solution injection: coarse[i,j,k] = fine[2i,2j,2k].
+
+    Per-axis parity-reshape decimation (never a strided slice — the
+    XLA:TPU stride-2 pathology, ``ops3d`` module docstring); the lane
+    axis routes through a transpose pair like ``ops3d._blur_decimate``."""
+    from . import ops3d
+    nc = nf // 2
+    shc = ops3d._shape3(Sc)
+    t = u
+    for ax in (0, 1, 2):
+        if ax == 2:
+            tt = t.transpose(2, 0, 1)
+            m = tt.shape[0] // 2
+            out = tt[: 2 * m].reshape(m, 2, tt.shape[1], tt.shape[2])[:, 0]
+            t = out.transpose(1, 2, 0)
+        elif ax == 0:
+            m = t.shape[0] // 2
+            t = t[: 2 * m].reshape(m, 2, t.shape[1], t.shape[2])[:, 0]
+        else:
+            m = t.shape[1] // 2
+            t = t[:, : 2 * m].reshape(t.shape[0], m, 2, t.shape[2])[:, :, 0]
+    t = t[tuple(slice(0, min(t.shape[ax], shc[ax])) for ax in range(3))]
+    pad = [(0, shc[ax] - t.shape[ax]) for ax in range(3)]
+    if any(p != (0, 0) for p in pad):
+        t = jnp.pad(t, pad)
+    return ops3d.mask_interior3(t, nc)

@@ -31,8 +31,29 @@ import jax.numpy as jnp
 from ..config import MultigridConfig
 from ..core import ops
 from ..core.grids import Hierarchy
-from ..core.nonlinear import inject_solution
+from ..core.nonlinear import inject_solution, inject_solution3
 from . import SolveResult
+
+
+def _gshape(op):
+    return getattr(op, "grid_shape", (op.S, op.S))
+
+
+def _restrict_pair(op, opc, u, r):
+    """(solution injection, residual restriction) dispatched on ndim."""
+    if getattr(op, "ndim", 2) == 3:
+        from ..core import ops3d
+        return (inject_solution3(u, op.n, _gshape(opc)),
+                ops3d.restrict_fw3(r, op.n, _gshape(opc)))
+    return (inject_solution(u, op.n, opc.S),
+            ops.restrict_fw(r, op.n, opc.S))
+
+
+def _prolong_err(e, opc, op):
+    if getattr(op, "ndim", 2) == 3:
+        from ..core import ops3d
+        return ops3d.prolong3(e, opc.n, _gshape(op))
+    return ops.prolong(e, opc.n, op.S)
 
 
 def _nsmooth(op, u, b, cfg: MultigridConfig, sweeps: int):
@@ -55,8 +76,7 @@ def fas_cycle(hier: Hierarchy, cfg: MultigridConfig, u, b, k: int = 0):
     opc = hier.levels[k + 1]
     u = _nsmooth(op, u, b, cfg, cfg.nu1)
     r = op.residual(u, b)
-    uc0 = inject_solution(u, op.n, opc.S)
-    rc = ops.restrict_fw(r, op.n, opc.S)
+    uc0, rc = _restrict_pair(op, opc, u, r)
     bc = opc.apply(uc0) + rc
 
     uc = uc0
@@ -69,7 +89,7 @@ def fas_cycle(hier: Hierarchy, cfg: MultigridConfig, u, b, k: int = 0):
         uc = fas_cycle(hier, cfg, uc, bc, k + 1)
         uc = _fas_vcycle_only(hier, cfg, uc, bc, k + 1)
 
-    u = u + ops.prolong(uc - uc0, opc.n, op.S)
+    u = u + _prolong_err(uc - uc0, opc, op)
     return _nsmooth(op, u, b, cfg, cfg.nu2)
 
 
@@ -83,7 +103,7 @@ def fas_solve_fixed(hier: Hierarchy, cfg: MultigridConfig, b,
     """Run exactly ``num_cycles`` FAS cycles, recording nonlinear residual
     norms (mirrors :func:`tpu_multigrid.cycles.solve_fixed`)."""
     op = hier.levels[0]
-    u = u0 if u0 is not None else jnp.zeros((op.S, op.S), b.dtype)
+    u = u0 if u0 is not None else jnp.zeros(_gshape(op), b.dtype)
     hist = jnp.full((num_cycles + 1,), jnp.nan, jnp.float32)
     hist = hist.at[0].set(ops.norm2(op.residual(u, b)))
 
@@ -106,7 +126,7 @@ def fas_solve_until_tol(hier: Hierarchy, cfg: MultigridConfig, b, *,
     """FAS cycles until the nonlinear residual drops below ``tol``; same
     two-consecutive-flat-cycles stall rule as the linear driver."""
     op = hier.levels[0]
-    u = u0 if u0 is not None else jnp.zeros((op.S, op.S), b.dtype)
+    u = u0 if u0 is not None else jnp.zeros(_gshape(op), b.dtype)
     r0 = ops.norm2(op.residual(u, b))
     target = tol * r0 if relative else jnp.asarray(tol, jnp.float32)
     target = jnp.maximum(target, jnp.asarray(0.0, jnp.float32))
@@ -146,11 +166,11 @@ def fmg_fas(hier: Hierarchy, cfg: MultigridConfig, b_levels):
     """
     kc = hier.num_levels - 1
     opc = hier.levels[kc]
-    u = jnp.zeros((opc.S, opc.S), b_levels[0].dtype)
+    u = jnp.zeros(_gshape(opc), b_levels[0].dtype)
     u = _coarsest(hier, cfg, u, b_levels[kc])
     for k in range(kc - 1, -1, -1):
         op = hier.levels[k]
-        u = ops.prolong(u, hier.levels[k + 1].n, op.S)
+        u = _prolong_err(u, hier.levels[k + 1], op)
         for _ in range(cfg.nu0):
             u = fas_cycle(hier, cfg, u, b_levels[k], k)
     return u

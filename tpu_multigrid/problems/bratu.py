@@ -24,8 +24,9 @@ import jax.numpy as jnp
 from ..config import MultigridConfig
 from ..core.grids import Hierarchy, level_sizes
 from ..core.nonlinear import PointwiseNonlinearOp, dense_poisson_matrix
-from ..core.operators import poisson_op
+from ..core.operators import ConstStencilOp3D, poisson_op
 from .poisson import poisson_rhs
+from .poisson3d import poisson3d_rhs
 
 
 def build_pointwise_hierarchy(config: MultigridConfig, phi: Callable,
@@ -46,6 +47,23 @@ def build_pointwise_hierarchy(config: MultigridConfig, phi: Callable,
             a_dense = jnp.asarray(dense_poisson_matrix(n), config.dtype)
         levels.append(PointwiseNonlinearOp(poisson_op(n, S), phi, dphi,
                                            diag=4.0, a_dense=a_dense))
+    return Hierarchy(tuple(levels), None)
+
+
+def build_pointwise_hierarchy3(config: MultigridConfig, phi: Callable,
+                               dphi: Callable) -> Hierarchy:
+    """3D per-level ``PointwiseNonlinearOp`` stack over the 7-point
+    constant stencil (diag 6); same coarsest Newton treatment as 2D."""
+    sizes = level_sizes(config)
+    levels = []
+    for idx, (n, S) in enumerate(sizes):
+        a_dense = None
+        if idx == len(sizes) - 1 and config.coarse_solver == "direct":
+            a_dense = jnp.asarray(dense_poisson_matrix(n, ndim=3),
+                                  config.dtype)
+        levels.append(PointwiseNonlinearOp(ConstStencilOp3D(n, S), phi,
+                                           dphi, diag=6.0,
+                                           a_dense=a_dense))
     return Hierarchy(tuple(levels), None)
 
 
@@ -78,6 +96,47 @@ class NonlinearPoissonProblem:
 
     def rhs_all_levels(self, dtype=None):
         return [self.rhs(k, dtype) for k in range(self.hierarchy.num_levels)]
+
+
+@dataclasses.dataclass
+class NonlinearPoisson3DProblem:
+    """−Δu + φ(u) = f on the unit cube, homogeneous Dirichlet BCs."""
+
+    config: MultigridConfig
+    phi: Callable = None
+    dphi: Callable = None
+    forcing: Union[float, Callable] = 6.0
+
+    def __post_init__(self):
+        if self.phi is None or self.dphi is None:
+            raise ValueError("NonlinearPoisson3DProblem needs phi and dphi")
+        self.hierarchy: Hierarchy = jax.device_put(
+            build_pointwise_hierarchy3(self.config, self.phi, self.dphi))
+
+    @property
+    def finest(self):
+        return self.hierarchy.levels[0]
+
+    def rhs(self, level_index: int = 0, dtype=None) -> jnp.ndarray:
+        op = self.hierarchy.levels[level_index]
+        dt = dtype if dtype is not None else self.config.dtype
+        return poisson3d_rhs(op.n, op.grid_shape, self.forcing, dt)
+
+    def rhs_all_levels(self, dtype=None):
+        return [self.rhs(k, dtype) for k in range(self.hierarchy.num_levels)]
+
+
+def Bratu3DProblem(config: MultigridConfig, lam: float = 1.0,
+                   forcing: Union[float, Callable] = 0.0,
+                   ) -> NonlinearPoisson3DProblem:
+    """3D Bratu −Δu − λ eᵘ = f (unit cube; λ* ≈ 9.9 for the cube)."""
+    lam = float(lam)
+
+    def phi(u):
+        return -lam * jnp.exp(u)
+
+    return NonlinearPoisson3DProblem(config, phi=phi, dphi=phi,
+                                     forcing=forcing)
 
 
 def BratuProblem(config: MultigridConfig, lam: float = 1.0,
