@@ -135,10 +135,37 @@ def _solve_on_mesh(config, mesh, *, forcing, u0, tol, max_cycles,
     if boundary is not None or neumann:
         raise ValueError("mesh= does not support boundary lifting or "
                          "neumann sides yet; use the single-device path")
-    if refined:
-        raise ValueError("mesh= does not support refined=True yet")
     if tol is None and num_cycles is None:
         raise ValueError("need either tol or num_cycles (both are None)")
+    if refined:
+        # Distributed compensated refinement (dist/refine.py): the ds
+        # outer iterate matching the single-chip refined=True semantics.
+        # Poisson-only, like the single-chip tier (the compensated
+        # cascades are 5-point-specialized).
+        if coefficient is not None:
+            raise ValueError("mesh= refined=True supports the constant "
+                             "Poisson stencil only (like the single-chip "
+                             "refined tier)")
+        if use_fmg:
+            raise ValueError("mesh= refined=True does not take use_fmg "
+                             "yet (seed via u0= instead)")
+        if dist_path == "pallas":
+            # Fused tier: K1/K2 inner cycle + streamed compensated
+            # kernels (dist/refine_pallas.py) — required at 16385^2-scale
+            # where the jnp compensated expressions exhaust HBM.
+            if u0 is not None:
+                raise ValueError('dist_path="pallas" refined does not '
+                                 'take u0 yet')
+            from .dist.refine_pallas import refined_sharded_solve_pallas
+            res, _ = refined_sharded_solve_pallas(
+                config, mesh, forcing=forcing, tol=tol,
+                max_iters=max_cycles, num_cycles=num_cycles, jit=jit)
+            return res
+        from .dist.refine import refined_sharded_solve
+        res, _ = refined_sharded_solve(
+            config, mesh, forcing=forcing, tol=tol, max_iters=max_cycles,
+            num_cycles=num_cycles, u0=u0, jit=jit)
+        return res
     if dist_path == "pallas":
         if coefficient is not None:
             raise ValueError('dist_path="pallas" supports the constant '
@@ -738,6 +765,16 @@ def _run_fas(problem, config: MultigridConfig, tol, max_cycles, num_cycles,
     hier = problem.hierarchy
     if tol is None and num_cycles is None:
         raise ValueError("need either tol or num_cycles (both are None)")
+    if config.smoother != "jacobi":
+        # FAS smoothing is Jacobi-Newton / Picard-Jacobi (op.nsmooth) —
+        # cfg.smoother selections tuned for the linear tier (chebyshev /
+        # rbgs / zebra) do not apply here and would silently change
+        # behavior if ignored (ADVICE r3).
+        import warnings
+        warnings.warn(
+            f"FAS solvers smooth with weighted Jacobi-Newton/Picard only; "
+            f"config.smoother={config.smoother!r} is ignored",
+            stacklevel=3)
     bs = problem.rhs_all_levels() if use_fmg else [problem.rhs()]
 
     def go(hier, bs):
@@ -757,29 +794,42 @@ def solve_nonlinear_poisson(
     *,
     phi: Callable,
     dphi: Callable,
+    ndim: int = 2,
     config: Optional[MultigridConfig] = None,
-    forcing: Union[float, Callable] = 4.0,
+    forcing: Union[float, Callable, None] = None,
     tol: Optional[float] = 1e-8,
     max_cycles: int = 100,
     num_cycles: Optional[int] = None,
     use_fmg: bool = False,
     jit: bool = True,
 ) -> SolveResult:
-    """Solve -lap(u) + phi(u) = forcing by FAS multigrid.
+    """Solve -lap(u) + phi(u) = forcing by FAS multigrid (2D or 3D).
 
     ``phi``/``dphi`` are traceable pointwise callables (the nonlinearity
-    and its derivative).  Nonlinear capability surplus over the
-    linear-only reference (``Poissons_SYCL.cpp:119-123``); see
-    ``cycles/fas.py`` for the scheme.  ``use_fmg=True`` runs one FMG-FAS
-    (nested iteration) pass first.
+    and its derivative).  ``ndim=3`` solves on the unit cube (7-point
+    stencil, trilinear/FW transfers; problems/bratu.py).  Nonlinear
+    capability surplus over the linear-only reference
+    (``Poissons_SYCL.cpp:119-123``); see ``cycles/fas.py`` for the
+    scheme.  ``use_fmg=True`` runs one FMG-FAS (nested iteration) pass
+    first.  Default forcing: 4 (2D) / 6 (3D), matching the Poisson
+    entries.
     """
+    if ndim not in (2, 3):
+        raise ValueError(f"ndim must be 2 or 3, got {ndim}")
     if config is None:
         config = MultigridConfig(finest_level=finest_level)
     elif config.finest_level != finest_level:
         config = dataclasses.replace(config, finest_level=finest_level)
-    from .problems.bratu import NonlinearPoissonProblem
-    problem = NonlinearPoissonProblem(config, phi=phi, dphi=dphi,
-                                      forcing=forcing)
+    if forcing is None:
+        forcing = 4.0 if ndim == 2 else 6.0
+    if ndim == 3:
+        from .problems.bratu import NonlinearPoisson3DProblem
+        problem = NonlinearPoisson3DProblem(config, phi=phi, dphi=dphi,
+                                            forcing=forcing)
+    else:
+        from .problems.bratu import NonlinearPoissonProblem
+        problem = NonlinearPoissonProblem(config, phi=phi, dphi=dphi,
+                                          forcing=forcing)
     return _run_fas(problem, config, tol, max_cycles, num_cycles, use_fmg,
                     jit)
 
@@ -788,6 +838,7 @@ def solve_bratu(
     finest_level: int = 8,
     *,
     lam: float = 1.0,
+    ndim: int = 2,
     config: Optional[MultigridConfig] = None,
     forcing: Union[float, Callable] = 0.0,
     tol: Optional[float] = 1e-8,
@@ -799,14 +850,21 @@ def solve_bratu(
     """Solve the Bratu problem -lap(u) - lam * exp(u) = forcing (FAS).
 
     Converges to the lower solution branch for lam below the critical
-    value (~6.81 on the unit square); see problems/bratu.py.
+    value (~6.81 on the unit square, ~9.9 on the unit cube with
+    ``ndim=3``); see problems/bratu.py.
     """
+    if ndim not in (2, 3):
+        raise ValueError(f"ndim must be 2 or 3, got {ndim}")
     if config is None:
         config = MultigridConfig(finest_level=finest_level)
     elif config.finest_level != finest_level:
         config = dataclasses.replace(config, finest_level=finest_level)
-    from .problems.bratu import BratuProblem
-    problem = BratuProblem(config, lam=lam, forcing=forcing)
+    if ndim == 3:
+        from .problems.bratu import Bratu3DProblem
+        problem = Bratu3DProblem(config, lam=lam, forcing=forcing)
+    else:
+        from .problems.bratu import BratuProblem
+        problem = BratuProblem(config, lam=lam, forcing=forcing)
     return _run_fas(problem, config, tol, max_cycles, num_cycles, use_fmg,
                     jit)
 
@@ -817,30 +875,41 @@ def solve_quasilinear_diffusion(
     gamma: float = 1.0,
     a: Optional[Callable] = None,
     da: Optional[Callable] = None,
+    ndim: int = 2,
     config: Optional[MultigridConfig] = None,
-    forcing: Union[float, Callable] = 4.0,
+    forcing: Union[float, Callable, None] = None,
     tol: Optional[float] = 1e-8,
     max_cycles: int = 100,
     num_cycles: Optional[int] = None,
     use_fmg: bool = False,
     jit: bool = True,
 ) -> SolveResult:
-    """Solve -div(a(u) grad u) = forcing by FAS multigrid.
+    """Solve -div(a(u) grad u) = forcing by FAS multigrid (2D or 3D).
 
     Default a(u) = 1 + gamma * u^2; pass any traceable positive ``a``
     (``da`` is accepted for API symmetry).  Matrix-free flux operator with
     Picard-Jacobi smoothing (problems/nldiffusion.py).  The coarsest level
-    is solved by smoothing; deep Picard sweeps there are cheap (9^2 grid
-    at the default coarsest_level=3).
+    is solved by smoothing; deep Picard sweeps there are cheap (9^2 / 9^3
+    grid at the default coarsest_level=3).  Default forcing: 4 (2D) /
+    6 (3D).
     """
+    if ndim not in (2, 3):
+        raise ValueError(f"ndim must be 2 or 3, got {ndim}")
     if config is None:
         config = MultigridConfig(finest_level=finest_level,
                                  coarse_solver="smooth",
                                  coarse_smooth_sweeps=40)
     elif config.finest_level != finest_level:
         config = dataclasses.replace(config, finest_level=finest_level)
-    from .problems.nldiffusion import QuasilinearDiffusionProblem
-    problem = QuasilinearDiffusionProblem(config, gamma=gamma, a=a, da=da,
-                                          forcing=forcing)
+    if forcing is None:
+        forcing = 4.0 if ndim == 2 else 6.0
+    if ndim == 3:
+        from .problems.nldiffusion import QuasilinearDiffusion3DProblem
+        problem = QuasilinearDiffusion3DProblem(config, gamma=gamma, a=a,
+                                                da=da, forcing=forcing)
+    else:
+        from .problems.nldiffusion import QuasilinearDiffusionProblem
+        problem = QuasilinearDiffusionProblem(config, gamma=gamma, a=a,
+                                              da=da, forcing=forcing)
     return _run_fas(problem, config, tol, max_cycles, num_cycles, use_fmg,
                     jit)

@@ -173,11 +173,14 @@ class PointwiseNonlinearOp:
 
 
 def _shift(u, di, dj):
-    """Zero-fill shift: result[i, j] = u[i+di, j+dj] (jnp.roll + edge zero).
+    """Wraparound shift: result[i, j] = u[i+di, j+dj] (pure jnp.roll —
+    NO edge zeroing happens here).
 
-    The padded-grid invariant (everything outside the physical region is
-    zero, padding ≥ 1 ring) makes plain rolls safe for |d| = 1 everywhere
-    the result is interior-masked."""
+    Safe ONLY for |d| = 1 under the padded-grid invariant (everything
+    outside the physical region is zero, padding ≥ 1 ring) AND when the
+    result is interior-masked: the wrapped edge then lands on padding
+    whose value is zero / masked away.  Do not reuse for periodic grids
+    or wider shifts — those need explicit edge handling."""
     return jnp.roll(u, (-di, -dj), (0, 1))
 
 
@@ -259,6 +262,91 @@ class QuasilinearFluxOp:
 
     def __repr__(self):
         return f"QuasilinearFluxOp(n={self.n}, S={self.S})"
+
+
+def _shift3(u, d, ax):
+    """3D wraparound shift: result[idx] = u[idx + d·e_ax] (pure roll; same
+    |d| = 1 + zero-padding + interior-mask contract as :func:`_shift`)."""
+    return jnp.roll(u, -d, ax)
+
+
+_EDGES3 = tuple((d, ax) for ax in (0, 1, 2) for d in (1, -1))
+
+
+@jax.tree_util.register_pytree_node_class
+class QuasilinearFluxOp3:
+    """3D matrix-free quasilinear diffusion: N(u) = Σ_e a(ū_e)(u − u_nbr).
+
+    The unit-cube analogue of :class:`QuasilinearFluxOp` — six edge fluxes
+    with coefficients at solution midpoints, h-independent FEM/FV scaling
+    (RHS carries h²; see ``core.ops3d`` for the 3D normalization).  Cubic
+    (S, S, S) grids (the FAS tier is jnp-only; see
+    ``problems.bratu.build_pointwise_hierarchy3``).
+    """
+
+    ndim = 3
+
+    def __init__(self, n: int, S: int, a: Callable, da: Callable):
+        self.n = int(n)
+        self.S = int(S)
+        self.a = a
+        self.da = da
+
+    def tree_flatten(self):
+        return (), (self.n, self.S, self.a, self.da)
+
+    @classmethod
+    def tree_unflatten(cls, aux, _children):
+        return cls(*aux)
+
+    @property
+    def grid_shape(self):
+        return (self.S, self.S, self.S)
+
+    @property
+    def h2(self) -> float:
+        return (1.0 / self.n) ** 2
+
+    def _mask(self, x):
+        from . import ops3d
+        return ops3d.mask_interior3(x, self.n)
+
+    def apply(self, u):
+        half = jnp.asarray(0.5, u.dtype)
+        out = jnp.zeros_like(u)
+        for d, ax in _EDGES3:
+            un = _shift3(u, d, ax)
+            ae = self.a(half * (u + un)).astype(u.dtype)
+            out = out + ae * (u - un)
+        return self._mask(out)
+
+    def residual(self, u, b):
+        return b - self.apply(u)
+
+    def _frozen_diag(self, u):
+        half = jnp.asarray(0.5, u.dtype)
+        d0 = jnp.zeros_like(u)
+        for d, ax in _EDGES3:
+            un = _shift3(u, d, ax)
+            d0 = d0 + self.a(half * (u + un)).astype(u.dtype)
+        return d0
+
+    def nsmooth(self, u, b, *, omega: float, sweeps: int):
+        """Picard–Jacobi (see :meth:`QuasilinearFluxOp.nsmooth`)."""
+        if sweeps <= 0:
+            return u
+        om = jnp.asarray(omega, u.dtype)
+
+        def body(_, v):
+            r = self.residual(v, b)
+            denom = self._frozen_diag(v)
+            safe = jnp.where(denom > 0, denom, jnp.ones((), v.dtype))
+            return v + self._mask(om * r / safe)
+
+        return jax.lax.fori_loop(0, sweeps, body, u)
+
+    def __repr__(self):
+        return f"QuasilinearFluxOp3(n={self.n}, S={self.S})"
 
 
 def inject_solution(u: jnp.ndarray, nf: int, Sc: int) -> jnp.ndarray:

@@ -97,6 +97,36 @@ def _diag_terms(u):
     return [-4.0 * u]
 
 
+def _ds_cascade(b, u_hi, nbr_hi, nbr_c, a_lo):
+    """The ds-residual TwoSum cascade, given precomputed neighbor sums.
+
+    Shared between the single-chip rolls path (:func:`ds_residual`) and
+    the shard-local halo path (``dist.refine``) so both evaluate
+    BITWISE-identical arithmetic.  Cascade with TwoSum: a plain sum
+    rounds at eps*max|term| ~ eps^2*|diag*u| per node, which against
+    b ~ f*h^2 floors the achievable reduction at ~eps^2*n^2*|u| (the
+    5e-8 stall measured at 16385^2); the cascade leaves only
+    eps-relative error in r itself.
+    """
+    # r = b + nbr_hi - diag*u_hi  (the large, cancelling terms)
+    s, e1 = _two_sum(b, nbr_hi)
+    errs = [e1]
+    for t in _diag_terms(u_hi):
+        s, e = _two_sum(s, t)
+        errs.append(e)
+    # Small corrections: compensation of the neighbor sum, the TwoSum
+    # errors, and the full A(u_lo) term (u_lo is rough rounding noise, so
+    # its f32 apply is eps-relative-accurate — no cancellation).
+    cs = []
+    for t in errs + [nbr_c, -a_lo]:
+        s, c = _two_sum(s, t)
+        cs.append(c)
+    tail = cs[-1]
+    for c in cs[-2::-1]:
+        tail = c + tail
+    return s + tail
+
+
 def ds_residual(b, u_hi, u_lo, n):
     """r = b - A(u_hi + u_lo) with ~eps^2 accuracy, returned as f32.
 
@@ -107,28 +137,8 @@ def ds_residual(b, u_hi, u_lo, n):
     """
     diag = 2.0 * b.ndim
     nbr_hi, nbr_c = _neighbor_sum_compensated(u_hi)
-    # r = b + nbr_hi - diag*u_hi  (the large, cancelling terms)
-    s, e1 = _two_sum(b, nbr_hi)
-    errs = [e1]
-    for t in _diag_terms(u_hi):
-        s, e = _two_sum(s, t)
-        errs.append(e)
-    # Small corrections: compensation of the neighbor sum, the TwoSum
-    # errors, and the full A(u_lo) term (u_lo is rough rounding noise, so
-    # its f32 apply is eps-relative-accurate — no cancellation).
     a_lo = diag * u_lo - _nbr_nd(u_lo)
-    # Cascade with TwoSum: a plain sum rounds at eps*max|term| ~
-    # eps^2*|diag*u| per node, which against b ~ f*h^2 floors the
-    # achievable reduction at ~eps^2*n^2*|u| (the 5e-8 stall measured at
-    # 16385^2); the cascade leaves only eps-relative error in r itself.
-    cs = []
-    for t in errs + [nbr_c, -a_lo]:
-        s, c = _two_sum(s, t)
-        cs.append(c)
-    tail = cs[-1]
-    for c in cs[-2::-1]:
-        tail = c + tail
-    r = s + tail
+    r = _ds_cascade(b, u_hi, nbr_hi, nbr_c, a_lo)
     return _mask_nd(r.astype(b.dtype), n)
 
 
@@ -336,6 +346,13 @@ def ts_residual(b, u_hi, u_mid, u_lo, n):
     diag = 2.0 * b.ndim
     nbr_h, c_h = _neighbor_sum_compensated(u_hi)
     nbr_m, c_m = _neighbor_sum_compensated(u_mid)
+    a_l = diag * u_lo - _nbr_nd(u_lo)
+    r = _ts_cascade(b, u_hi, u_mid, nbr_h, c_h, nbr_m, c_m, a_l)
+    return _mask_nd(r.astype(b.dtype), n)
+
+
+def _ts_cascade(b, u_hi, u_mid, nbr_h, c_h, nbr_m, c_m, a_l):
+    """The ts-residual TwoSum cascade (see :func:`_ds_cascade`)."""
     s, e1 = _two_sum(b, nbr_h)
     errs = [e1]
     for t in _diag_terms(u_hi):
@@ -346,7 +363,6 @@ def ts_residual(b, u_hi, u_mid, u_lo, n):
     for t in _diag_terms(u_mid):
         s, e = _two_sum(s, t)
         errs.append(e)
-    a_l = diag * u_lo - _nbr_nd(u_lo)
     cs = []
     for t in errs + [c_h, c_m, -a_l]:
         s, c = _two_sum(s, t)
@@ -354,8 +370,7 @@ def ts_residual(b, u_hi, u_mid, u_lo, n):
     tail = cs[-1]
     for c in cs[-2::-1]:
         tail = c + tail
-    r = s + tail
-    return _mask_nd(r.astype(b.dtype), n)
+    return s + tail
 
 
 def solve_refined_ts(hier: Hierarchy, cfg: MultigridConfig, b, *,

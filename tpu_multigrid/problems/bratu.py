@@ -53,7 +53,14 @@ def build_pointwise_hierarchy(config: MultigridConfig, phi: Callable,
 def build_pointwise_hierarchy3(config: MultigridConfig, phi: Callable,
                                dphi: Callable) -> Hierarchy:
     """3D per-level ``PointwiseNonlinearOp`` stack over the 7-point
-    constant stencil (diag 6); same coarsest Newton treatment as 2D."""
+    constant stencil (diag 6); same coarsest Newton treatment as 2D.
+
+    Levels are cubic (S, S, S) with S = n + 1: the FAS tier is jnp-only
+    (no Pallas kernels), so the lane-aligned (S, S, Sx) layout of
+    ``problems.poisson3d.build_poisson3d_hierarchy(lane_align=128)`` is
+    deliberately skipped here — identical to that builder's own
+    ``lane_align=1`` default (XLA lane-pads the minor dim internally
+    either way)."""
     sizes = level_sizes(config)
     levels = []
     for idx, (n, S) in enumerate(sizes):

@@ -21,8 +21,9 @@ import jax.numpy as jnp
 
 from ..config import MultigridConfig
 from ..core.grids import Hierarchy, level_sizes
-from ..core.nonlinear import QuasilinearFluxOp
+from ..core.nonlinear import QuasilinearFluxOp, QuasilinearFluxOp3
 from .poisson import poisson_rhs
+from .poisson3d import poisson3d_rhs
 
 
 def build_quasilinear_hierarchy(config: MultigridConfig, a: Callable,
@@ -31,6 +32,49 @@ def build_quasilinear_hierarchy(config: MultigridConfig, a: Callable,
     sizes = level_sizes(config, align=align, min_pad_level=min_pad_level)
     levels = tuple(QuasilinearFluxOp(n, S, a, da) for n, S in sizes)
     return Hierarchy(levels, None)
+
+
+def build_quasilinear_hierarchy3(config: MultigridConfig, a: Callable,
+                                 da: Callable) -> Hierarchy:
+    """3D quasilinear flux stack on cubic (S, S, S) = (n+1,)³ levels (the
+    FAS tier is jnp-only; see ``bratu.build_pointwise_hierarchy3``)."""
+    sizes = level_sizes(config)
+    levels = tuple(QuasilinearFluxOp3(n, S, a, da) for n, S in sizes)
+    return Hierarchy(levels, None)
+
+
+@dataclasses.dataclass
+class QuasilinearDiffusion3DProblem:
+    """−∇·(a(u)∇u) = f on the unit cube; default a = 1 + γu².
+
+    3D twin of :class:`QuasilinearDiffusionProblem` (same Picard–Jacobi
+    coarsest treatment; at coarsest_level=3 the grid is 9³)."""
+
+    config: MultigridConfig
+    gamma: float = 1.0
+    a: Callable = None
+    da: Callable = None
+    forcing: Union[float, Callable] = 6.0
+
+    def __post_init__(self):
+        if self.a is None:
+            g = float(self.gamma)
+            self.a = lambda u: 1.0 + g * u * u
+            self.da = lambda u: 2.0 * g * u
+        self.hierarchy: Hierarchy = jax.device_put(
+            build_quasilinear_hierarchy3(self.config, self.a, self.da))
+
+    @property
+    def finest(self):
+        return self.hierarchy.levels[0]
+
+    def rhs(self, level_index: int = 0, dtype=None) -> jnp.ndarray:
+        op = self.hierarchy.levels[level_index]
+        dt = dtype if dtype is not None else self.config.dtype
+        return poisson3d_rhs(op.n, op.grid_shape, self.forcing, dt)
+
+    def rhs_all_levels(self, dtype=None):
+        return [self.rhs(k, dtype) for k in range(self.hierarchy.num_levels)]
 
 
 @dataclasses.dataclass
