@@ -317,11 +317,12 @@ class VarStencilOp:
         # [diag, E, S, SE, SW]).  Built host-side at setup and uploaded
         # with the hierarchy, so solves skip the per-program restack.
         self.coef_sym = coef_sym
-        # The Pallas var-stencil kernels STORE only the E/S/SE/SW planes
-        # and derive W/N/NW/NE by shifts — valid only for symmetric
-        # stencils.  Nonsymmetric operators (upwind convection,
-        # problems/convection.py) must set False so the cycle drivers
-        # keep them on the full-9-plane jnp path.
+        # Symmetric stencils let the Pallas var kernels STORE only the
+        # E/S/SE/SW planes and derive W/N/NW/NE by shifts (~7 HBM passes
+        # per launch); nonsymmetric operators (upwind convection,
+        # problems/convection.py) set False and the kernels stream all
+        # nine planes instead (kernels/varstencil._expand_full, ~11
+        # passes — still far under the unfused jnp chain).
         self.is_symmetric = bool(is_symmetric)
 
     def tree_flatten(self):
@@ -335,15 +336,19 @@ class VarStencilOp:
                    coef_sym=children[2], is_symmetric=is_symmetric)
 
     def with_sym_planes(self):
-        """Attach host-built symmetric planes (numpy coef only; no-op
-        otherwise and for nonsymmetric operators)."""
+        """Attach host-built kernel coefficient planes (numpy coef only;
+        no-op otherwise): (5, S, S) symmetric storage, or the full
+        (9, S, S) stack for nonsymmetric operators."""
         import numpy as np
-        if not self.is_symmetric:
-            return self
         if self.coef_sym is None and isinstance(self.coef, np.ndarray):
             c = self.coef
-            self.coef_sym = np.stack([c[1, 1], c[1, 2], c[2, 1],
-                                      c[2, 2], c[2, 0]])
+            if self.is_symmetric:
+                self.coef_sym = np.stack([c[1, 1], c[1, 2], c[2, 1],
+                                          c[2, 2], c[2, 0]])
+            else:
+                self.coef_sym = np.stack([c[1, 1], c[1, 2], c[2, 1],
+                                          c[2, 2], c[2, 0], c[1, 0],
+                                          c[0, 1], c[0, 0], c[0, 2]])
         return self
 
     def _mask(self, u):

@@ -67,8 +67,9 @@ def _smooth(op, u, b, cfg: MultigridConfig, sweeps: int):
 def _var_kernel_ok(op, cfg: MultigridConfig, dtype, sweeps: int) -> bool:
     if not (cfg.use_pallas and isinstance(op, VarStencilOp)):
         return False
-    if not getattr(op, "is_symmetric", True):
-        return False  # kernels use 5-plane symmetric storage
+    # Nonsymmetric operators (upwind convection) stream all 9 planes
+    # (kernels/varstencil._expand_full, VERDICT r3 next #3); symmetric
+    # ones stream 5 and derive the rest in VMEM.
     if cfg.smoother not in ("jacobi", "rbgs", "chebyshev"):
         return False  # line smoothers run the jnp path
     if cfg.effective_smooth_dtype != dtype:
@@ -260,8 +261,8 @@ def _use_var_super_kernels(op, opc, cfg: MultigridConfig, dtype) -> bool:
     """Whether the fused var-coefficient super-kernels (K1v/K2v) apply."""
     if not (cfg.use_pallas and isinstance(op, VarStencilOp)):
         return False
-    if not getattr(op, "is_symmetric", True):
-        return False  # kernels use 5-plane symmetric storage
+    # Nonsymmetric 9-plane storage rides the same kernels (see
+    # _var_kernel_ok); no is_symmetric bail.
     if cfg.smoother not in ("jacobi", "rbgs", "chebyshev"):
         return False
     if cfg.effective_smooth_dtype != dtype:

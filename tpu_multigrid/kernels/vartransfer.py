@@ -32,7 +32,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .transfer import (_bilinear_prolong, _fw_even2, _fw_zero_wrap, _geom,
                        _masks, _row_quanta)
-from .varstencil import _expand_sym, _low0_masks, _offdiag_apply
+from .varstencil import _expand, _low0_masks, _offdiag_apply
 
 
 def supported(Sf: int, Sc: int, steps: int, dtype) -> bool:
@@ -77,6 +77,7 @@ def _var_smooth_restrict(u, b, coef, *, n, Sc, steps, smoother, omega,
                          box=None, cbox=None):
     S = u.shape[-1]
     dtype = u.dtype
+    nplanes = coef.shape[0]
     rq, crq = _row_quanta(dtype)
     tr, tc, hr, hc = _geom(S, dtype)
     WFr, WFc = tr + 2 * hr, tc + 2 * hc
@@ -154,7 +155,7 @@ def _var_smooth_restrict(u, b, coef, *, n, Sc, steps, smoother, omega,
 
             _, _, rf0, cf0 = coords(t)
             interior, parity = _masks(rf0, cf0, WFr, WFc, n, box)
-            diag, planes = _expand_sym(c_buf)
+            diag, planes = _expand(c_buf, nplanes)
             low0 = _low0_masks(rf0, cf0, WFr, WFc, box)
             invd = _invd_of(diag, dtype)
             state = u_buf[slot]
@@ -198,7 +199,7 @@ def _var_smooth_restrict(u, b, coef, *, n, Sc, steps, smoother, omega,
         scratch_shapes=[
             pltpu.VMEM((2, WFr, WFc), dtype),
             pltpu.VMEM((2, WFr, WFc), dtype),
-            pltpu.VMEM((5, WFr, WFc), dtype),
+            pltpu.VMEM((nplanes, WFr, WFc), dtype),
             pltpu.VMEM((2, WFr // 2, WFc // 2), dtype),
             pltpu.SemaphoreType.DMA((2, 2)),
             pltpu.SemaphoreType.DMA(()),
@@ -222,6 +223,7 @@ def _var_prolong_smooth(u, b, ec, coef, *, n, steps, smoother, omega,
                         want_resnorm=False, box=None):
     S = u.shape[-1]
     dtype = u.dtype
+    nplanes = coef.shape[0]
     rq, crq = _row_quanta(dtype)
     tr, tc, hr, hc = _geom(S, dtype, fam="k2")
     Wrc, Wcc = tr // 2 + hr, tc // 2 + hc
@@ -299,7 +301,7 @@ def _var_prolong_smooth(u, b, ec, coef, *, n, steps, smoother, omega,
             _, _, r0c, c0c = coords(t)
             rf0, cf0 = 2 * r0c, 2 * c0c
             interior, parity = _masks(rf0, cf0, WFr, WFc, n, box)
-            diag, planes = _expand_sym(c_buf)
+            diag, planes = _expand(c_buf, nplanes)
             low0 = _low0_masks(rf0, cf0, WFr, WFc, box)
             invd = _invd_of(diag, dtype)
             corr = _bilinear_prolong(e_buf[slot])
@@ -349,7 +351,7 @@ def _var_prolong_smooth(u, b, ec, coef, *, n, steps, smoother, omega,
             pltpu.VMEM((2, WFr, WFc), dtype),
             pltpu.VMEM((2, WFr, WFc), dtype),
             pltpu.VMEM((2, Wrc, Wcc), dtype),
-            pltpu.VMEM((5, WFr, WFc), dtype),
+            pltpu.VMEM((nplanes, WFr, WFc), dtype),
             pltpu.SMEM((1, 1), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 3)),
             pltpu.SemaphoreType.DMA(()),

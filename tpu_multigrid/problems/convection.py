@@ -79,9 +79,10 @@ def convection_diffusion_op(n: int, S: int, eps: float, bx, by,
     diag = coef[1, 1]
     inv_diag = np.where(m, 1.0 / np.where(m, diag, 1.0), 0.0)
     dt = np.dtype(jnp.dtype(dtype).name)
-    # is_symmetric=False keeps this operator off the Pallas var kernels,
-    # whose 5-plane storage derives W/N from E/S by shifts (symmetric
-    # stencils only); upwind runs the full-9-plane jnp path.
+    # is_symmetric=False routes the Pallas var kernels to full 9-plane
+    # streaming (kernels/varstencil._expand_full) instead of the 5-plane
+    # symmetric storage whose W/N derivation by shifts would be wrong
+    # here (VERDICT r3 next #3: upwind now rides K1v/K2v).
     return VarStencilOp(coef.astype(dt), inv_diag.astype(dt), n, S,
                         is_symmetric=False)
 
@@ -111,6 +112,9 @@ def build_convection_hierarchy(config: MultigridConfig, eps: float, bx, by,
     else:
         raise ValueError(f'method must be "rediscretize" or "galerkin", '
                          f'got {method!r}')
+    for op in levels:
+        if hasattr(op, "with_sym_planes"):
+            op.with_sym_planes()    # (9, S, S) full stack for nonsym ops
     coarse_inv = None
     if config.coarse_solver == "direct":
         coarse_inv = coarse_dense_inverse(levels[-1])
