@@ -150,6 +150,86 @@ _SLOW_TESTS = frozenset([
     "test_utils.py::test_checkpoint_roundtrip_and_resume",
     "test_varstencil_kernels.py::test_var_smooth_matches_op[jacobi-1536-1500]",
     "test_varstencil_kernels.py::test_var_smooth_matches_op[jacobi-256-250]",
+    # r4 re-balance (VERDICT r3 weak #8): every test measured >= 9 s in the
+    # r4 full-durations core run moves to the slow tier, bringing the core
+    # tier under ~10 min on this 1-core host.  Coverage is unchanged in the
+    # full tier (pre-commit bar for kernel/cycle changes).
+    "test_anisotropic.py::TestRotated::test_45deg_usable_rate[rbgs-nu1]",
+    "test_anisotropic.py::TestRotated::test_45deg_usable_rate[zebra_x-nu0]",
+    "test_anisotropic.py::TestRotated::test_o_h2_manufactured_rotated",
+    "test_anisotropic.py::TestRotated::test_pcg_wraps_hard_rotation",
+    "test_convection3d.py::TestAccuracy::test_manufactured_o_h",
+    "test_convection3d.py::TestConvergence::test_rbgs_h_independent[0.005]",
+    "test_convection3d.py::TestConvergence::test_rbgs_h_independent[0.02]",
+    "test_cycles.py::test_cycle_count_grid_independent",
+    "test_diffusion3d.py::TestReactionShift3D::test_manufactured_o_h2",
+    "test_diffusion3d.py::test_api_entry",
+    "test_dist_operator.py::TestAPI::test_distributed_family_solves_converge",
+    "test_dist_operator.py::TestZebraLines::test_zebra_api_rowband_mesh",
+    "test_dist_operator.py::TestZebraLines::test_zebra_x_1_vs_4_rowband",
+    "test_dist_operator.py::TestZebraLines::test_zebra_y_1_vs_4_colband",
+    "test_dist_pallas_var3.py::test_pallas_var3_lean_halo_bitwise_matches_full",
+    "test_dist_pallas_var3.py::test_pallas_var3_solve_matches_single_device[mesh_shape0]",
+    "test_dist_pallas_var3.py::test_pallas_var3_solve_matches_single_device[mesh_shape1]",
+    "test_dist_var.py::test_api_mesh_matches_single_device_f64",
+    "test_dist_var.py::test_api_mesh_routes_to_sharded",
+    "test_dist_var.py::test_local_var_ops_match_global[mesh_shape0]",
+    "test_dist_var3.py::test_convergence_2x4",
+    "test_dist_var3.py::test_local_var3_ops_match_global[mesh_shape0]",
+    "test_dist_var3.py::test_matches_single_chip_problem",
+    "test_dist_var3.py::test_parity_2x2_vs_1x1",
+    "test_eigen.py::test_poisson3d_ground_state",
+    "test_eigen.py::test_unit_square_ground_state_o_h2",
+    "test_fas.py::test_bratu_manufactured_solution_order",
+    "test_fas.py::test_fas_reduces_to_linear_cycle[F]",
+    "test_fas.py::test_fas_reduces_to_linear_cycle[V]",
+    "test_fas.py::test_fas_reduces_to_linear_cycle[W]",
+    "test_galerkin.py::test_host_rap_matches_probing_exactly",
+    "test_kernels.py::test_prolong_smooth_matches_composition[rbgs-1280-768-1024]",
+    "test_kernels.py::test_smooth_restrict_matches_composition[jacobi-768-512-512]",
+    "test_kernels.py::test_super_kernels_bf16[jacobi]",
+    "test_krylov.py::test_pcg_poisson_matches_oracle",
+    "test_lines_fused.py::TestK1z::test_matches_jnp[1]",
+    "test_lines_fused.py::TestK1z::test_matches_jnp[2]",
+    "test_lines_fused.py::TestK1z::test_rotated_multi_tile",
+    "test_mixedbc3d.py::test_convergence_factor_bounded[neumann0]",
+    "test_mixedbc3d.py::test_convergence_factor_bounded[neumann1]",
+    "test_mixedbc3d.py::test_manufactured_homogeneous_neumann_order",
+    "test_mixedbc3d.py::test_manufactured_inhomogeneous_neumann_exact",
+    "test_periodic.py::TestSolve::test_mesh_independent_rho",
+    "test_periodic3d.py::TestSolve::test_mesh_independent_rho_deep_hierarchy",
+    "test_poisson3d.py::TestBoundaryLifting3D::test_constant_boundary_all_families",
+    "test_poisson3d.py::TestSolve3d::test_matches_dense_solve",
+    "test_poisson3d.py::TestSolve3d::test_w_cycle_and_chebyshev",
+    "test_poisson4.py::TestAccuracy::test_o_h4_vs_o_h2",
+    "test_poisson4.py::TestConvergence::test_mesh_independent[chebyshev-nu0]",
+    "test_poisson4.py::TestConvergence::test_mesh_independent[rbgs-nu1]",
+    "test_poisson4_3d.py::TestSolve::test_mesh_independent_rho",
+    "test_poisson4_3d.py::TestSolve::test_o_h4_via_api",
+    "test_semicoarsen.py::TestAccuracy::test_manufactured_o_h2",
+    "test_semicoarsen.py::TestConvergence::test_beats_full_coarsening_point_smoother",
+    "test_semicoarsen.py::TestConvergence::test_fmg_start",
+    "test_semicoarsen.py::TestConvergence::test_point_smoother_h_independent[100.0]",
+    "test_semicoarsen3.py::TestAPI::test_manufactured_solution_o_h2",
+    "test_semicoarsen3.py::TestAPI::test_solve_converges_all_axes",
+    "test_semicoarsen3.py::TestRobustness::test_h_independent_rate",
+    "test_semicoarsen3.py::TestRobustness::test_semi_beats_full_at_strong_anisotropy",
+    "test_tetmesh.py::TestSolve::test_direct_o_h2_convergence",
+    "test_tetmesh.py::TestSolve::test_h_independent_rate_fichera",
+    "test_transfer3d.py::test_local3_kernels_direct_y_core",
+    "test_transfer3d.py::test_y_core_shrink_two_axis_tiling[jacobi-3]",
+    "test_transfer3d.py::test_y_core_shrink_two_axis_tiling[rbgs-2]",
+    "test_utils.py::test_debug_guards_3d",
+    "test_utils.py::test_sharded_checkpoint_roundtrip_and_resume",
+    "test_varstencil_kernels.py::test_var_kernel_9pt_galerkin_level",
+    "test_varstencil_kernels.py::test_var_smooth_matches_op[jacobi-640-512]",
+    "test_varstencil_kernels.py::test_var_smooth_matches_op[rbgs-1536-1500]",
+    "test_varstencil_kernels.py::test_var_smooth_matches_op[rbgs-256-250]",
+    "test_varstencil_kernels.py::test_var_smooth_residual_matches_op[640-512]",
+    "test_vartransfer3d.py::test_fused_var_cycle_matches_jnp",
+    "test_vartransfer3d.py::test_k1v3_smooth_restrict[tiled-jacobi-0.6666666666666666]",
+    "test_vartransfer3d.py::test_k1v3_smooth_restrict[tiled-rbgs-1.0]",
+    "test_vartransfer3d.py::test_k2v3_prolong_smooth[tiled]",
     "test_vartransfer_kernels.py::test_full_cycle_var_super_kernels_match_jnp",
 ])
 

@@ -57,7 +57,11 @@ class TestOperator:
         assert c[1, 0, 4, 4] == pytest.approx(-2.0 * h)
         assert c[1, 2, 4, 4] == 0.0
 
-    def test_nonsymmetric_stays_off_pallas_kernels(self):
+    def test_nonsymmetric_rides_pallas_kernels_when_supported(self):
+        """r4: the is_symmetric bail is gone — nonsymmetric operators at
+        kernel-supported sizes engage K1v/K2v with 9-plane streaming
+        (tests/test_nonsym_kernels.py has the numerical parity); small
+        unpadded sizes still fall back to jnp via the size gates."""
         from tpu_multigrid.cycles import (_use_var_super_kernels,
                                           _var_kernel_ok)
 
@@ -66,9 +70,17 @@ class TestOperator:
         op = convection_diffusion_op(32, 33, 0.01, 1.0, 0.0)
         opc = convection_diffusion_op(16, 17, 0.01, 1.0, 0.0)
         assert not op.is_symmetric
+        # too small / unaligned -> size gates keep it on jnp
         assert not _var_kernel_ok(op, cfg, jnp.float32, 2)
         assert not _use_var_super_kernels(op, opc, cfg, jnp.float32)
-        assert op.with_sym_planes().coef_sym is None
+        # the 9-plane stack is precomputable for the kernels
+        planes = op.with_sym_planes().coef_sym
+        assert planes is not None and planes.shape[0] == 9
+        # kernel-supported sizes engage
+        big = convection_diffusion_op(250, 256, 0.01, 1.0, 0.0)
+        bigc = convection_diffusion_op(125, 128, 0.01, 1.0, 0.0)
+        assert _var_kernel_ok(big, cfg, jnp.float32, 2)
+        assert _use_var_super_kernels(big, bigc, cfg, jnp.float32)
 
 
 class TestConvergence:

@@ -801,17 +801,20 @@ def solve_nonlinear_poisson(
     max_cycles: int = 100,
     num_cycles: Optional[int] = None,
     use_fmg: bool = False,
+    mesh=None,
     jit: bool = True,
 ) -> SolveResult:
     """Solve -lap(u) + phi(u) = forcing by FAS multigrid (2D or 3D).
 
     ``phi``/``dphi`` are traceable pointwise callables (the nonlinearity
     and its derivative).  ``ndim=3`` solves on the unit cube (7-point
-    stencil, trilinear/FW transfers; problems/bratu.py).  Nonlinear
-    capability surplus over the linear-only reference
-    (``Poissons_SYCL.cpp:119-123``); see ``cycles/fas.py`` for the
-    scheme.  ``use_fmg=True`` runs one FMG-FAS (nested iteration) pass
-    first.  Default forcing: 4 (2D) / 6 (3D), matching the Poisson
+    stencil, trilinear/FW transfers; problems/bratu.py).  ``mesh``: an
+    optional 2D device mesh — FAS distributes via shard-local
+    Jacobi–Newton sweeps and solution injection (dist/fas.py; 2D only,
+    no FMG yet).  Nonlinear capability surplus over the linear-only
+    reference (``Poissons_SYCL.cpp:119-123``); see ``cycles/fas.py`` for
+    the scheme.  ``use_fmg=True`` runs one FMG-FAS (nested iteration)
+    pass first.  Default forcing: 4 (2D) / 6 (3D), matching the Poisson
     entries.
     """
     if ndim not in (2, 3):
@@ -822,6 +825,16 @@ def solve_nonlinear_poisson(
         config = dataclasses.replace(config, finest_level=finest_level)
     if forcing is None:
         forcing = 4.0 if ndim == 2 else 6.0
+    if mesh is not None:
+        if ndim != 2 or use_fmg:
+            raise ValueError("mesh= FAS supports the 2D pointwise tier "
+                             "without FMG (use the single-device path)")
+        from .dist.fas import fas_sharded_solve
+        res, _ = fas_sharded_solve(
+            config, mesh, phi=phi, dphi=dphi, forcing=forcing,
+            tol=tol, max_cycles=max_cycles, num_cycles=num_cycles,
+            jit=jit)
+        return res
     if ndim == 3:
         from .problems.bratu import NonlinearPoisson3DProblem
         problem = NonlinearPoisson3DProblem(config, phi=phi, dphi=dphi,
@@ -845,13 +858,15 @@ def solve_bratu(
     max_cycles: int = 100,
     num_cycles: Optional[int] = None,
     use_fmg: bool = False,
+    mesh=None,
     jit: bool = True,
 ) -> SolveResult:
     """Solve the Bratu problem -lap(u) - lam * exp(u) = forcing (FAS).
 
     Converges to the lower solution branch for lam below the critical
     value (~6.81 on the unit square, ~9.9 on the unit cube with
-    ``ndim=3``); see problems/bratu.py.
+    ``ndim=3``); see problems/bratu.py.  ``mesh``: optional 2D device
+    mesh (distributed FAS, dist/fas.py; 2D, no FMG).
     """
     if ndim not in (2, 3):
         raise ValueError(f"ndim must be 2 or 3, got {ndim}")
@@ -859,6 +874,18 @@ def solve_bratu(
         config = MultigridConfig(finest_level=finest_level)
     elif config.finest_level != finest_level:
         config = dataclasses.replace(config, finest_level=finest_level)
+    if mesh is not None:
+        if ndim != 2 or use_fmg:
+            raise ValueError("mesh= FAS supports the 2D pointwise tier "
+                             "without FMG (use the single-device path)")
+        lamf = float(lam)
+        phi = lambda u: -lamf * jnp.exp(u)
+        from .dist.fas import fas_sharded_solve
+        res, _ = fas_sharded_solve(
+            config, mesh, phi=phi, dphi=phi, forcing=forcing,
+            tol=tol, max_cycles=max_cycles, num_cycles=num_cycles,
+            jit=jit)
+        return res
     if ndim == 3:
         from .problems.bratu import Bratu3DProblem
         problem = Bratu3DProblem(config, lam=lam, forcing=forcing)
