@@ -61,14 +61,52 @@ def solve_poisson(
     elif config.finest_level != finest_level:
         config = dataclasses.replace(config, finest_level=finest_level)
     if mesh is not None:
+        if bc == "periodic":
+            # Torus Poisson on shards (dist/periodic.py): ppermute wrap
+            # ghosts ARE the periodic neighbors; mean-zero gauge.
+            if (boundary is not None or neumann or refined or order != 2
+                    or use_fmg):
+                raise ValueError("mesh= bc='periodic' is incompatible "
+                                 "with boundary/neumann/refined/order/"
+                                 "use_fmg options")
+            from .dist.periodic import periodic_sharded_solve
+            res, _ = periodic_sharded_solve(
+                config, mesh, forcing=forcing, tol=tol,
+                max_cycles=max_cycles, num_cycles=num_cycles, u0=u0,
+                jit=jit)
+            return res
+        if bc == "dirichlet" and order == 4:
+            # Mehrstellen on shards: the constant 9-point stencil rides
+            # the operator-general path; the smoothed RHS (h^2 * B f) is
+            # assembled globally once and passed through b0=.
+            if boundary is not None or neumann or refined or use_fmg:
+                raise ValueError("mesh= order=4 is incompatible with "
+                                 "boundary/neumann/refined/use_fmg")
+            from .dist.shard_cycle import (sharded_level_sizes,
+                                           sharded_solve)
+            from .problems.poisson4 import (mehrstellen_rhs,
+                                            mehrstellen_var_op)
+            my, mx = mesh.devices.shape
+            n0, S0 = sharded_level_sizes(config, (my, mx)).sizes[0]
+            b0 = mehrstellen_rhs(n0, S0, forcing, config.dtype)
+            res, _ = sharded_solve(
+                config, mesh, b0=b0,
+                operator=lambda n, S: mehrstellen_var_op(n, S,
+                                                         config.dtype),
+                operator_coarsening="rediscretize", u0=u0,
+                tol=tol if tol is not None else 0.0,
+                max_cycles=max_cycles, num_cycles=num_cycles, jit=jit)
+            return res
         if bc != "dirichlet" or order != 2:
             raise ValueError("mesh= supports the second-order Dirichlet "
-                             f"path only (got bc={bc!r}, order={order})")
+                             f"(order 2 and 4) and periodic paths only "
+                             f"(got bc={bc!r}, order={order})")
         return _solve_on_mesh(config, mesh, forcing=forcing, u0=u0,
                               tol=tol, max_cycles=max_cycles,
                               num_cycles=num_cycles, use_fmg=use_fmg,
                               dist_path=dist_path, jit=jit,
                               boundary=boundary, neumann=neumann,
+                              neumann_value=neumann_value,
                               refined=refined)
     if neumann:
         if boundary is not None:
@@ -129,14 +167,42 @@ def _pad_kw(config: MultigridConfig) -> dict:
 def _solve_on_mesh(config, mesh, *, forcing, u0, tol, max_cycles,
                    num_cycles, use_fmg, dist_path, jit,
                    coefficient=None, boundary=None, neumann=(),
-                   refined=False) -> SolveResult:
+                   neumann_value=0.0, refined=False) -> SolveResult:
     """Route a solve onto a device mesh (dist.shard_cycle /
     dist.pallas_cycle) with the single-chip API surface."""
-    if boundary is not None or neumann:
-        raise ValueError("mesh= does not support boundary lifting or "
-                         "neumann sides yet; use the single-device path")
+    if boundary is not None:
+        raise ValueError("mesh= does not support boundary lifting yet; "
+                         "use the single-device path")
     if tol is None and num_cycles is None:
         raise ValueError("need either tol or num_cycles (both are None)")
+    if neumann:
+        # Mixed Dirichlet/Neumann on shards: box operators ride the
+        # operator-general 9-point path (shard-local box masks,
+        # box-nesting Galerkin coarsening); the FEM-weighted RHS is
+        # assembled globally once (problems.mixedbc.mixed_rhs) and
+        # passed via b0=.
+        if refined:
+            raise ValueError("refined=True is not supported with neumann "
+                             "sides (the compensated cascades are "
+                             "interior-5-point-specialized)")
+        if dist_path == "pallas":
+            raise ValueError('dist_path="pallas" does not support neumann '
+                             'sides (extended-block kernels are interior-'
+                             'specialized); use dist_path="jnp"')
+        from .dist.shard_cycle import sharded_level_sizes, sharded_solve
+        from .problems.mixedbc import mixed_poisson_op, mixed_rhs
+        my, mx = mesh.devices.shape
+        n0, S0 = sharded_level_sizes(config, (my, mx)).sizes[0]
+        b0 = mixed_rhs(n0, S0, neumann, forcing, neumann_value,
+                       config.dtype)
+        res, _ = sharded_solve(
+            config, mesh, b0=b0,
+            operator=lambda n, S: mixed_poisson_op(
+                n, S, neumann, dtype=config.dtype),
+            operator_coarsening="galerkin", u0=u0, use_fmg=use_fmg,
+            tol=tol if tol is not None else 0.0, max_cycles=max_cycles,
+            num_cycles=num_cycles, jit=jit)
+        return res
     if refined:
         # Distributed compensated refinement (dist/refine.py): the ds
         # outer iterate matching the single-chip refined=True semantics.
@@ -315,14 +381,6 @@ def solve_anisotropic(
         if coarsening == "semi":
             raise ValueError("mesh= distributes the full-coarsening "
                              "Galerkin path only")
-        if config.smoother == "zebra_x" and mesh.devices.shape[1] != 1:
-            raise ValueError("zebra_x distributes only over row-band "
-                             "meshes (mesh_shape=(k, 1)): the x-line "
-                             "tridiagonals must stay shard-local")
-        if config.smoother == "zebra_y" and mesh.devices.shape[0] != 1:
-            raise ValueError("zebra_y distributes only over column-band "
-                             "meshes (mesh_shape=(1, k)): the y-line "
-                             "tridiagonals must stay shard-local")
         if boundary is not None:
             raise ValueError("mesh= does not support boundary lifting")
         import numpy as _np
@@ -649,6 +707,8 @@ def solve_anisotropic3d(
     eps_x: float = 1.0,
     eps_y: float = 1.0,
     eps_z: float = 1.0,
+    angle: float = 0.0,
+    plane: str = "xy",
     config: Optional[MultigridConfig] = None,
     forcing: Union[float, Callable] = 6.0,
     tol: Optional[float] = 1e-8,
@@ -658,17 +718,25 @@ def solve_anisotropic3d(
     balance: float = 2.0,
     jit: bool = True,
 ) -> SolveResult:
-    """Solve -(eps_x u_xx + eps_y u_yy + eps_z u_zz) = forcing on the
-    unit cube via the coupling-balanced SEMI-COARSENED hierarchy
-    (core.semicoarsen3): point Jacobi/Chebyshev smoothing stays
-    mesh-independent at any axis-aligned anisotropy because only the
-    strongly coupled axes coarsen per level.  For mild anisotropy the
-    full-coarsening variable-coefficient tier (``solve_diffusion3d``)
-    also works and runs the fused 3D Pallas kernels.
+    """Solve -div(K grad u) = forcing on the unit cube,
+    K = R(angle, plane) diag(eps_x, eps_y, eps_z) R(angle, plane)^T.
+
+    ``angle = 0`` (default): the axis-aligned case via the
+    coupling-balanced SEMI-COARSENED hierarchy (core.semicoarsen3):
+    point Jacobi/Chebyshev smoothing stays mesh-independent at any
+    axis-aligned anisotropy because only the strongly coupled axes
+    coarsen per level.  For mild anisotropy the full-coarsening
+    variable-coefficient tier (``solve_diffusion3d``) also works and
+    runs the fused 3D Pallas kernels.
+
+    ``angle != 0``: the ROTATED tensor (cross-derivative) case via the
+    matrix-free 19-point constant-K operator (``Rotated3DOp``) with
+    full coarsening — the 3D counterpart of
+    ``solve_anisotropic(angle=...)``; ``plane`` picks the rotation
+    plane ("xy"/"xz"/"yz").
 
     Extension beyond the isotropic-only reference
-    (``Poissons_SYCL.cpp:119-123``); 3D analogue of
-    ``solve_anisotropic(coarsening="semi")``.
+    (``Poissons_SYCL.cpp:119-123``).
     """
     if config is None:
         config = MultigridConfig(finest_level=finest_level,
@@ -679,6 +747,19 @@ def solve_anisotropic3d(
         raise ValueError("3D semi-coarsening uses point smoothers "
                          "(jacobi/chebyshev/rbgs); line relaxation is the "
                          "2D remedy")
+    if angle != 0.0:
+        # Rotated tensor (cross derivatives): the 19-point constant-K
+        # operator on a full-coarsening re-discretized hierarchy
+        # (problems/anisotropic3d.py Rotated3DOp; VERDICT r3 next #7) —
+        # the 3D counterpart of solve_anisotropic(angle=...).  Pair
+        # with W-cycles / Krylov wrapping at strong anisotropy, like the
+        # 2D rotated guidance.
+        from .problems.anisotropic3d import RotatedAnisotropic3DProblem
+        problem = RotatedAnisotropic3DProblem(
+            config, eps_x=eps_x, eps_y=eps_y, eps_z=eps_z, angle=angle,
+            plane=plane, forcing=forcing)
+        return _run(problem, config, tol, max_cycles, num_cycles, use_fmg,
+                    jit)
     from .problems.anisotropic3d import AnisotropicPoisson3DProblem
     problem = AnisotropicPoisson3DProblem(config, eps_x=eps_x,
                                           eps_y=eps_y, eps_z=eps_z,

@@ -16,8 +16,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import MultigridConfig
-from .operators import (ConstStencilOp3D, VarStencilOp, galerkin_coarsen,
-                        poisson_op)
+from .operators import (ConstStencilOp, ConstStencilOp3D, VarStencilOp,
+                        galerkin_coarsen, poisson_op)
 
 
 def round_up(x: int, m: int) -> int:
@@ -90,6 +90,15 @@ def coarse_dense_inverse(op, dtype=None) -> jnp.ndarray:
     n, S = op.n, op.S
     box = getattr(op, "box", None)
     coef = getattr(op, "coef", None)
+    if type(op) is ConstStencilOp:
+        # Closed-form 5-point assembly (h-independent: diag 4, off -1)
+        # for the constant 2D stencil — no device probing at setup
+        # (probing runs an on-device vmap; through the TPU tunnel a
+        # wedged/busy worker turns hierarchy CONSTRUCTION into a device
+        # dependency, r4 on-chip forensics).
+        from .nonlinear import dense_poisson_matrix
+        inv = np.linalg.inv(dense_poisson_matrix(n))
+        return jnp.asarray(inv, dtype if dtype is not None else jnp.float32)
     if isinstance(op, ConstStencilOp3D):
         # Closed-form 7-point assembly (h-independent: diag 6, off -1),
         # for the constant-stencil 3D op ONLY (var/directional/19-point

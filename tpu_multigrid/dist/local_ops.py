@@ -66,6 +66,23 @@ def interior_mask_local(shape, n):
     return (gi >= 1) & (gi <= n - 1) & (gj >= 1) & (gj <= n - 1)
 
 
+def box_mask_local(shape, box):
+    """Inclusive global unknown box (i0, i1, j0, j1) on a local block —
+    mixed Dirichlet/Neumann problems keep Neumann-side boundary nodes as
+    unknowns (problems/mixedbc.py)."""
+    i0, i1, j0, j1 = box
+    r, c = shape
+    r0, c0 = _local_offsets(shape)
+    gi = lax.broadcasted_iota(jnp.int32, (r, c), 0) + r0
+    gj = lax.broadcasted_iota(jnp.int32, (r, c), 1) + c0
+    return (gi >= i0) & (gi <= i1) & (gj >= j0) & (gj <= j1)
+
+
+def mask_of_local(shape, n, box=None):
+    return (box_mask_local(shape, box) if box is not None
+            else interior_mask_local(shape, n))
+
+
 def neighbor_sum_local(u):
     h = with_halo1(u)
     return (h[:-2, 1:-1] + h[2:, 1:-1] + h[1:-1, :-2] + h[1:-1, 2:])
@@ -134,11 +151,13 @@ def rbgs_local(u, b, n, sweeps):
     return lax.fori_loop(0, sweeps, body, u)
 
 
-def restrict_fw_local(rf, nf):
+def restrict_fw_local(rf, nf, box=None):
     """Full-weighting restriction of a local fine block -> local coarse block.
 
     Fine block (r, c) at global origin (r0, c0) (both even since block sizes
     are even) maps to coarse block (r//2, c//2) at (r0//2, c0//2).
+    ``box``: optional COARSE unknown box (mixed-BC; same zero-boundary
+    blur, different mask — R = P^T holds on boxes, core.ops.restrict_fw).
     """
     nc = nf // 2
     h = with_halo1(rf)
@@ -149,12 +168,13 @@ def restrict_fw_local(rf, nf):
          _shift_from_next(row3[:, :1], GX)], axis=1)
     g = 0.25 * (hh[:, :-2] + 2.0 * hh[:, 1:-1] + hh[:, 2:])
     coarse = g[::2, ::2]
-    m = interior_mask_local(coarse.shape, nc)
+    m = mask_of_local(coarse.shape, nc, box)
     return jnp.where(m, coarse, jnp.zeros((), rf.dtype)).astype(rf.dtype)
 
 
-def prolong_local(ec, nc):
-    """Bilinear prolongation of a local coarse block -> local fine block."""
+def prolong_local(ec, nc, box=None):
+    """Bilinear prolongation of a local coarse block -> local fine block.
+    ``box``: optional FINE unknown box (mixed-BC)."""
     nf = 2 * nc
     h = with_halo1(ec)
     c = h[1:-1, 1:-1]
@@ -170,7 +190,7 @@ def prolong_local(ec, nc):
     f = f.at[1::2, 0::2].set(va.astype(ec.dtype))
     f = f.at[0::2, 1::2].set(ha.astype(ec.dtype))
     f = f.at[1::2, 1::2].set(qa.astype(ec.dtype))
-    m = interior_mask_local(f.shape, nf)
+    m = mask_of_local(f.shape, nf, box)
     return jnp.where(m, f, jnp.zeros((), ec.dtype))
 
 

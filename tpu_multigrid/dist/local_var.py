@@ -39,27 +39,28 @@ def var_off_diag_local(u, coef):
     return acc
 
 
-def var_apply_local(u, coef, n):
+def var_apply_local(u, coef, n, box=None):
     out = coef[1, 1] * u + var_off_diag_local(u, coef)
-    m = L.interior_mask_local(u.shape, n)
+    m = L.mask_of_local(u.shape, n, box)
     return jnp.where(m, out, jnp.zeros((), u.dtype)).astype(u.dtype)
 
 
-def var_residual_local(u, b, coef, n):
+def var_residual_local(u, b, coef, n, box=None):
     r = b - coef[1, 1] * u - var_off_diag_local(u, coef)
-    m = L.interior_mask_local(u.shape, n)
+    m = L.mask_of_local(u.shape, n, box)
     return jnp.where(m, r, jnp.zeros((), u.dtype)).astype(u.dtype)
 
 
-def var_jacobi_local(u, b, coef, inv_diag, n, omega, sweeps):
+def var_jacobi_local(u, b, coef, inv_diag, n, omega, sweeps, box=None):
     """Weighted Jacobi on local blocks; one halo exchange per sweep.
 
     ``omega`` may be a per-sweep tuple (Chebyshev schedule) — matching
     ``VarStencilOp._jacobi`` exactly so 1-vs-N parity holds bitwise on CPU.
+    ``box``: optional global unknown box (mixed-BC).
     """
     if sweeps <= 0:
         return u
-    m = L.interior_mask_local(u.shape, n)
+    m = L.mask_of_local(u.shape, n, box)
     inv_d = inv_diag.astype(u.dtype)
 
     if isinstance(omega, tuple):
@@ -84,7 +85,7 @@ def var_jacobi_local(u, b, coef, inv_diag, n, omega, sweeps):
     return lax.fori_loop(0, sweeps, body, u, unroll=min(sweeps, 4))
 
 
-def var_rbgs_local(u, b, coef, inv_diag, n, sweeps):
+def var_rbgs_local(u, b, coef, inv_diag, n, sweeps, box=None):
     """Red-black Gauss-Seidel on local blocks (two exchanges per sweep)."""
     if sweeps <= 0:
         return u
@@ -92,7 +93,7 @@ def var_rbgs_local(u, b, coef, inv_diag, n, sweeps):
     r0, c0 = L._local_offsets(u.shape)
     gi = lax.broadcasted_iota(jnp.int32, (r, c), 0) + r0
     gj = lax.broadcasted_iota(jnp.int32, (r, c), 1) + c0
-    inter = (gi >= 1) & (gi <= n - 1) & (gj >= 1) & (gj <= n - 1)
+    inter = L.mask_of_local(u.shape, n, box)
     red = inter & ((gi + gj) % 2 == 0)
     black = inter & ((gi + gj) % 2 == 1)
     inv_d = inv_diag.astype(u.dtype)
@@ -100,7 +101,7 @@ def var_rbgs_local(u, b, coef, inv_diag, n, sweeps):
     def half(v, color):
         # v + D^-1 (b - A v) on the updated color, matching
         # VarStencilOp._rbgs (which uses the masked full apply).
-        av = var_apply_local(v, coef, n)
+        av = var_apply_local(v, coef, n, box)
         vn = v + inv_d * (b - av)
         return jnp.where(color, vn.astype(v.dtype), v)
 
@@ -171,6 +172,100 @@ def var_zebra_local(u, b, coef, n, sweeps, axis: int = 1):
             sol = tridiag_pcr(dl.T, d.T, du.T, rhs.T).T
         else:
             sol = tridiag_pcr(dl, d, du, rhs)
+        upd = m & (line_idx % 2 == parity)
+        return jnp.where(upd, sol.astype(dtype), v)
+
+    for _ in range(sweeps):
+        u = half(u, 1)
+        u = half(u, 0)
+    return u
+
+
+def _to_lines(x, axis: int):
+    """Re-decompose so every device owns FULL lines along ``axis``.
+
+    ``axis=1`` (x-lines): tiled all_to_all over gx turns (r, c) local
+    blocks into (r / gx, S) full-row strips; ``axis=0`` (y-lines) turns
+    them into (S, c / gy) full-column strips over gy.  The collectives
+    ride ICI — the spatial analogue of the Ulysses sequence-parallel
+    attention re-decomposition.
+    """
+    if axis == 1:
+        return lax.all_to_all(x, L.GX, split_axis=0, concat_axis=1,
+                              tiled=True)
+    return lax.all_to_all(x, L.GY, split_axis=1, concat_axis=0, tiled=True)
+
+
+def _from_lines(x, axis: int):
+    if axis == 1:
+        return lax.all_to_all(x, L.GX, split_axis=1, concat_axis=0,
+                              tiled=True)
+    return lax.all_to_all(x, L.GY, split_axis=0, concat_axis=1, tiled=True)
+
+
+def var_zebra_alltoall(u, b, coef, n, sweeps, axis: int = 1):
+    """Zebra line relaxation on ANY 2D mesh (VERDICT r3 next #6).
+
+    Lines crossing shard boundaries are gathered with one pair of tiled
+    ``lax.all_to_all`` collectives per half-sweep (rhs in, solution out;
+    the three embedded tridiagonal coefficient strips transport once per
+    call): each device temporarily owns full lines, runs the SAME
+    shard-local PCR as the band-mesh path, and scatters back.  Matches
+    ``var_zebra_local`` / ``core.lines.zebra_sweeps`` arithmetic per
+    line, so 1-vs-N parity holds to roundoff.
+    """
+    from ..core.lines import tridiag_pcr
+
+    if sweeps <= 0:
+        return u
+    if axis == 1 and lax.axis_size(L.GX) == 1:
+        return var_zebra_local(u, b, coef, n, sweeps, axis=axis)
+    if axis == 0 and lax.axis_size(L.GY) == 1:
+        return var_zebra_local(u, b, coef, n, sweeps, axis=axis)
+    r, c = u.shape
+    if axis == 1 and r % lax.axis_size(L.GX):
+        raise ValueError(f"zebra_x all_to_all needs local rows {r} "
+                         f"divisible by mesh gx {lax.axis_size(L.GX)}")
+    if axis == 0 and c % lax.axis_size(L.GY):
+        raise ValueError(f"zebra_y all_to_all needs local cols {c} "
+                         f"divisible by mesh gy {lax.axis_size(L.GY)}")
+    dtype = u.dtype
+    m = L.interior_mask_local(u.shape, n)
+    r0, c0 = L._local_offsets(u.shape)
+    if axis == 1:
+        line_idx = lax.broadcasted_iota(jnp.int32, (r, c), 0) + r0
+        dl_c, du_c = coef[1, 0], coef[1, 2]
+    else:
+        line_idx = lax.broadcasted_iota(jnp.int32, (r, c), 1) + c0
+        dl_c, du_c = coef[0, 1], coef[2, 1]
+    one = jnp.ones((), dtype)
+    zero = jnp.zeros((), dtype)
+    # Identity-embedded tridiagonal strips transport once per call.
+    d_t = _to_lines(jnp.where(m, coef[1, 1], one), axis)
+    dl_t = _to_lines(jnp.where(m, dl_c, zero), axis)
+    du_t = _to_lines(jnp.where(m, du_c, zero), axis)
+
+    def offline(v):
+        h = L.with_halo1(v)
+        acc = jnp.zeros_like(v)
+        for di in (-1, 0, 1):
+            for dj in (-1, 0, 1):
+                if di == 0 and dj == 0:
+                    continue
+                if axis == 1 and di == 0:
+                    continue
+                if axis == 0 and dj == 0:
+                    continue
+                acc = acc + coef[di + 1, dj + 1] * _win(h, di, dj, r, c)
+        return acc
+
+    def half(v, parity):
+        rhs = _to_lines(jnp.where(m, b - offline(v), zero), axis)
+        if axis == 0:
+            sol = tridiag_pcr(dl_t.T, d_t.T, du_t.T, rhs.T).T
+        else:
+            sol = tridiag_pcr(dl_t, d_t, du_t, rhs)
+        sol = _from_lines(sol, axis)
         upd = m & (line_idx % 2 == parity)
         return jnp.where(upd, sol.astype(dtype), v)
 

@@ -393,10 +393,12 @@ def sharded_solve_pallas(config: MultigridConfig, mesh: Mesh, *,
     u0_glob = jax.device_put(
         np.zeros((S0, S0), dt) if u0 is None else np.asarray(u0, dt), gspec)
 
-    @functools.partial(shard_map, mesh=mesh, in_specs=(spec, spec),
+    # hier is a shard_map ARGUMENT (its dense coarse inverse would
+    # otherwise embed as a compile-request constant — CLAUDE.md).
+    @functools.partial(shard_map, mesh=mesh, in_specs=(spec, spec, P()),
                        out_specs=(spec, P(), P(), P()),
                        check_vma=False)
-    def run(b_loc, u0_loc):
+    def run(b_loc, u0_loc, hier):
         # Extended RHS: f(x, y) * h^2 on owned interior, ghosts refreshed
         # once (matching problems.poisson.poisson_rhs node coordinates).
         ext = jnp.zeros((lr + 2 * GR, lc + 2 * GC), dt)
@@ -453,6 +455,6 @@ def sharded_solve_pallas(config: MultigridConfig, mesh: Mesh, *,
 
     if jit:
         run = jax.jit(run)
-    u, hist, iters, conv = run(b_glob, u0_glob)
+    u, hist, iters, conv = run(b_glob, u0_glob, hier)
     return SolveResult(u=u, res_history=hist, iterations=iters,
                        converged=conv), levels

@@ -155,10 +155,13 @@ def refined_sharded_solve_pallas(config: MultigridConfig, mesh: Mesh, *,
     b_glob = jax.device_put(np.zeros((S0, S0), dt),
                             NamedSharding(mesh, spec))
 
-    @functools.partial(shard_map, mesh=mesh, in_specs=(spec,),
+    # The hierarchy is a shard_map ARGUMENT, not a closure: closed-over
+    # arrays (the dense coarse inverse!) embed as constants in the
+    # remote-compile request (CLAUDE.md: HTTP 413 / giant uploads).
+    @functools.partial(shard_map, mesh=mesh, in_specs=(spec, P()),
                        out_specs=(tuple([spec] * ncomp), P(), P(), P()),
                        check_vma=False)
-    def run(b_loc):
+    def run(b_loc, hier):
         origin = _ext_origin(lr, lc)
         # Extended RHS on owned interior, ghosts refreshed once (same as
         # pallas_cycle.sharded_solve_pallas).
@@ -241,6 +244,6 @@ def refined_sharded_solve_pallas(config: MultigridConfig, mesh: Mesh, *,
 
     if jit:
         run = jax.jit(run)
-    comps, hist, iters, conv = run(b_glob)
+    comps, hist, iters, conv = run(b_glob, hier)
     return SolveResult(u=comps[0], res_history=hist, iterations=iters,
                        converged=conv), levels

@@ -177,30 +177,39 @@ class MixedBCPoissonProblem:
 
     def rhs(self, dtype=None) -> jnp.ndarray:
         op = self.finest
-        n, S = op.n, op.S
         dt = dtype if dtype is not None else self.config.dtype
-        h = 1.0 / n
-        from ..core.grids import node_coordinates
-        if callable(self.forcing):
-            x, y = node_coordinates(n, S, dt)
-            vals = self.forcing(x, y).astype(dt) * (h * h)
-        else:
-            vals = jnp.full((S, S), float(self.forcing) * h * h, dt)
-        # Inhomogeneous Neumann: + 2 h g per Neumann side the node sits on.
-        if callable(self.neumann_value) or float(self.neumann_value) != 0.0:
-            x, y = node_coordinates(n, S, dt)
-            g = (self.neumann_value(x, y).astype(dt)
-                 if callable(self.neumann_value)
-                 else jnp.full((S, S), float(self.neumann_value), dt))
-            i = jnp.arange(S)
-            two_h_g = jnp.asarray(2.0 * h, dt) * g
-            for side, axis, idx in (("bottom", 0, 0), ("top", 0, n),
-                                    ("left", 1, 0), ("right", 1, n)):
-                if side not in self.neumann:
-                    continue
-                on = (i == idx)
-                m = on[:, None] if axis == 0 else on[None, :]
-                vals = vals + jnp.where(m, two_h_g, jnp.zeros((), dt))
-        # The operator's FEM half-cell row scaling applies to the RHS too.
-        w = jnp.asarray(_row_weights(n, S, self.neumann), dt)
-        return ops.mask_box(vals * w, op.box)
+        return mixed_rhs(op.n, op.S, self.neumann, self.forcing,
+                         self.neumann_value, dt)
+
+
+def mixed_rhs(n: int, S: int, neumann, forcing, neumann_value=0.0,
+              dtype=jnp.float32) -> jnp.ndarray:
+    """Global mixed-BC RHS on an (S, S) padded grid (standalone so the
+    distributed tier can assemble it once and pass it via
+    ``sharded_solve(b0=...)``)."""
+    neumann = frozenset(neumann)
+    dt = dtype
+    h = 1.0 / n
+    from ..core.grids import node_coordinates
+    if callable(forcing):
+        x, y = node_coordinates(n, S, dt)
+        vals = forcing(x, y).astype(dt) * (h * h)
+    else:
+        vals = jnp.full((S, S), float(forcing) * h * h, dt)
+    # Inhomogeneous Neumann: + 2 h g per Neumann side the node sits on.
+    if callable(neumann_value) or float(neumann_value) != 0.0:
+        x, y = node_coordinates(n, S, dt)
+        g = (neumann_value(x, y).astype(dt) if callable(neumann_value)
+             else jnp.full((S, S), float(neumann_value), dt))
+        i = jnp.arange(S)
+        two_h_g = jnp.asarray(2.0 * h, dt) * g
+        for side, axis, idx in (("bottom", 0, 0), ("top", 0, n),
+                                ("left", 1, 0), ("right", 1, n)):
+            if side not in neumann:
+                continue
+            on = (i == idx)
+            m = on[:, None] if axis == 0 else on[None, :]
+            vals = vals + jnp.where(m, two_h_g, jnp.zeros((), dt))
+    # The operator's FEM half-cell row scaling applies to the RHS too.
+    w = jnp.asarray(_row_weights(n, S, neumann), dt)
+    return ops.mask_box(vals * w, _box_of(n, neumann))

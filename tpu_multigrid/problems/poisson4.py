@@ -56,6 +56,34 @@ def mehrstellen_rhs(n: int, S: int, forcing: Union[float, Callable],
     return ops.mask_interior(vals, n)
 
 
+def mehrstellen_var_op(n: int, S: int, dtype=jnp.float32):
+    """The Mehrstellen stencil as a :class:`VarStencilOp` (constant
+    planes) — the operator-general DISTRIBUTION vehicle: a ``(n, S) ->
+    VarStencilOp`` factory for ``dist.shard_cycle.sharded_solve
+    (operator=..., operator_coarsening="rediscretize")``.  Single-chip
+    solves keep the matrix-free :class:`Const9Op` (zero stored planes);
+    the distributed tier pays the 9 coefficient planes to ride the
+    generic shard-local 9-point machinery (dist/local_var.py).
+    """
+    import numpy as np
+
+    from ..core.operators import VarStencilOp
+
+    dt = np.dtype(jnp.dtype(dtype).name)
+    coef = np.zeros((3, 3, S, S), np.float64)
+    coef[1, 1] = 20.0 / 6.0
+    for di, dj in ((0, 1), (0, -1), (1, 0), (-1, 0)):
+        coef[1 + di, 1 + dj] = -4.0 / 6.0
+    for di, dj in ((1, 1), (1, -1), (-1, 1), (-1, -1)):
+        coef[1 + di, 1 + dj] = -1.0 / 6.0
+    i = np.arange(S)
+    mrow = (i >= 1) & (i <= n - 1)
+    m = mrow[:, None] & mrow[None, :]
+    coef = np.where(m[None, None], coef, 0.0)
+    inv_diag = np.where(m, 6.0 / 20.0, 0.0)
+    return VarStencilOp(coef.astype(dt), inv_diag.astype(dt), n, S)
+
+
 def build_mehrstellen_hierarchy(config: MultigridConfig, *, align: int = 1,
                                 min_pad_level: int = 99) -> Hierarchy:
     """Per-level Mehrstellen hierarchy (h-independent: identical stencil
