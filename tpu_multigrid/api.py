@@ -378,9 +378,27 @@ def solve_anisotropic(
     elif config.finest_level != finest_level:
         config = dataclasses.replace(config, finest_level=finest_level)
     if mesh is not None:
-        if coarsening == "semi":
-            raise ValueError("mesh= distributes the full-coarsening "
-                             "Galerkin path only")
+        _ratio = max(eps_x, eps_y) / max(min(eps_x, eps_y), 1e-300)
+        _want_semi = coarsening == "semi" or (
+            coarsening == "auto" and _ratio > 4.0 and angle == 0.0
+            and config.smoother not in ("zebra_x", "zebra_y"))
+        if _want_semi:
+            # Semi-coarsened rectangular levels distribute via GSPMD
+            # (dist.mesh.gspmd_solve_hierarchy): per-level aspect ratios
+            # change as one axis coarsens ahead, which the explicit
+            # halving shard_map tier cannot express — XLA partitions the
+            # plain jnp semicoarsen operators instead (VERDICT r3 #5).
+            if boundary is not None:
+                raise ValueError("mesh= does not support boundary lifting")
+            from .dist.mesh import gspmd_solve_hierarchy
+            from .problems import AnisotropicPoissonProblem
+            problem = AnisotropicPoissonProblem(
+                config, eps_x=eps_x, eps_y=eps_y, angle=angle,
+                forcing=forcing, coarsening="semi")
+            return gspmd_solve_hierarchy(
+                problem.hierarchy, config, problem.rhs(), mesh,
+                tol=tol if tol is not None else 0.0,
+                max_cycles=max_cycles, num_cycles=num_cycles, jit=jit)
         if boundary is not None:
             raise ValueError("mesh= does not support boundary lifting")
         import numpy as _np
@@ -581,14 +599,17 @@ def solve_poisson3d(
                 "neumann= (3D) supports the single-chip second-order "
                 "V/W-cycle path (no boundary lifting / refined / mesh / "
                 "fmg)")
-        import dataclasses as _dc
-
         from .problems.mixedbc3d import MixedBC3DPoissonProblem
-        pcfg = _dc.replace(config, use_pallas=False)  # box ops are jnp
-        problem = MixedBC3DPoissonProblem(pcfg, neumann=neumann,
+        # Box-masked K1v₃/K2v₃ engage on padded levels (r4): align 16 +
+        # lane 128 like the diffusion3d tier; cycles gates fall back to
+        # the jnp flux boxes when the kernels don't apply.
+        pad = (dict(align=16, min_pad_level=0, lane_align=128)
+               if config.use_pallas else {})
+        problem = MixedBC3DPoissonProblem(config, neumann=neumann,
                                           forcing=forcing,
-                                          neumann_value=neumann_value)
-        return _run(problem, pcfg, tol, max_cycles, num_cycles, use_fmg,
+                                          neumann_value=neumann_value,
+                                          **pad)
+        return _run(problem, config, tol, max_cycles, num_cycles, use_fmg,
                     jit)
     if order == 4:
         if bc != "dirichlet" or mesh is not None or refined:

@@ -352,9 +352,16 @@ def _use_var_super_kernels3(op, opc, cfg: MultigridConfig, dtype) -> bool:
     if not (cfg.use_pallas and isinstance(op, VarStencilOp3D)
             and isinstance(opc, VarStencilOp3D)):
         return False
-    if getattr(op, "box", None) is not None \
-            or getattr(opc, "box", None) is not None:
-        return False  # kernel masks are interior-specialized
+    box = getattr(op, "box", None)
+    if box is not None:
+        # Mixed-BC boxes ride the kernels (r4): box iota masks, edge-0
+        # minus-plane zeroing, zero-fill restriction blur — but hi-edge
+        # unknowns (box hi == n) need at least one padding plane so the
+        # wrap-reads land on zeros.
+        if op.S <= op.n + 1 or op.Sx <= op.n + 1:
+            return False
+        if opc.S <= opc.n + 1 or opc.Sx <= opc.n + 1:
+            return False
     if cfg.smoother not in ("jacobi", "rbgs", "chebyshev"):
         return False
     if cfg.effective_smooth_dtype != dtype:
@@ -374,19 +381,21 @@ def _fused_k1v3(op, opc, cfg: MultigridConfig, u, b):
     smoother, omega = _sm(cfg, cfg.nu1)
     return _vt3.var_smooth_restrict3(u, b, _vt3._flat_coef3(op), op.n,
                                      opc.grid_shape, cfg.nu1, smoother,
-                                     omega)
+                                     omega, box=getattr(op, "box", None),
+                                     cbox=getattr(opc, "box", None))
 
 
 def _fused_k2v3(op, cfg: MultigridConfig, u, b, ec, *, resnorm=False):
     from ..kernels import vartransfer3d as _vt3
     smoother, omega = _sm(cfg, cfg.nu2)
+    box = getattr(op, "box", None)
     if resnorm:
         return _vt3.var_prolong_smooth_resnorm3(u, b, ec,
                                                 _vt3._flat_coef3(op),
                                                 op.n, cfg.nu2, smoother,
-                                                omega)
+                                                omega, box=box)
     return _vt3.var_prolong_smooth3(u, b, ec, _vt3._flat_coef3(op), op.n,
-                                    cfg.nu2, smoother, omega)
+                                    cfg.nu2, smoother, omega, box=box)
 
 
 def _use_zebra_super_kernels(op, opc, cfg: MultigridConfig, dtype) -> bool:

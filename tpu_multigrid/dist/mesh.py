@@ -125,6 +125,53 @@ def place(x, mesh: Mesh):
     return jax.device_put(x, grid_sharding(mesh))
 
 
+def _shard_leaf(x, mesh: Mesh):
+    """Grid-shard a hierarchy leaf's trailing two axes when they divide
+    the mesh; replicate otherwise (tiny coarse levels)."""
+    import jax.numpy as jnp
+
+    if not hasattr(x, "ndim") or x.ndim < 2:
+        return jax.device_put(x, replicated(mesh))
+    my, mx = mesh.devices.shape
+    r, c = x.shape[-2], x.shape[-1]
+    if r % my == 0 and c % mx == 0:
+        spec = P(*([None] * (x.ndim - 2) + list(GRID_AXES)))
+        return jax.device_put(x, NamedSharding(mesh, spec))
+    return jax.device_put(x, replicated(mesh))
+
+
+def gspmd_solve_hierarchy(hier, config, b, mesh: Mesh, *,
+                          tol: float = 1e-6, max_cycles: int = 100,
+                          num_cycles=None, u0=None, jit: bool = True):
+    """GSPMD-partition ANY stock-jnp hierarchy solve over a 2D mesh.
+
+    The generic distribution vehicle for families whose level geometry
+    does not fit the explicit shard_map tier (rectangular SEMI-COARSENED
+    levels, whose per-level aspect ratios change as one axis coarsens
+    ahead of the other): arrays carry ``NamedSharding`` and XLA inserts
+    the halo collectives for the plain jnp operators.  Leaves whose
+    trailing axes don't divide the mesh stay replicated (coarse levels).
+    Returns a ``SolveResult``.
+    """
+    import dataclasses as _dc
+
+    from ..cycles import solve_fixed, solve_until_tol
+
+    cfg = _dc.replace(config, use_pallas=False)
+    hier_s = jax.tree.map(lambda x: _shard_leaf(x, mesh), hier)
+    b_s = _shard_leaf(b, mesh)
+    u0_s = None if u0 is None else _shard_leaf(u0, mesh)
+    if num_cycles is not None:
+        fn = lambda h, bb, uu: solve_fixed(h, cfg, bb, num_cycles, u0=uu)
+    else:
+        fn = lambda h, bb, uu: solve_until_tol(h, cfg, bb, tol=tol,
+                                               max_cycles=max_cycles,
+                                               u0=uu)
+    if jit:
+        fn = jax.jit(fn)
+    return fn(hier_s, b_s, u0_s)
+
+
 def gspmd_solve(config, mesh: Mesh, *, forcing=4.0, coefficient=None,
                 u0=None, tol: float = 1e-5, max_cycles: int = 100,
                 num_cycles=None, replicate_below: int = 64,

@@ -72,14 +72,20 @@ def _core_y(TY, WY, steps):
     return chy, TY + 2 * chy
 
 
-def _masks3(z0, y0, WZ, WY, Sx, n):
-    """(interior, parity) over the fused (WZ*WY, Sx) window view."""
+def _masks3(z0, y0, WZ, WY, Sx, n, box=None):
+    """(interior, parity) over the fused (WZ*WY, Sx) window view.
+
+    ``box``: optional inclusive unknown box (i0, i1, j0, j1, k0, k1) in
+    (z, y, x) order replacing the Dirichlet interior (mixed-BC
+    problems, problems/mixedbc3d.py)."""
     fr = jax.lax.broadcasted_iota(jnp.int32, (WZ * WY, Sx), 0)
     gz = z0 + fr // WY
     gy = y0 + fr % WY
     gx = jax.lax.broadcasted_iota(jnp.int32, (WZ * WY, Sx), 1)
-    interior = ((gz >= 1) & (gz <= n - 1) & (gy >= 1) & (gy <= n - 1)
-                & (gx >= 1) & (gx <= n - 1))
+    i0, i1, j0, j1, k0, k1 = box if box is not None else (
+        1, n - 1, 1, n - 1, 1, n - 1)
+    interior = ((gz >= i0) & (gz <= i1) & (gy >= j0) & (gy <= j1)
+                & (gx >= k0) & (gx <= k1))
     return interior, (gz + gy + gx) % 2
 
 
@@ -163,12 +169,29 @@ def supported3(shape, shape_c, steps: int, dtype) -> bool:
 # In-VMEM restriction: blur (fused view) + parity decimation
 # ---------------------------------------------------------------------------
 
-def _blur3(r, WY: int):
-    """Separable [0.5, 1, 0.5]³ blur on the fused (WZ*WY, Sx) view."""
+def _blur3(r, WY: int, edge0=None):
+    """Separable [0.5, 1, 0.5]³ blur on the fused (WZ*WY, Sx) view.
+
+    ``edge0 = (z0mask, y0mask, x0mask)`` (each (R, Sx) bool or None)
+    zero-fills the minus-direction sample at global coordinate 0 — the
+    in-window roll would otherwise wrap live values there.  Only needed
+    when a mixed-BC box keeps edge-0 unknowns (coordinate 0 is masked
+    dead in the Dirichlet case, so the default wrap is harmless)."""
     R, C = r.shape
-    t = r + 0.5 * (_roll(r, 1, 1) + _roll(r, C - 1, 1))           # x
-    t = t + 0.5 * (_roll(t, 1, 0) + _roll(t, R - 1, 0))           # y
-    t = t + 0.5 * (_roll(t, WY % R, 0) + _roll(t, (R - WY) % R, 0))  # z
+    mz, my, mx = edge0 if edge0 is not None else (None, None, None)
+    zero = jnp.zeros((), r.dtype)
+    xm = _roll(r, 1, 1)
+    if mx is not None:
+        xm = jnp.where(mx, zero, xm)
+    t = r + 0.5 * (xm + _roll(r, C - 1, 1))                       # x
+    ym = _roll(t, 1, 0)
+    if my is not None:
+        ym = jnp.where(my, zero, ym)
+    t = t + 0.5 * (ym + _roll(t, R - 1, 0))                       # y
+    zm = _roll(t, WY % R, 0)
+    if mz is not None:
+        zm = jnp.where(mz, zero, zm)
+    t = t + 0.5 * (zm + _roll(t, (R - WY) % R, 0))                # z
     return t
 
 

@@ -88,14 +88,19 @@ def supported_var3(shape, shape_c, steps: int, dtype,
 # In-window coefficient expansion (fused (WZ*WY, Sx) view)
 # ---------------------------------------------------------------------------
 
-def _expand_t3(c_buf, WZ: int, WY: int, Sx: int, dtype):
+def _expand_t3(c_buf, WZ: int, WY: int, Sx: int, dtype, edge0=None):
     """(C, WZ, WY, Sx) coefficient window -> (diag, invd, planes).
 
     ``planes`` is a tuple of (coef, shift, axis) triples such that the
     off-diagonal application is ``sum(coef * _roll(v, shift, axis))``
     (couplings are positive: A = D - sum).  Minus-direction planes are
     rolls of the stored ones; their wrap garbage lives on the window
-    edge ring only (module docstring).
+    edge ring only (module docstring) — EXCEPT when a mixed-BC box keeps
+    edge-0 unknowns: ``edge0 = (z0mask, y0mask, x0mask)`` (each an
+    (R, Sx) bool or None) then zeroes the wrapped minus-plane values at
+    global coordinate 0, which fixes both the derived diagonal and the
+    off-diagonal application at those rows (the host operator's
+    ``np.roll`` wraps onto zero padding there, mixedbc3d).
     """
     C = c_buf.shape[0]
     R = WZ * WY
@@ -105,6 +110,15 @@ def _expand_t3(c_buf, WZ: int, WY: int, Sx: int, dtype):
     tzm = _roll(tz, WY % R, 0)
     tym = _roll(ty, 1, 0)
     txm = _roll(tx, 1, 1)
+    if edge0 is not None:
+        zero = jnp.zeros((), dtype)
+        mz, my, mx = edge0
+        if mz is not None:
+            tzm = jnp.where(mz, zero, tzm)
+        if my is not None:
+            tym = jnp.where(my, zero, tym)
+        if mx is not None:
+            txm = jnp.where(mx, zero, txm)
     diag = (tz + tzm) + (ty + tym) + (tx + txm)
     if C == 4:
         diag = diag + c_buf[3].reshape(R, Sx)
@@ -115,6 +129,21 @@ def _expand_t3(c_buf, WZ: int, WY: int, Sx: int, dtype):
               (ty, R - 1, 0), (tym, 1, 0),
               (tz, (R - WY) % R, 0), (tzm, WY % R, 0))
     return diag, invd, planes
+
+
+def _edge0_masks(z0, y0, WZ, WY, Sx, box):
+    """(z0mask, y0mask, x0mask) marking global coordinate 0 per axis, or
+    None entries when the box excludes that edge (then plane wraps never
+    reach live rows)."""
+    if box is None or (box[0] != 0 and box[2] != 0 and box[4] != 0):
+        return None
+    fr = jax.lax.broadcasted_iota(jnp.int32, (WZ * WY, Sx), 0)
+    mz = (z0 + fr // WY) == 0 if box[0] == 0 else None
+    my = (y0 + fr % WY) == 0 if box[2] == 0 else None
+    mx = None
+    if box[4] == 0:
+        mx = jax.lax.broadcasted_iota(jnp.int32, (WZ * WY, Sx), 1) == 0
+    return mz, my, mx
 
 
 def _offdiag3(planes, v):
@@ -144,7 +173,8 @@ def _var_step3(state, bwin, invd, planes, interior, parity, j,
 # ---------------------------------------------------------------------------
 
 def _var_smooth_restrict3(u, b, coef, *, n, shape_c, steps, smoother,
-                          omega, origin=None, ghost=(0, 0)):
+                          omega, origin=None, ghost=(0, 0), box=None,
+                          cbox=None):
     """``origin``/``ghost``: distributed mode (dist.pallas_cycle3) — the
     same ghost-extended-block contract as ``transfer3d._smooth_restrict3``
     (masks in global coordinates via the (1, 2) int32 even ``origin``;
@@ -233,8 +263,12 @@ def _var_smooth_restrict3(u, b, coef, *, n, shape_c, steps, smoother,
 
             z0, y0, _, _ = coords(t)
             interior, parity = _masks3(z0 + org_smem[0, 0],
-                                       y0 + org_smem[0, 1], WZ, WY, Sx, n)
-            diag, invd, planes = _expand_t3(c_buf, WZ, WY, Sx, dtype)
+                                       y0 + org_smem[0, 1], WZ, WY, Sx, n,
+                                       box=box)
+            e0 = _edge0_masks(z0 + org_smem[0, 0], y0 + org_smem[0, 1],
+                              WZ, WY, Sx, box)
+            diag, invd, planes = _expand_t3(c_buf, WZ, WY, Sx, dtype,
+                                            edge0=e0)
             state = u_buf[slot].reshape(WZ * WY, Sx)
             bwin = b_buf[slot].reshape(WZ * WY, Sx)
             for j in range(steps):
@@ -243,15 +277,17 @@ def _var_smooth_restrict3(u, b, coef, *, n, shape_c, steps, smoother,
             u_buf[slot] = state.reshape(WZ, WY, Sx)
             r = bwin - diag * state + _offdiag3(planes, state)
             r = jnp.where(interior, r.astype(dtype), jnp.zeros((), dtype))
-            rc = 0.5 * _decimate3(_blur3(r, WY), WZ, WY)
+            rc = 0.5 * _decimate3(_blur3(r, WY, edge0=e0), WZ, WY)
             fr = jax.lax.broadcasted_iota(
                 jnp.int32, (WZ // 2 * (WY // 2), Cx2), 0)
             gz = (z0 + org_smem[0, 0]) // 2 + fr // (WY // 2)
             gy = (y0 + org_smem[0, 1]) // 2 + fr % (WY // 2)
             gx = jax.lax.broadcasted_iota(
                 jnp.int32, (WZ // 2 * (WY // 2), Cx2), 1)
-            cmask = ((gz >= 1) & (gz <= nc - 1) & (gy >= 1) & (gy <= nc - 1)
-                     & (gx >= 1) & (gx <= nc - 1))
+            ci0, ci1, cj0, cj1, ck0, ck1 = cbox if cbox is not None else (
+                1, nc - 1, 1, nc - 1, 1, nc - 1)
+            cmask = ((gz >= ci0) & (gz <= ci1) & (gy >= cj0) & (gy <= cj1)
+                     & (gx >= ck0) & (gx <= ck1))
             rc = jnp.where(cmask, rc, jnp.zeros((), dtype))
             if Scx > Cx2:                    # lane-pad to the coarse width
                 rc = jnp.concatenate(
@@ -308,7 +344,7 @@ def _var_smooth_restrict3(u, b, coef, *, n, shape_c, steps, smoother,
 # ---------------------------------------------------------------------------
 
 def _var_prolong_smooth3(u, b, ec, coef, *, n, steps, smoother, omega,
-                         want_resnorm=False):
+                         want_resnorm=False, box=None):
     Sz, Sy, Sx = u.shape
     Szc, Syc, Scx = ec.shape
     C = coef.shape[0]
@@ -402,8 +438,10 @@ def _var_prolong_smooth3(u, b, ec, coef, *, n, steps, smoother, omega,
             coef_dma(t).wait()
 
             zf0, yf0 = _fine_origin(t)
-            interior, parity = _masks3(zf0, yf0, WZ, WY, Sx, n)
-            diag, invd, planes = _expand_t3(c_buf, WZ, WY, Sx, dtype)
+            interior, parity = _masks3(zf0, yf0, WZ, WY, Sx, n, box=box)
+            e0 = _edge0_masks(zf0, yf0, WZ, WY, Sx, box)
+            diag, invd, planes = _expand_t3(c_buf, WZ, WY, Sx, dtype,
+                                            edge0=e0)
             corr = _prolong3_vmem(
                 e_buf[slot].reshape(Wzc * Wyc, Scx), Wzc, Wyc)
             corr = corr.reshape(2 * Wzc, 2 * Wyc, Cx2)[:WZ, :WY, :Sx]
@@ -736,14 +774,18 @@ def _flat_coef3(op):
 
 
 @functools.partial(jax.jit, static_argnames=("n", "shape_c", "sweeps",
-                                             "smoother", "omega"))
+                                             "smoother", "omega", "box",
+                                             "cbox"))
 def var_smooth_restrict3(u, b, coef, n, shape_c, sweeps,
-                         smoother="jacobi", omega=2.0 / 3.0):
-    """K1v₃: sweeps var smoothing steps + residual + FW restrict."""
+                         smoother="jacobi", omega=2.0 / 3.0, box=None,
+                         cbox=None):
+    """K1v₃: sweeps var smoothing steps + residual + FW restrict.
+    ``box``/``cbox``: optional fine/coarse unknown boxes (mixed BCs)."""
     steps = 2 * sweeps if smoother == "rbgs" else sweeps
     om = omega if isinstance(omega, tuple) else float(omega)
     un, rc = _var_smooth_restrict3(u, b, coef, n=n, shape_c=tuple(shape_c),
-                                   steps=steps, smoother=smoother, omega=om)
+                                   steps=steps, smoother=smoother, omega=om,
+                                   box=box, cbox=cbox)
     # Zero the non-physical coarse tail beyond the tiled region (the same
     # invariant-restoring pass as transfer3d.smooth_restrict3).
     Sz, Sy, _ = u.shape
@@ -759,23 +801,24 @@ def var_smooth_restrict3(u, b, coef, n, shape_c, sweeps,
 
 
 @functools.partial(jax.jit, static_argnames=("n", "sweeps", "smoother",
-                                             "omega"))
+                                             "omega", "box"))
 def var_prolong_smooth3(u, b, ec, coef, n, sweeps, smoother="jacobi",
-                        omega=2.0 / 3.0):
+                        omega=2.0 / 3.0, box=None):
     """K2v₃: u <- var-smooth(u + P e_c, b, sweeps)."""
     steps = 2 * sweeps if smoother == "rbgs" else sweeps
     om = omega if isinstance(omega, tuple) else float(omega)
     return _var_prolong_smooth3(u, b, ec, coef, n=n, steps=steps,
-                                smoother=smoother, omega=om)
+                                smoother=smoother, omega=om, box=box)
 
 
 @functools.partial(jax.jit, static_argnames=("n", "sweeps", "smoother",
-                                             "omega"))
+                                             "omega", "box"))
 def var_prolong_smooth_resnorm3(u, b, ec, coef, n, sweeps,
-                                smoother="jacobi", omega=2.0 / 3.0):
+                                smoother="jacobi", omega=2.0 / 3.0,
+                                box=None):
     """K2v₃ + fused post-smooth residual norm (until-tol driver)."""
     steps = 2 * sweeps if smoother == "rbgs" else sweeps
     om = omega if isinstance(omega, tuple) else float(omega)
     return _var_prolong_smooth3(u, b, ec, coef, n=n, steps=steps,
                                 smoother=smoother, omega=om,
-                                want_resnorm=True)
+                                want_resnorm=True, box=box)

@@ -144,14 +144,23 @@ def node_weights3(n: int, S: int, Sx: int, neumann: FrozenSet[str],
 
 
 def build_mixed_hierarchy3(config: MultigridConfig,
-                           neumann: Iterable[str]) -> Hierarchy:
+                           neumann: Iterable[str], *, align: int = 1,
+                           min_pad_level: int = 99,
+                           lane_align: int = 1) -> Hierarchy:
     """Mixed-BC 3D hierarchy: the FV operator rediscretized per level
-    (nested boxes — see the module docstring on Galerkin vs redisc)."""
+    (nested boxes — see the module docstring on Galerkin vs redisc).
+
+    ``align``/``lane_align``: padded (S, S, Sx) level sizes so the fused
+    box-masked K1v₃/K2v₃ kernels engage (align 16, lane_align 128 — the
+    diffusion3d conventions); the box indices are padding-independent.
+    """
     neumann = frozenset(neumann)
-    sizes = level_sizes(config)
+    sizes = level_sizes(config, align=align, min_pad_level=min_pad_level)
+    rup = lambda v, q: (v + q - 1) // q * q
     dt = np.dtype(jnp.dtype(config.dtype).name)
-    levels = [mixed_poisson_op3(n, S, S, neumann, dtype=dt)
-              for (n, S) in sizes]
+    levels = [mixed_poisson_op3(
+        n, S, rup(n + 1, lane_align) if lane_align > 1 else S, neumann,
+        dtype=dt) for (n, S) in sizes]
     coarse_inv = None
     if config.coarse_solver == "direct":
         coarse_inv = coarse_dense_inverse(levels[-1])
@@ -167,11 +176,15 @@ class MixedBC3DPoissonProblem:
     neumann: Iterable[str] = ()
     forcing: Union[float, Callable] = 6.0
     neumann_value: Union[float, Callable] = 0.0
+    align: int = 1
+    min_pad_level: int = 99
+    lane_align: int = 1
 
     def __post_init__(self):
         self.neumann = frozenset(self.neumann)
         self.hierarchy: Hierarchy = build_mixed_hierarchy3(
-            self.config, self.neumann)
+            self.config, self.neumann, align=self.align,
+            min_pad_level=self.min_pad_level, lane_align=self.lane_align)
 
     @property
     def finest(self):
