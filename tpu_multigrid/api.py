@@ -524,6 +524,7 @@ def solve_convection_diffusion3d(
     num_cycles: Optional[int] = None,
     use_fmg: bool = False,
     boundary: Optional[Union[float, Callable]] = None,
+    mesh=None,
     jit: bool = True,
 ) -> SolveResult:
     """Solve -eps lap(u) + b . grad(u) = forcing on the unit cube
@@ -539,6 +540,18 @@ def solve_convection_diffusion3d(
     from .problems.convection3d import ConvectionDiffusion3DProblem
     problem = ConvectionDiffusion3DProblem(config, eps=eps, bx=bx, by=by,
                                            bz=bz, forcing=forcing)
+    if mesh is not None:
+        # Upwind 3D hierarchies distribute via the generic GSPMD vehicle
+        # ((Sz, Sy) shard; coefficient volumes ride the same spec).
+        if use_fmg or boundary is not None:
+            raise ValueError("mesh= does not support use_fmg/boundary on "
+                             "the convection-diffusion 3D path")
+        from .dist.mesh import gspmd_solve_hierarchy
+        return gspmd_solve_hierarchy(
+            problem.hierarchy, config, problem.rhs(), mesh,
+            tol=tol if tol is not None else 0.0,
+            max_cycles=max_cycles, num_cycles=num_cycles, jit=jit,
+            grid_ndim=3)
     return _run(problem, config, tol, max_cycles, num_cycles, use_fmg, jit,
                 boundary=boundary)
 
@@ -737,6 +750,7 @@ def solve_anisotropic3d(
     num_cycles: Optional[int] = None,
     use_fmg: bool = False,
     balance: float = 2.0,
+    mesh=None,
     jit: bool = True,
 ) -> SolveResult:
     """Solve -div(K grad u) = forcing on the unit cube,
@@ -779,12 +793,25 @@ def solve_anisotropic3d(
         problem = RotatedAnisotropic3DProblem(
             config, eps_x=eps_x, eps_y=eps_y, eps_z=eps_z, angle=angle,
             plane=plane, forcing=forcing)
-        return _run(problem, config, tol, max_cycles, num_cycles, use_fmg,
-                    jit)
-    from .problems.anisotropic3d import AnisotropicPoisson3DProblem
-    problem = AnisotropicPoisson3DProblem(config, eps_x=eps_x,
-                                          eps_y=eps_y, eps_z=eps_z,
-                                          forcing=forcing, balance=balance)
+    else:
+        from .problems.anisotropic3d import AnisotropicPoisson3DProblem
+        problem = AnisotropicPoisson3DProblem(
+            config, eps_x=eps_x, eps_y=eps_y, eps_z=eps_z,
+            forcing=forcing, balance=balance)
+    if mesh is not None:
+        # Both 3D anisotropy remedies are matrix-free jnp operators
+        # (static host stencils, zero coefficient volumes), so the
+        # generic GSPMD vehicle distributes them: (Sz, Sy) shard over
+        # the 2D device mesh, Sx lanes whole (dist.mesh._shard_leaf).
+        if use_fmg:
+            raise ValueError("mesh= does not support use_fmg on the "
+                             "anisotropic 3D path")
+        from .dist.mesh import gspmd_solve_hierarchy
+        return gspmd_solve_hierarchy(
+            problem.hierarchy, config, problem.rhs(), mesh,
+            tol=tol if tol is not None else 0.0,
+            max_cycles=max_cycles, num_cycles=num_cycles, jit=jit,
+            grid_ndim=3)
     return _run(problem, config, tol, max_cycles, num_cycles, use_fmg, jit)
 
 

@@ -125,42 +125,52 @@ def place(x, mesh: Mesh):
     return jax.device_put(x, grid_sharding(mesh))
 
 
-def _shard_leaf(x, mesh: Mesh):
-    """Grid-shard a hierarchy leaf's trailing two axes when they divide
-    the mesh; replicate otherwise (tiny coarse levels)."""
-    import jax.numpy as jnp
+def _shard_leaf(x, mesh: Mesh, grid_ndim: int = 2):
+    """Grid-shard two spatial axes of a hierarchy leaf when they divide
+    the mesh; replicate otherwise (tiny coarse levels, dense inverses).
 
-    if not hasattr(x, "ndim") or x.ndim < 2:
+    ``grid_ndim=2``: the trailing two axes (2D (S, S) grids and
+    (C, S, S) coefficient slabs).  ``grid_ndim=3``: axes (-3, -2) —
+    (Sz, Sy) of 3D (Sz, Sy, Sx) grids and (C, Sz, Sy, Sx) coefficient
+    volumes; the lane-aligned Sx minor dim stays whole (matching the
+    explicit 3D tier's P(gz, gy, None) layout)."""
+    if not hasattr(x, "ndim") or x.ndim < grid_ndim:
         return jax.device_put(x, replicated(mesh))
     my, mx = mesh.devices.shape
-    r, c = x.shape[-2], x.shape[-1]
+    a0 = x.ndim - grid_ndim
+    r, c = x.shape[a0], x.shape[a0 + 1]
     if r % my == 0 and c % mx == 0:
-        spec = P(*([None] * (x.ndim - 2) + list(GRID_AXES)))
-        return jax.device_put(x, NamedSharding(mesh, spec))
+        spec = [None] * x.ndim
+        spec[a0], spec[a0 + 1] = GRID_AXES
+        return jax.device_put(x, NamedSharding(mesh, P(*spec)))
     return jax.device_put(x, replicated(mesh))
 
 
 def gspmd_solve_hierarchy(hier, config, b, mesh: Mesh, *,
                           tol: float = 1e-6, max_cycles: int = 100,
-                          num_cycles=None, u0=None, jit: bool = True):
+                          num_cycles=None, u0=None, jit: bool = True,
+                          grid_ndim=None):
     """GSPMD-partition ANY stock-jnp hierarchy solve over a 2D mesh.
 
     The generic distribution vehicle for families whose level geometry
     does not fit the explicit shard_map tier (rectangular SEMI-COARSENED
     levels, whose per-level aspect ratios change as one axis coarsens
-    ahead of the other): arrays carry ``NamedSharding`` and XLA inserts
-    the halo collectives for the plain jnp operators.  Leaves whose
-    trailing axes don't divide the mesh stay replicated (coarse levels).
-    Returns a ``SolveResult``.
+    ahead of the other; 19-point rotated 3D tensors; upwind 3D
+    convection): arrays carry ``NamedSharding`` and XLA inserts the halo
+    collectives for the plain jnp operators.  Leaves whose sharded axes
+    don't divide the mesh stay replicated (coarse levels).
+    ``grid_ndim`` (default: ``b.ndim``) picks which leaf axes shard —
+    see :func:`_shard_leaf`.  Returns a ``SolveResult``.
     """
     import dataclasses as _dc
 
     from ..cycles import solve_fixed, solve_until_tol
 
+    nd = int(b.ndim) if grid_ndim is None else int(grid_ndim)
     cfg = _dc.replace(config, use_pallas=False)
-    hier_s = jax.tree.map(lambda x: _shard_leaf(x, mesh), hier)
-    b_s = _shard_leaf(b, mesh)
-    u0_s = None if u0 is None else _shard_leaf(u0, mesh)
+    hier_s = jax.tree.map(lambda x: _shard_leaf(x, mesh, nd), hier)
+    b_s = _shard_leaf(b, mesh, nd)
+    u0_s = None if u0 is None else _shard_leaf(u0, mesh, nd)
     if num_cycles is not None:
         fn = lambda h, bb, uu: solve_fixed(h, cfg, bb, num_cycles, u0=uu)
     else:
