@@ -113,9 +113,12 @@ def test_api_mesh_bratu_and_nonlinear():
         mesh=mesh, forcing=10.0, tol=1e-4)
     assert bool(res2.converged), np.asarray(res2.res_history)
 
-    with pytest.raises(ValueError, match="2D pointwise"):
-        mg.solve_bratu(4, ndim=3, mesh=mesh, config=MultigridConfig(
-            finest_level=4, coarsest_level=2))
+    # ndim=3 + mesh routes through the GSPMD FAS vehicle (r4;
+    # tests/test_dist_fas_gspmd.py covers parity) — FMG stays rejected.
+    with pytest.raises(ValueError, match="FMG"):
+        mg.solve_bratu(4, ndim=3, mesh=mesh, use_fmg=True, num_cycles=2,
+                       tol=None, config=MultigridConfig(
+                           finest_level=4, coarsest_level=2))
 
 
 def test_fas_sharded_until_tol_and_f64():

@@ -918,6 +918,25 @@ def _run_fas(problem, config: MultigridConfig, tol, max_cycles, num_cycles,
     return go(hier, bs)
 
 
+def _run_fas_gspmd(problem, config: MultigridConfig, mesh, tol,
+                   max_cycles, num_cycles, use_fmg,
+                   use_jit) -> SolveResult:
+    """Distribute a FAS problem via the generic GSPMD vehicle
+    (``dist.mesh.gspmd_fas_solve_hierarchy``) — the route for the 3D
+    pointwise tier and the quasilinear flux families, whose operators
+    are matrix-free jnp."""
+    if use_fmg:
+        raise ValueError("mesh= FAS does not support FMG yet (use the "
+                         "single-device path)")
+    if tol is None and num_cycles is None:
+        raise ValueError("need either tol or num_cycles (both are None)")
+    from .dist.mesh import gspmd_fas_solve_hierarchy
+    return gspmd_fas_solve_hierarchy(
+        problem.hierarchy, config, problem.rhs(), mesh,
+        tol=tol if tol is not None else 0.0, max_cycles=max_cycles,
+        num_cycles=num_cycles, jit=use_jit)
+
+
 def solve_nonlinear_poisson(
     finest_level: int = 8,
     *,
@@ -954,10 +973,10 @@ def solve_nonlinear_poisson(
         config = dataclasses.replace(config, finest_level=finest_level)
     if forcing is None:
         forcing = 4.0 if ndim == 2 else 6.0
-    if mesh is not None:
-        if ndim != 2 or use_fmg:
-            raise ValueError("mesh= FAS supports the 2D pointwise tier "
-                             "without FMG (use the single-device path)")
+    if mesh is not None and ndim == 2:
+        if use_fmg:
+            raise ValueError("mesh= FAS does not support FMG yet (use "
+                             "the single-device path)")
         from .dist.fas import fas_sharded_solve
         res, _ = fas_sharded_solve(
             config, mesh, phi=phi, dphi=dphi, forcing=forcing,
@@ -972,6 +991,9 @@ def solve_nonlinear_poisson(
         from .problems.bratu import NonlinearPoissonProblem
         problem = NonlinearPoissonProblem(config, phi=phi, dphi=dphi,
                                           forcing=forcing)
+    if mesh is not None:   # ndim == 3: generic GSPMD FAS vehicle
+        return _run_fas_gspmd(problem, config, mesh, tol, max_cycles,
+                              num_cycles, use_fmg, jit)
     return _run_fas(problem, config, tol, max_cycles, num_cycles, use_fmg,
                     jit)
 
@@ -1003,10 +1025,10 @@ def solve_bratu(
         config = MultigridConfig(finest_level=finest_level)
     elif config.finest_level != finest_level:
         config = dataclasses.replace(config, finest_level=finest_level)
-    if mesh is not None:
-        if ndim != 2 or use_fmg:
-            raise ValueError("mesh= FAS supports the 2D pointwise tier "
-                             "without FMG (use the single-device path)")
+    if mesh is not None and ndim == 2:
+        if use_fmg:
+            raise ValueError("mesh= FAS does not support FMG yet (use "
+                             "the single-device path)")
         lamf = float(lam)
         phi = lambda u: -lamf * jnp.exp(u)
         from .dist.fas import fas_sharded_solve
@@ -1021,6 +1043,9 @@ def solve_bratu(
     else:
         from .problems.bratu import BratuProblem
         problem = BratuProblem(config, lam=lam, forcing=forcing)
+    if mesh is not None:   # ndim == 3: generic GSPMD FAS vehicle
+        return _run_fas_gspmd(problem, config, mesh, tol, max_cycles,
+                              num_cycles, use_fmg, jit)
     return _run_fas(problem, config, tol, max_cycles, num_cycles, use_fmg,
                     jit)
 
@@ -1038,6 +1063,7 @@ def solve_quasilinear_diffusion(
     max_cycles: int = 100,
     num_cycles: Optional[int] = None,
     use_fmg: bool = False,
+    mesh=None,
     jit: bool = True,
 ) -> SolveResult:
     """Solve -div(a(u) grad u) = forcing by FAS multigrid (2D or 3D).
@@ -1047,7 +1073,8 @@ def solve_quasilinear_diffusion(
     Picard-Jacobi smoothing (problems/nldiffusion.py).  The coarsest level
     is solved by smoothing; deep Picard sweeps there are cheap (9^2 / 9^3
     grid at the default coarsest_level=3).  Default forcing: 4 (2D) /
-    6 (3D).
+    6 (3D).  ``mesh``: optional 2D device mesh — the flux operator
+    distributes via the generic GSPMD FAS vehicle (no FMG).
     """
     if ndim not in (2, 3):
         raise ValueError(f"ndim must be 2 or 3, got {ndim}")
@@ -1067,5 +1094,8 @@ def solve_quasilinear_diffusion(
         from .problems.nldiffusion import QuasilinearDiffusionProblem
         problem = QuasilinearDiffusionProblem(config, gamma=gamma, a=a,
                                               da=da, forcing=forcing)
+    if mesh is not None:
+        return _run_fas_gspmd(problem, config, mesh, tol, max_cycles,
+                              num_cycles, use_fmg, jit)
     return _run_fas(problem, config, tol, max_cycles, num_cycles, use_fmg,
                     jit)

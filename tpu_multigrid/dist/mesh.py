@@ -182,6 +182,38 @@ def gspmd_solve_hierarchy(hier, config, b, mesh: Mesh, *,
     return fn(hier_s, b_s, u0_s)
 
 
+def gspmd_fas_solve_hierarchy(hier, config, b, mesh: Mesh, *,
+                              tol: float = 1e-8, max_cycles: int = 100,
+                              num_cycles=None, u0=None, jit: bool = True,
+                              grid_ndim=None):
+    """FAS twin of :func:`gspmd_solve_hierarchy`: GSPMD-partition a
+    nonlinear (FAS) hierarchy solve.  The quasilinear flux operators and
+    pointwise φ evaluations are matrix-free jnp (rolls + elementwise), so
+    XLA partitions them exactly like the linear tier; solution injection
+    (coarse[i,j] = fine[2i,2j]) is a strided gather GSPMD handles on
+    sharded inputs (correctness tier — the explicit shard_map FAS path
+    in ``dist.fas`` is the performance route for pointwise 2D)."""
+    import dataclasses as _dc
+
+    from ..cycles.fas import fas_solve_fixed, fas_solve_until_tol
+
+    nd = int(b.ndim) if grid_ndim is None else int(grid_ndim)
+    cfg = _dc.replace(config, use_pallas=False)
+    hier_s = jax.tree.map(lambda x: _shard_leaf(x, mesh, nd), hier)
+    b_s = _shard_leaf(b, mesh, nd)
+    u0_s = None if u0 is None else _shard_leaf(u0, mesh, nd)
+    if num_cycles is not None:
+        fn = lambda h, bb, uu: fas_solve_fixed(h, cfg, bb, num_cycles,
+                                               u0=uu)
+    else:
+        fn = lambda h, bb, uu: fas_solve_until_tol(h, cfg, bb, tol=tol,
+                                                   max_cycles=max_cycles,
+                                                   u0=uu)
+    if jit:
+        fn = jax.jit(fn)
+    return fn(hier_s, b_s, u0_s)
+
+
 def gspmd_solve(config, mesh: Mesh, *, forcing=4.0, coefficient=None,
                 u0=None, tol: float = 1e-5, max_cycles: int = 100,
                 num_cycles=None, replicate_below: int = 64,
