@@ -448,9 +448,19 @@ def fmg_topo(hier: TopoHierarchy, *, nu0: int = 3, nu1: int = 3,
 def solve_topo(hier: TopoHierarchy, b, *, num_cycles: int = 20,
                nu1: int = 3, nu2: int = 3,
                omega: Union[float, Tuple[float, ...]] = 2.0 / 3.0,
-               use_fmg: bool = False, u0=None):
+               use_fmg: bool = False, u0=None, mesh=None):
     """Fixed-count driver with residual history (the observability the
-    reference lacks).  Returns ``(u, res_history)``; jit-compatible."""
+    reference lacks).  Returns ``(u, res_history)``; jit-compatible.
+
+    ``mesh=``: distribute over a device mesh via 1D DOF-row GSPMD
+    partitioning (``dist.topo.gspmd_solve_topo`` — padded levels, zero
+    pad-slot invariant); covers structured-permuted, trimesh and tetmesh
+    hierarchies alike."""
+    if mesh is not None:
+        from .dist.topo import gspmd_solve_topo
+        return gspmd_solve_topo(hier, b, mesh, num_cycles=num_cycles,
+                                nu1=nu1, nu2=nu2, omega=omega,
+                                use_fmg=use_fmg, u0=u0)
     op = hier.ops[0]
     if u0 is not None:
         u = u0
