@@ -183,6 +183,71 @@ def main():
     h = np.asarray(r3.res_history)
     check("3D semicoarsen aniso 100:1 reduction", h[6] / h[0], 0.0, 5e-3)
 
+    # --- r4 additions ---
+
+    # Nonsymmetric 9-plane fused tier: upwind convection rides K1v/K2v
+    # (the r3 is_symmetric bail is gone) — fused vs jnp solution parity.
+    ncfg = mg.MultigridConfig(finest_level=7, coarsest_level=3,
+                              smoother="rbgs", nu1=2, nu2=2,
+                              use_pallas=True)
+    rn = mg.solve_convection_diffusion(7, eps=0.01, bx=1.0, by=0.5,
+                                       config=ncfg, num_cycles=6,
+                                       tol=None)
+    h = np.asarray(rn.res_history)
+    check("nonsym 9-plane fused reduction", h[6] / h[0], 0.0, 5e-3)
+    rnj = mg.solve_convection_diffusion(
+        7, eps=0.01, bx=1.0, by=0.5,
+        config=_dc.replace(ncfg, use_pallas=False), num_cycles=6,
+        tol=None)
+    check("nonsym 9-plane fused vs jnp solution", np.asarray(rn.u),
+          np.asarray(rnj.u), 5e-6)
+
+    # 3D mixed-BC box-masked fused kernels vs jnp.
+    mcfg = mg.MultigridConfig(finest_level=6, coarsest_level=3,
+                              smoother="chebyshev", nu1=3, nu2=2,
+                              use_pallas=True)
+    rm = mg.solve_poisson3d(6, neumann=("bottom", "left"), config=mcfg,
+                            num_cycles=6, tol=None)
+    h = np.asarray(rm.res_history)
+    check("3D mixed-BC box fused reduction", h[6] / h[0], 0.0, 5e-3)
+    rmj = mg.solve_poisson3d(6, neumann=("bottom", "left"),
+                             config=_dc.replace(mcfg, use_pallas=False),
+                             num_cycles=6, tol=None)
+    check("3D mixed-BC box fused vs jnp solution", np.asarray(rm.u),
+          np.asarray(rmj.u), 5e-6)
+
+    # 3D rotated anisotropic tensor (19-point Rotated3DOp).
+    rr = mg.solve_anisotropic3d(5, eps_x=1.0, eps_y=0.05, eps_z=1.0,
+                                angle=math.radians(30), plane="xy",
+                                coarsening="semi", num_cycles=6,
+                                tol=None)
+    h = np.asarray(rr.res_history)
+    check("3D rotated tensor reduction", h[6] / h[0], 0.0, 5e-2)
+
+    # Distributed tiers on a (1,1) mesh — the real chip has one device;
+    # this drives the actual dist code paths (padded layouts, halo
+    # schedule, compensated kernels) on hardware.
+    from tpu_multigrid.dist.mesh import make_grid_mesh
+    from tpu_multigrid.dist.refine_pallas import refined_sharded_solve_pallas
+    m11 = make_grid_mesh(shape=(1, 1), devices=jax.devices()[:1])
+    rcfg = mg.MultigridConfig(finest_level=9, coarsest_level=4,
+                              mesh_shape=(1, 1))
+    rres, _ = refined_sharded_solve_pallas(rcfg, m11, num_cycles=6,
+                                           ts=True, ds_levels=2,
+                                           replicate_below=64)
+    h = np.asarray(rres.res_history)
+    check("dist refined (ts+ds, fused) reduction", h[6] / h[0], 0.0,
+          1e-6)
+
+    from tpu_multigrid import topo as _topo
+    thier = _topo.build_structured_topo_hierarchy(5, 2)
+    tu, th = _topo.solve_topo(thier, thier.b_levels[0], num_cycles=6,
+                              mesh=m11)
+    tu1, th1 = _topo.solve_topo(thier, thier.b_levels[0], num_cycles=6)
+    th, th1 = np.asarray(th), np.asarray(th1)
+    check("dist topo rowpart reduction", th[6] / th[0], 0.0, 5e-3)
+    check("dist topo rowpart vs single-chip", tu, np.asarray(tu1), 1e-5)
+
     if FAILURES:
         print(f"\n{len(FAILURES)} FAILURES: {FAILURES}")
         sys.exit(1)
