@@ -25,8 +25,15 @@ FAILURES = []
 
 
 def check(name, got, want, tol):
-    err = float(jnp.max(jnp.abs(jnp.asarray(got, jnp.float32)
-                                - jnp.asarray(want, jnp.float32))))
+    got = jnp.asarray(got, jnp.float32)
+    want = jnp.asarray(want, jnp.float32)
+    if got.shape != want.shape and got.ndim == want.ndim:
+        # Paths with different padded layouts (e.g. the fused zebra tier
+        # re-pads to S mult 256): crop to the common physical window —
+        # everything outside nodes 0..n is zero by invariant.
+        sl = tuple(slice(0, min(a, b)) for a, b in zip(got.shape, want.shape))
+        got, want = got[sl], want[sl]
+    err = float(jnp.max(jnp.abs(got - want)))
     status = "ok " if err <= tol else "FAIL"
     print(f"{status} {name:55s} max err {err:.3e} (tol {tol:.0e})", flush=True)
     if err > tol:
