@@ -94,6 +94,7 @@ def main():
 
     t0 = time.perf_counter()
     bratu = BratuProblem(cfg, lam=args.lam)
+    bratu_f = BratuProblem(cfg_f, lam=args.lam, align=256, min_pad_level=0)
     pois_j = PoissonProblem(cfg)
     pois_f = PoissonProblem(cfg_f, align=256, min_pad_level=0)
     print(f"# setup {time.perf_counter() - t0:.1f}s", flush=True)
@@ -105,6 +106,12 @@ def main():
     print(f"a. FAS Bratu V-cycle (jnp)     : {ms:8.3f} ms (compile "
           f"{cs:.1f}s)", flush=True)
     msb_fas = ms
+
+    hbf = bratu_f.hierarchy
+    ms, cs = bench_cycle_fn(hbf, cfg_f, bratu_f.rhs(), hbf.levels[0].S,
+                            fas_cycle, args.cycles, args.repeats)
+    print(f"a2. FAS Bratu V-cycle fused K1f/K2f: {ms:8.3f} ms (compile "
+          f"{cs:.1f}s)", flush=True)
 
     hj = pois_j.hierarchy
     ms, cs = bench_cycle_fn(hj, cfg, pois_j.rhs(), hj.levels[0].S,

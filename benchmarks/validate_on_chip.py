@@ -161,6 +161,47 @@ def main():
         finest_level=7, coarsest_level=3), num_cycles=8, tol=None)
     h = np.asarray(r.res_history)
     check("FAS bratu lam=5 reduction", h[8] / h[0], 0.0, 5e-4)
+
+    # Fused FAS super-kernels (K1f/K2f, r4) vs the jnp FAS tier.
+    fcfg = mg.MultigridConfig(finest_level=8, coarsest_level=4,
+                              use_pallas=True)
+    rf = mg.solve_bratu(8, lam=5.0, config=fcfg, num_cycles=6, tol=None)
+    h = np.asarray(rf.res_history)
+    check("FAS bratu fused K1f/K2f reduction", h[6] / h[0], 0.0, 5e-3)
+    rfj = mg.solve_bratu(8, lam=5.0,
+                         config=_dc.replace(fcfg, use_pallas=False),
+                         num_cycles=6, tol=None)
+    check("FAS bratu fused vs jnp solution", np.asarray(rf.u),
+          np.asarray(rfj.u), 5e-6)
+
+    # Quasilinear fused FAS (Picard-Jacobi windows, qfas_* kernels).
+    rq = mg.solve_quasilinear_diffusion(8, gamma=2.0, config=fcfg,
+                                        num_cycles=6, tol=None)
+    h = np.asarray(rq.res_history)
+    check("FAS quasilinear fused reduction", h[6] / h[0], 0.0, 5e-3)
+    rqj = mg.solve_quasilinear_diffusion(
+        8, gamma=2.0, config=_dc.replace(fcfg, use_pallas=False),
+        num_cycles=6, tol=None)
+    check("FAS quasilinear fused vs jnp solution", np.asarray(rq.u),
+          np.asarray(rqj.u), 5e-6)
+
+    # Mehrstellen on the fused tier via static 9-point stencil weights.
+    m9 = mg.MultigridConfig(finest_level=8, coarsest_level=4,
+                            smoother="chebyshev", nu1=3, nu2=2,
+                            use_pallas=True)
+    r9 = mg.solve_poisson(8, order=4, config=m9, num_cycles=6, tol=None,
+                          forcing=lambda x, y: 2 * math.pi ** 2
+                          * jnp.sin(math.pi * x) * jnp.sin(math.pi * y))
+    h = np.asarray(r9.res_history)
+    check("mehrstellen fused (stencil9) reduction", h[6] / h[0], 0.0,
+          5e-4)
+    r9j = mg.solve_poisson(8, order=4,
+                           config=_dc.replace(m9, use_pallas=False),
+                           num_cycles=6, tol=None,
+                           forcing=lambda x, y: 2 * math.pi ** 2
+                           * jnp.sin(math.pi * x) * jnp.sin(math.pi * y))
+    check("mehrstellen fused vs jnp solution", np.asarray(r9.u),
+          np.asarray(r9j.u), 5e-6)
     r = mg.solve_quasilinear_diffusion(7, gamma=2.0, num_cycles=8,
                                        tol=None)
     h = np.asarray(r.res_history)

@@ -990,7 +990,8 @@ def solve_nonlinear_poisson(
     else:
         from .problems.bratu import NonlinearPoissonProblem
         problem = NonlinearPoissonProblem(config, phi=phi, dphi=dphi,
-                                          forcing=forcing)
+                                          forcing=forcing,
+                                          **_pad_kw(config))
     if mesh is not None:   # ndim == 3: generic GSPMD FAS vehicle
         return _run_fas_gspmd(problem, config, mesh, tol, max_cycles,
                               num_cycles, use_fmg, jit)
@@ -1042,7 +1043,8 @@ def solve_bratu(
         problem = Bratu3DProblem(config, lam=lam, forcing=forcing)
     else:
         from .problems.bratu import BratuProblem
-        problem = BratuProblem(config, lam=lam, forcing=forcing)
+        problem = BratuProblem(config, lam=lam, forcing=forcing,
+                               **_pad_kw(config))
     if mesh is not None:   # ndim == 3: generic GSPMD FAS vehicle
         return _run_fas_gspmd(problem, config, mesh, tol, max_cycles,
                               num_cycles, use_fmg, jit)
@@ -1093,7 +1095,8 @@ def solve_quasilinear_diffusion(
     else:
         from .problems.nldiffusion import QuasilinearDiffusionProblem
         problem = QuasilinearDiffusionProblem(config, gamma=gamma, a=a,
-                                              da=da, forcing=forcing)
+                                              da=da, forcing=forcing,
+                                              **_pad_kw(config))
     if mesh is not None:
         return _run_fas_gspmd(problem, config, mesh, tol, max_cycles,
                               num_cycles, use_fmg, jit)

@@ -223,6 +223,11 @@ class Const9Op:
     """
 
     DIAG = 20.0 / 6.0
+    # Static weights for the fused Pallas super-kernels
+    # (kernels/stencil._off_app9): STENCIL[di+1][dj+1] * u[i+di, j+dj].
+    STENCIL = ((-1.0 / 6.0, -4.0 / 6.0, -1.0 / 6.0),
+               (-4.0 / 6.0, 20.0 / 6.0, -4.0 / 6.0),
+               (-1.0 / 6.0, -4.0 / 6.0, -1.0 / 6.0))
 
     def __init__(self, n: int, S: int):
         self.n = int(n)

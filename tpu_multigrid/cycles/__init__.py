@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from ..config import MultigridConfig
 from ..core import ops
 from ..core.grids import Hierarchy, coarse_solve
-from ..core.operators import (ConstStencilOp, ConstStencilOp3D,
+from ..core.operators import (Const9Op, ConstStencilOp, ConstStencilOp3D,
                               VarStencilOp, VarStencilOp3D)
 
 
@@ -233,14 +233,20 @@ def _sdt_kernel(cfg: MultigridConfig, dtype):
 
 
 def _use_super_kernels(op, opc, cfg: MultigridConfig, dtype) -> bool:
-    """Whether the fused Pallas V-cycle super-kernels apply at this level."""
-    if not (cfg.use_pallas and isinstance(op, ConstStencilOp)):
+    """Whether the fused Pallas V-cycle super-kernels apply at this level.
+
+    Covers the 5-point ``ConstStencilOp`` and (via static 9-point stencil
+    weights, zero extra HBM traffic) ``Const9Op`` Mehrstellen pairs."""
+    const9 = isinstance(op, Const9Op) and isinstance(opc, Const9Op)
+    if not (cfg.use_pallas and (isinstance(op, ConstStencilOp) or const9)):
         return False
     if cfg.smoother not in ("jacobi", "rbgs", "chebyshev"):
         return False
     delta = _sdt_kernel(cfg, dtype) is not None
-    if delta and jnp.dtype(dtype) != jnp.dtype(jnp.float32):
+    if delta and (const9 or jnp.dtype(dtype) != jnp.dtype(jnp.float32)):
         return False  # delta form keeps an f32 iterate under narrow sweeps
+    if const9 and jnp.dtype(dtype) != jnp.dtype(jnp.float32):
+        return False
     if cfg.restriction != "fw" or cfg.prolongation != "bilinear":
         return False
     from ..kernels import transfer as _t
@@ -254,7 +260,8 @@ def _fused_k1(op, opc, cfg: MultigridConfig, u, b):
     from ..kernels import transfer as _t
     smoother, omega = _sm(cfg, cfg.nu1)
     return _t.smooth_restrict(u, b, op.n, opc.S, cfg.nu1, smoother, omega,
-                              smooth_dtype=_sdt_kernel(cfg, u.dtype))
+                              smooth_dtype=_sdt_kernel(cfg, u.dtype),
+                              stencil=getattr(op, "STENCIL", None))
 
 
 def _use_var_super_kernels(op, opc, cfg: MultigridConfig, dtype) -> bool:
@@ -303,11 +310,13 @@ def _fused_k2(op, cfg: MultigridConfig, u, b, ec, *, resnorm=False):
     from ..kernels import transfer as _t
     smoother, omega = _sm(cfg, cfg.nu2)
     sd = _sdt_kernel(cfg, u.dtype)
+    st = getattr(op, "STENCIL", None)
     if resnorm:
         return _t.prolong_smooth_resnorm(u, b, ec, op.n, cfg.nu2,
-                                         smoother, omega, smooth_dtype=sd)
+                                         smoother, omega, smooth_dtype=sd,
+                                         stencil=st)
     return _t.prolong_smooth(u, b, ec, op.n, cfg.nu2, smoother, omega,
-                             smooth_dtype=sd)
+                             smooth_dtype=sd, stencil=st)
 
 
 def _use_super_kernels3(op, opc, cfg: MultigridConfig, dtype) -> bool:

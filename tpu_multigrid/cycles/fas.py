@@ -60,6 +60,54 @@ def _nsmooth(op, u, b, cfg: MultigridConfig, sweeps: int):
     return op.nsmooth(u, b, omega=cfg.omega, sweeps=sweeps)
 
 
+def _use_fas_super_kernels(op, opc, cfg: MultigridConfig, dtype) -> bool:
+    """Whether the fused FAS super-kernels (K1f/K2f, kernels/fas.py) cover
+    this level pair: a 2D PointwiseNonlinearOp over the constant 5-point
+    stencil OR a 2D QuasilinearFluxOp, f32, 256-aligned padding — same
+    geometry gate as the linear K1/K2 (the FAS payload's deepest read
+    matches)."""
+    if not cfg.use_pallas:
+        return False
+    from ..core.nonlinear import PointwiseNonlinearOp, QuasilinearFluxOp
+    from ..core.operators import ConstStencilOp
+    pointwise = (isinstance(op, PointwiseNonlinearOp)
+                 and isinstance(opc, PointwiseNonlinearOp)
+                 and isinstance(op.lin, ConstStencilOp)
+                 and isinstance(opc.lin, ConstStencilOp))
+    quasi = (isinstance(op, QuasilinearFluxOp)
+             and isinstance(opc, QuasilinearFluxOp))
+    if not (pointwise or quasi):
+        return False
+    if getattr(op, "ndim", 2) != 2:
+        return False
+    from ..kernels.fas import fas_supported
+    return fas_supported(op.S, opc.S, max(cfg.nu1, cfg.nu2), dtype)
+
+
+def _fused_fas_k1(op, opc, cfg: MultigridConfig, u, b):
+    from ..core.nonlinear import QuasilinearFluxOp
+    if isinstance(op, QuasilinearFluxOp):
+        from ..kernels.fas import qfas_smooth_restrict
+        return qfas_smooth_restrict(u, b, op.n, opc.S, cfg.nu1,
+                                    float(cfg.omega), op.a)
+    from ..kernels.fas import fas_smooth_restrict
+    return fas_smooth_restrict(u, b, op.n, opc.S, cfg.nu1,
+                               float(cfg.omega), op.phi, op.dphi,
+                               float(op.h2), float(op.diag))
+
+
+def _fused_fas_k2(op, cfg: MultigridConfig, u, b, ec):
+    from ..core.nonlinear import QuasilinearFluxOp
+    if isinstance(op, QuasilinearFluxOp):
+        from ..kernels.fas import qfas_prolong_smooth
+        return qfas_prolong_smooth(u, b, ec, op.n, cfg.nu2,
+                                   float(cfg.omega), op.a)
+    from ..kernels.fas import fas_prolong_smooth
+    return fas_prolong_smooth(u, b, ec, op.n, cfg.nu2, float(cfg.omega),
+                              op.phi, op.dphi, float(op.h2),
+                              float(op.diag))
+
+
 def _coarsest(hier: Hierarchy, cfg: MultigridConfig, u, b):
     op = hier.levels[-1]
     if cfg.coarse_solver == "direct" and getattr(op, "a_dense", None) is not None:
@@ -74,10 +122,14 @@ def fas_cycle(hier: Hierarchy, cfg: MultigridConfig, u, b, k: int = 0):
 
     op = hier.levels[k]
     opc = hier.levels[k + 1]
-    u = _nsmooth(op, u, b, cfg, cfg.nu1)
-    r = op.residual(u, b)
-    uc0, rc = _restrict_pair(op, opc, u, r)
-    bc = opc.apply(uc0) + rc
+    fused = _use_fas_super_kernels(op, opc, cfg, u.dtype)
+    if fused:
+        u, uc0, bc = _fused_fas_k1(op, opc, cfg, u, b)
+    else:
+        u = _nsmooth(op, u, b, cfg, cfg.nu1)
+        r = op.residual(u, b)
+        uc0, rc = _restrict_pair(op, opc, u, r)
+        bc = opc.apply(uc0) + rc
 
     uc = uc0
     if cfg.cycle == "V":
@@ -89,6 +141,8 @@ def fas_cycle(hier: Hierarchy, cfg: MultigridConfig, u, b, k: int = 0):
         uc = fas_cycle(hier, cfg, uc, bc, k + 1)
         uc = _fas_vcycle_only(hier, cfg, uc, bc, k + 1)
 
+    if fused:
+        return _fused_fas_k2(op, cfg, u, b, uc - uc0)
     u = u + _prolong_err(uc - uc0, opc, op)
     return _nsmooth(op, u, b, cfg, cfg.nu2)
 
@@ -96,6 +150,42 @@ def fas_cycle(hier: Hierarchy, cfg: MultigridConfig, u, b, k: int = 0):
 def _fas_vcycle_only(hier, cfg, u, b, k):
     vcfg = dataclasses.replace(cfg, cycle="V")
     return fas_cycle(hier, vcfg, u, b, k)
+
+
+def _fused_fas_k2_resnorm(op, cfg: MultigridConfig, u, b, ec):
+    from ..core.nonlinear import QuasilinearFluxOp
+    if isinstance(op, QuasilinearFluxOp):
+        from ..kernels.fas import qfas_prolong_smooth_resnorm
+        return qfas_prolong_smooth_resnorm(u, b, ec, op.n, cfg.nu2,
+                                           float(cfg.omega), op.a)
+    from ..kernels.fas import fas_prolong_smooth_resnorm
+    return fas_prolong_smooth_resnorm(u, b, ec, op.n, cfg.nu2,
+                                      float(cfg.omega), op.phi, op.dphi,
+                                      float(op.h2), float(op.diag))
+
+
+def fas_cycle_with_norm(hier: Hierarchy, cfg: MultigridConfig, u, b):
+    """One finest-level FAS cycle + the post-cycle nonlinear residual norm.
+
+    On the fused path the norm rides the final K2f launch (zero extra HBM
+    traffic, mirroring the linear ``cycle_with_norm``); otherwise it is one
+    jnp residual + norm pass.
+    """
+    op = hier.levels[0]
+    if hier.num_levels == 1:
+        u = _coarsest(hier, cfg, u, b)
+        return u, ops.norm2(op.residual(u, b))
+    opc = hier.levels[1]
+    if _use_fas_super_kernels(op, opc, cfg, u.dtype):
+        u, uc0, bc = _fused_fas_k1(op, opc, cfg, u, b)
+        uc = fas_cycle(hier, cfg, uc0, bc, 1)
+        if cfg.cycle == "W":
+            uc = fas_cycle(hier, cfg, uc, bc, 1)
+        elif cfg.cycle == "F":
+            uc = _fas_vcycle_only(hier, cfg, uc, bc, 1)
+        return _fused_fas_k2_resnorm(op, cfg, u, b, uc - uc0)
+    u = fas_cycle(hier, cfg, u, b)
+    return u, ops.norm2(op.residual(u, b))
 
 
 def fas_solve_fixed(hier: Hierarchy, cfg: MultigridConfig, b,
@@ -109,8 +199,8 @@ def fas_solve_fixed(hier: Hierarchy, cfg: MultigridConfig, b,
 
     def body(i, carry):
         u, hist = carry
-        u = fas_cycle(hier, cfg, u, b)
-        hist = hist.at[i + 1].set(ops.norm2(op.residual(u, b)))
+        u, rnorm = fas_cycle_with_norm(hier, cfg, u, b)
+        hist = hist.at[i + 1].set(rnorm)
         return u, hist
 
     u, hist = jax.lax.fori_loop(0, num_cycles, body, (u, hist))
@@ -140,8 +230,7 @@ def fas_solve_until_tol(hier: Hierarchy, cfg: MultigridConfig, b, *,
 
     def body(carry):
         u, i, rnorm, stalls, hist = carry
-        u = fas_cycle(hier, cfg, u, b)
-        rnew = ops.norm2(op.residual(u, b))
+        u, rnew = fas_cycle_with_norm(hier, cfg, u, b)
         hist = hist.at[i + 1].set(rnew)
         stalls = jnp.where(rnew > sf * rnorm, stalls + 1,
                            jnp.zeros_like(stalls))

@@ -142,6 +142,68 @@ def _residual_of(state, b, interior):
 
 
 # ---------------------------------------------------------------------------
+# Generic static 9-point stencil (constant weights known at trace time)
+# ---------------------------------------------------------------------------
+#
+# ``stencil[di+1][dj+1]`` multiplies u[i+di, j+dj] in (A u)[i, j] — the
+# same layout as VarStencilOp.coef, but as compile-time floats: zero
+# stored planes and zero extra HBM traffic vs the 5-point kernels.  Covers
+# the Mehrstellen fourth-order operator (core.operators.Const9Op) and any
+# other constant compact stencil.
+
+def _off_app9(x, w):
+    """Off-diagonal application sum_{(di,dj)!=(0,0)} w[di][dj]*x[i+di,j+dj]
+    with static weights (skipping exact zeros — the 5-point corners)."""
+    R, C = x.shape
+    sh = {-1: 1, 1: R - 1}          # roll amount for x[i+di] along rows
+    shc = {-1: 1, 1: C - 1}
+    out = None
+    for di in (-1, 0, 1):
+        row = None
+        for dj in (-1, 0, 1):
+            c = w[di + 1][dj + 1]
+            if (di == 0 and dj == 0) or c == 0.0:
+                continue
+            if row is None:
+                row = x if di == 0 else _roll(x, sh[di], 0)
+            t = row if dj == 0 else _roll(row, shc[dj], 1)
+            term = c * t
+            out = term if out is None else out + term
+    return out if out is not None else jnp.zeros_like(x)
+
+
+def _jacobi9_step(omega, w):
+    """Weighted Jacobi on a static 9-point stencil, mirroring
+    ``Const9Op.smooth``: v <- (1-om)v + (om/diag)(b - offapp(v))."""
+    inv_d = 1.0 / w[1][1]
+
+    def step(state, b, interior, parity, j):
+        om = omega[j % len(omega)] if isinstance(omega, tuple) else omega
+        upd = ((1.0 - om) * state
+               + (om * inv_d) * (b - _off_app9(state, w))).astype(state.dtype)
+        return jnp.where(interior, upd, jnp.zeros((), state.dtype))
+    return step
+
+
+def _rbgs9_step(w):
+    """Parity-masked damped block relaxation (``Const9Op.smooth`` rbgs
+    note: the 9-point stencil couples same-color diagonal neighbors, so
+    this is a valid smoother, not exact GS)."""
+    inv_d = 1.0 / w[1][1]
+
+    def step(state, b, interior, parity, j):
+        upd = (inv_d * (b - _off_app9(state, w))).astype(state.dtype)
+        color = interior & (parity == (j % 2))
+        return jnp.where(color, upd, state)
+    return step
+
+
+def _residual9_of(state, b, interior, w):
+    r = (b - w[1][1] * state - _off_app9(state, w)).astype(state.dtype)
+    return jnp.where(interior, r, jnp.zeros((), state.dtype))
+
+
+# ---------------------------------------------------------------------------
 # Streaming harness
 # ---------------------------------------------------------------------------
 

@@ -28,7 +28,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .stencil import _jacobi_step, _nbr, _rbgs_step, _residual_of, _roll
+from .stencil import (_jacobi_step, _jacobi9_step, _nbr, _rbgs_step,
+                      _rbgs9_step, _residual_of, _residual9_of, _roll)
 
 # Fine-grid tile (TR, TC) with halos (HR, HC); all chosen so tile origins
 # are multiples of (16, 256) and halos keep window origins on the same grid.
@@ -213,12 +214,23 @@ def _bilinear_prolong(c):
     return 0.5 * (F + _roll(F, C2 - 1, 1))
 
 
-def _step_fn(smoother, omega):
+def _step_fn(smoother, omega, stencil=None):
+    """``stencil``: optional static 9-point weights (stencil[di+1][dj+1]
+    multiplies u[i+di, j+dj]) replacing the hard-wired 5-point Poisson
+    operator — zero extra HBM traffic (kernels/stencil.py)."""
     if smoother == "jacobi":
-        return _jacobi_step(omega if isinstance(omega, tuple) else float(omega))
+        om = omega if isinstance(omega, tuple) else float(omega)
+        return _jacobi9_step(om, stencil) if stencil is not None \
+            else _jacobi_step(om)
     elif smoother == "rbgs":
-        return _rbgs_step()
+        return _rbgs9_step(stencil) if stencil is not None else _rbgs_step()
     raise ValueError(smoother)
+
+
+def _resid_of(state, b, interior, stencil=None):
+    if stencil is not None:
+        return _residual9_of(state, b, interior, stencil)
+    return _residual_of(state, b, interior)
 
 
 # The 256-column / 16-row DMA halos exist for offset *alignment*; the
@@ -293,7 +305,7 @@ def _delta_steps(uk, bk, ik, pk, steps, step, smooth_dtype):
 
 
 def _smooth_restrict(u, b, *, n, Sc, steps, smoother, omega,
-                     smooth_dtype=None):
+                     smooth_dtype=None, stencil=None):
     """Returns (u', rc): u after ``steps`` smoothing steps, and the
     restricted residual on the (Sc, Sc) coarse grid.  ~3.3 HBM passes.
 
@@ -316,7 +328,7 @@ def _smooth_restrict(u, b, *, n, Sc, steps, smoother, omega,
     ncols = pl.cdiv(S, tc)
     nt = nr * ncols
     nc_cells = n // 2
-    step = _step_fn(smoother, omega)
+    step = _step_fn(smoother, omega, stencil)
 
     def kernel(u_hbm, b_hbm, out_u, out_rc, u_buf, b_buf, rc_buf,
                in_sem, out_sem):
@@ -397,7 +409,7 @@ def _smooth_restrict(u, b, *, n, Sc, steps, smoother, omega,
                         state = step(state, bk, ik, pk, j)
                 u_buf[slot, pl.ds(kr0, KWr), pl.ds(kc0, KWc)] = state
             interior, _ = _masks(rf0, cf0, WFr, WFc, n)
-            r = _residual_of(u_buf[slot], b_buf[slot], interior)
+            r = _resid_of(u_buf[slot], b_buf[slot], interior, stencil)
             # Full-weighting + even-even subsample; mask with coarse coords.
             rc = _fw_even2(r)
             gi = (jax.lax.broadcasted_iota(jnp.int32, (WFr // 2, WFc // 2), 0)
@@ -447,7 +459,7 @@ def _smooth_restrict(u, b, *, n, Sc, steps, smoother, omega,
 # ---------------------------------------------------------------------------
 
 def _prolong_smooth(u, b, ec, *, n, steps, smoother, omega,
-                    want_resnorm=False, smooth_dtype=None):
+                    want_resnorm=False, smooth_dtype=None, stencil=None):
     """u <- smooth(u + P e_c, b, steps).  ~3.3 HBM passes.
 
     Replaces the reference's host-loop ``interpolation2d`` + device
@@ -473,7 +485,7 @@ def _prolong_smooth(u, b, ec, *, n, steps, smoother, omega,
     nr = pl.cdiv(S, tr)
     ncols = pl.cdiv(S, tc)
     nt = nr * ncols
-    step = _step_fn(smoother, omega)
+    step = _step_fn(smoother, omega, stencil)
 
     def kernel(u_hbm, b_hbm, ec_hbm, out_u, out_ss, u_buf, b_buf, c_buf,
                ss_acc, in_sem, out_sem):
@@ -572,8 +584,8 @@ def _prolong_smooth(u, b, ec, *, n, steps, smoother, omega,
                 claim = (interior
                          & (gi >= ti * tr) & (gi < (ti + 1) * tr)
                          & (gj >= tj * tc) & (gj < (tj + 1) * tc))
-                r = jnp.where(claim, bwin - 4.0 * state + _nbr(state),
-                              jnp.zeros((), dtype)).astype(jnp.float32)
+                r = _resid_of(state, bwin, claim,
+                              stencil).astype(jnp.float32)
                 ss_acc[0, 0] = ss_acc[0, 0] + jnp.sum(r * r)
             out_dma(slot, t).start()
             return carry
@@ -617,17 +629,19 @@ def _prolong_smooth(u, b, ec, *, n, steps, smoother, omega,
 
 @functools.partial(jax.jit,
                    static_argnames=("n", "Sc", "sweeps", "smoother", "omega",
-                                    "smooth_dtype"))
+                                    "smooth_dtype", "stencil"))
 def smooth_restrict(u, b, n: int, Sc: int, sweeps: int,
                     smoother: str = "jacobi", omega: float = 2.0 / 3.0,
-                    smooth_dtype=None):
+                    smooth_dtype=None, stencil=None):
     """sweeps pre-smoothing sweeps, then residual + FW restriction.
 
-    ``smooth_dtype``: optional narrower sweep-chain dtype (delta form)."""
+    ``smooth_dtype``: optional narrower sweep-chain dtype (delta form).
+    ``stencil``: optional static 9-point weights (constant compact
+    operators, e.g. Mehrstellen) replacing the 5-point Poisson stencil."""
     steps = 2 * sweeps if smoother == "rbgs" else sweeps
     un, rc = _smooth_restrict(u, b, n=n, Sc=Sc, steps=steps,
                               smoother=smoother, omega=omega,
-                              smooth_dtype=smooth_dtype)
+                              smooth_dtype=smooth_dtype, stencil=stencil)
     # The kernel's tile grid covers coarse indices [0, S/2); zero the
     # remaining (non-physical) tail so the zero-outside-interior invariant
     # holds for downstream ops.
@@ -643,31 +657,33 @@ def smooth_restrict(u, b, n: int, Sc: int, sweeps: int,
 
 @functools.partial(jax.jit,
                    static_argnames=("n", "sweeps", "smoother", "omega",
-                                    "smooth_dtype"))
+                                    "smooth_dtype", "stencil"))
 def prolong_smooth(u, b, ec, n: int, sweeps: int,
                    smoother: str = "jacobi", omega: float = 2.0 / 3.0,
-                   smooth_dtype=None):
+                   smooth_dtype=None, stencil=None):
     """u <- smooth(u + P e_c, b) with `sweeps` post-smoothing sweeps."""
     steps = 2 * sweeps if smoother == "rbgs" else sweeps
     un, _ = _prolong_smooth(u, b, ec, n=n, steps=steps,
                             smoother=smoother, omega=omega,
-                            smooth_dtype=smooth_dtype)
+                            smooth_dtype=smooth_dtype, stencil=stencil)
     return un
 
 
 @functools.partial(jax.jit,
                    static_argnames=("n", "sweeps", "smoother", "omega",
-                                    "smooth_dtype"))
+                                    "smooth_dtype", "stencil"))
 def prolong_smooth_resnorm(u, b, ec, n: int, sweeps: int,
                            smoother: str = "jacobi",
-                           omega: float = 2.0 / 3.0, smooth_dtype=None):
+                           omega: float = 2.0 / 3.0, smooth_dtype=None,
+                           stencil=None):
     """Like :func:`prolong_smooth` but also returns ||b - A u'||_2, fusing
     the until-tol convergence check into the kernel (zero extra HBM
     traffic vs a separate residual + norm pass)."""
     steps = 2 * sweeps if smoother == "rbgs" else sweeps
     un, ss = _prolong_smooth(u, b, ec, n=n, steps=steps,
                              smoother=smoother, omega=omega,
-                             want_resnorm=True, smooth_dtype=smooth_dtype)
+                             want_resnorm=True, smooth_dtype=smooth_dtype,
+                             stencil=stencil)
     return un, jnp.sqrt(ss[0, 0])
 
 
