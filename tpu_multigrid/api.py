@@ -164,6 +164,14 @@ def _pad_kw(config: MultigridConfig) -> dict:
     return {}
 
 
+def _pad_kw3(config: MultigridConfig) -> dict:
+    """3D Pallas layout: (z, y) 16-aligned, lane axis 128-aligned
+    (kernels/stencil3d.py; XLA lane-pads internally anyway)."""
+    if config.use_pallas:
+        return dict(align=16, min_pad_level=0, lane_align=128)
+    return {}
+
+
 def _solve_on_mesh(config, mesh, *, forcing, u0, tol, max_cycles,
                    num_cycles, use_fmg, dist_path, jit,
                    coefficient=None, boundary=None, neumann=(),
@@ -986,7 +994,8 @@ def solve_nonlinear_poisson(
     if ndim == 3:
         from .problems.bratu import NonlinearPoisson3DProblem
         problem = NonlinearPoisson3DProblem(config, phi=phi, dphi=dphi,
-                                            forcing=forcing)
+                                            forcing=forcing,
+                                            **_pad_kw3(config))
     else:
         from .problems.bratu import NonlinearPoissonProblem
         problem = NonlinearPoissonProblem(config, phi=phi, dphi=dphi,
@@ -1040,7 +1049,8 @@ def solve_bratu(
         return res
     if ndim == 3:
         from .problems.bratu import Bratu3DProblem
-        problem = Bratu3DProblem(config, lam=lam, forcing=forcing)
+        problem = Bratu3DProblem(config, lam=lam, forcing=forcing,
+                                 **_pad_kw3(config))
     else:
         from .problems.bratu import BratuProblem
         problem = BratuProblem(config, lam=lam, forcing=forcing,
@@ -1091,7 +1101,8 @@ def solve_quasilinear_diffusion(
     if ndim == 3:
         from .problems.nldiffusion import QuasilinearDiffusion3DProblem
         problem = QuasilinearDiffusion3DProblem(config, gamma=gamma, a=a,
-                                                da=da, forcing=forcing)
+                                                da=da, forcing=forcing,
+                                                **_pad_kw3(config))
     else:
         from .problems.nldiffusion import QuasilinearDiffusionProblem
         problem = QuasilinearDiffusionProblem(config, gamma=gamma, a=a,

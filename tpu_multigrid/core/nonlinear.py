@@ -286,14 +286,19 @@ class QuasilinearFluxOp3:
 
     ndim = 3
 
-    def __init__(self, n: int, S: int, a: Callable, da: Callable):
+    def __init__(self, n: int, S: int, a: Callable, da: Callable,
+                 Sx: int = None):
         self.n = int(n)
         self.S = int(S)
         self.a = a
         self.da = da
+        # Optional lane-axis padding (fused FAS kernels need Sx mult 128;
+        # XLA lane-pads the minor dim internally anyway, so explicit Sx
+        # costs no extra HBM — same convention as ConstStencilOp3D).
+        self.Sx = int(Sx) if Sx is not None else int(S)
 
     def tree_flatten(self):
-        return (), (self.n, self.S, self.a, self.da)
+        return (), (self.n, self.S, self.a, self.da, self.Sx)
 
     @classmethod
     def tree_unflatten(cls, aux, _children):
@@ -301,7 +306,7 @@ class QuasilinearFluxOp3:
 
     @property
     def grid_shape(self):
-        return (self.S, self.S, self.S)
+        return (self.S, self.S, self.Sx)
 
     @property
     def h2(self) -> float:

@@ -68,8 +68,21 @@ def _use_fas_super_kernels(op, opc, cfg: MultigridConfig, dtype) -> bool:
     matches)."""
     if not cfg.use_pallas:
         return False
-    from ..core.nonlinear import PointwiseNonlinearOp, QuasilinearFluxOp
-    from ..core.operators import ConstStencilOp
+    from ..core.nonlinear import (PointwiseNonlinearOp, QuasilinearFluxOp,
+                                  QuasilinearFluxOp3)
+    from ..core.operators import ConstStencilOp, ConstStencilOp3D
+    if getattr(op, "ndim", 2) == 3:
+        pw3 = (isinstance(op, PointwiseNonlinearOp)
+               and isinstance(opc, PointwiseNonlinearOp)
+               and isinstance(op.lin, ConstStencilOp3D)
+               and isinstance(opc.lin, ConstStencilOp3D))
+        q3 = (isinstance(op, QuasilinearFluxOp3)
+              and isinstance(opc, QuasilinearFluxOp3))
+        if not (pw3 or q3):
+            return False
+        from ..kernels.fas3d import fas3_supported
+        return fas3_supported(op.grid_shape, opc.grid_shape,
+                              max(cfg.nu1, cfg.nu2), dtype)
     pointwise = (isinstance(op, PointwiseNonlinearOp)
                  and isinstance(opc, PointwiseNonlinearOp)
                  and isinstance(op.lin, ConstStencilOp)
@@ -78,14 +91,21 @@ def _use_fas_super_kernels(op, opc, cfg: MultigridConfig, dtype) -> bool:
              and isinstance(opc, QuasilinearFluxOp))
     if not (pointwise or quasi):
         return False
-    if getattr(op, "ndim", 2) != 2:
-        return False
     from ..kernels.fas import fas_supported
     return fas_supported(op.S, opc.S, max(cfg.nu1, cfg.nu2), dtype)
 
 
 def _fused_fas_k1(op, opc, cfg: MultigridConfig, u, b):
-    from ..core.nonlinear import QuasilinearFluxOp
+    from ..core.nonlinear import QuasilinearFluxOp, QuasilinearFluxOp3
+    if getattr(op, "ndim", 2) == 3:
+        if isinstance(op, QuasilinearFluxOp3):
+            from ..kernels.fas3d import qfas_smooth_restrict3
+            return qfas_smooth_restrict3(u, b, op.n, opc.grid_shape,
+                                         cfg.nu1, float(cfg.omega), op.a)
+        from ..kernels.fas3d import fas_smooth_restrict3
+        return fas_smooth_restrict3(u, b, op.n, opc.grid_shape, cfg.nu1,
+                                    float(cfg.omega), op.phi, op.dphi,
+                                    float(op.h2), float(op.diag))
     if isinstance(op, QuasilinearFluxOp):
         from ..kernels.fas import qfas_smooth_restrict
         return qfas_smooth_restrict(u, b, op.n, opc.S, cfg.nu1,
@@ -97,7 +117,16 @@ def _fused_fas_k1(op, opc, cfg: MultigridConfig, u, b):
 
 
 def _fused_fas_k2(op, cfg: MultigridConfig, u, b, ec):
-    from ..core.nonlinear import QuasilinearFluxOp
+    from ..core.nonlinear import QuasilinearFluxOp, QuasilinearFluxOp3
+    if getattr(op, "ndim", 2) == 3:
+        if isinstance(op, QuasilinearFluxOp3):
+            from ..kernels.fas3d import qfas_prolong_smooth3
+            return qfas_prolong_smooth3(u, b, ec, op.n, cfg.nu2,
+                                        float(cfg.omega), op.a)
+        from ..kernels.fas3d import fas_prolong_smooth3
+        return fas_prolong_smooth3(u, b, ec, op.n, cfg.nu2,
+                                   float(cfg.omega), op.phi, op.dphi,
+                                   float(op.h2), float(op.diag))
     if isinstance(op, QuasilinearFluxOp):
         from ..kernels.fas import qfas_prolong_smooth
         return qfas_prolong_smooth(u, b, ec, op.n, cfg.nu2,
@@ -153,7 +182,17 @@ def _fas_vcycle_only(hier, cfg, u, b, k):
 
 
 def _fused_fas_k2_resnorm(op, cfg: MultigridConfig, u, b, ec):
-    from ..core.nonlinear import QuasilinearFluxOp
+    from ..core.nonlinear import QuasilinearFluxOp, QuasilinearFluxOp3
+    if getattr(op, "ndim", 2) == 3:
+        if isinstance(op, QuasilinearFluxOp3):
+            from ..kernels.fas3d import qfas_prolong_smooth_resnorm3
+            return qfas_prolong_smooth_resnorm3(u, b, ec, op.n, cfg.nu2,
+                                                float(cfg.omega), op.a)
+        from ..kernels.fas3d import fas_prolong_smooth_resnorm3
+        return fas_prolong_smooth_resnorm3(u, b, ec, op.n, cfg.nu2,
+                                           float(cfg.omega), op.phi,
+                                           op.dphi, float(op.h2),
+                                           float(op.diag))
     if isinstance(op, QuasilinearFluxOp):
         from ..kernels.fas import qfas_prolong_smooth_resnorm
         return qfas_prolong_smooth_resnorm(u, b, ec, op.n, cfg.nu2,

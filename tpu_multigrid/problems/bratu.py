@@ -51,24 +51,27 @@ def build_pointwise_hierarchy(config: MultigridConfig, phi: Callable,
 
 
 def build_pointwise_hierarchy3(config: MultigridConfig, phi: Callable,
-                               dphi: Callable) -> Hierarchy:
+                               dphi: Callable, *, align: int = 1,
+                               min_pad_level: int = 99,
+                               lane_align: int = 1) -> Hierarchy:
     """3D per-level ``PointwiseNonlinearOp`` stack over the 7-point
     constant stencil (diag 6); same coarsest Newton treatment as 2D.
 
-    Levels are cubic (S, S, S) with S = n + 1: the FAS tier is jnp-only
-    (no Pallas kernels), so the lane-aligned (S, S, Sx) layout of
-    ``problems.poisson3d.build_poisson3d_hierarchy(lane_align=128)`` is
-    deliberately skipped here — identical to that builder's own
-    ``lane_align=1`` default (XLA lane-pads the minor dim internally
-    either way)."""
-    sizes = level_sizes(config)
+    Default layout: cubic (S, S, S) with S = n + 1 (the jnp FAS tier —
+    XLA lane-pads the minor dim internally either way).  The fused FAS
+    kernels (kernels/fas3d.py) need the lane-aligned (S, S, Sx) layout:
+    ``align=16, min_pad_level=0, lane_align=128`` — the same convention
+    as ``problems.poisson3d.build_poisson3d_hierarchy``."""
+    sizes = level_sizes(config, align=align, min_pad_level=min_pad_level)
+    rup = lambda v, q: (v + q - 1) // q * q
     levels = []
     for idx, (n, S) in enumerate(sizes):
         a_dense = None
         if idx == len(sizes) - 1 and config.coarse_solver == "direct":
             a_dense = jnp.asarray(dense_poisson_matrix(n, ndim=3),
                                   config.dtype)
-        levels.append(PointwiseNonlinearOp(ConstStencilOp3D(n, S), phi,
+        Sx = rup(n + 1, lane_align) if lane_align > 1 else S
+        levels.append(PointwiseNonlinearOp(ConstStencilOp3D(n, S, Sx), phi,
                                            dphi, diag=6.0,
                                            a_dense=a_dense))
     return Hierarchy(tuple(levels), None)
@@ -113,12 +116,18 @@ class NonlinearPoisson3DProblem:
     phi: Callable = None
     dphi: Callable = None
     forcing: Union[float, Callable] = 6.0
+    align: int = 1
+    min_pad_level: int = 99
+    lane_align: int = 1
 
     def __post_init__(self):
         if self.phi is None or self.dphi is None:
             raise ValueError("NonlinearPoisson3DProblem needs phi and dphi")
         self.hierarchy: Hierarchy = jax.device_put(
-            build_pointwise_hierarchy3(self.config, self.phi, self.dphi))
+            build_pointwise_hierarchy3(self.config, self.phi, self.dphi,
+                                       align=self.align,
+                                       min_pad_level=self.min_pad_level,
+                                       lane_align=self.lane_align))
 
     @property
     def finest(self):
@@ -134,8 +143,9 @@ class NonlinearPoisson3DProblem:
 
 
 def Bratu3DProblem(config: MultigridConfig, lam: float = 1.0,
-                   forcing: Union[float, Callable] = 0.0,
-                   ) -> NonlinearPoisson3DProblem:
+                   forcing: Union[float, Callable] = 0.0, *,
+                   align: int = 1, min_pad_level: int = 99,
+                   lane_align: int = 1) -> NonlinearPoisson3DProblem:
     """3D Bratu −Δu − λ eᵘ = f (unit cube; λ* ≈ 9.9 for the cube)."""
     lam = float(lam)
 
@@ -143,7 +153,9 @@ def Bratu3DProblem(config: MultigridConfig, lam: float = 1.0,
         return -lam * jnp.exp(u)
 
     return NonlinearPoisson3DProblem(config, phi=phi, dphi=phi,
-                                     forcing=forcing)
+                                     forcing=forcing, align=align,
+                                     min_pad_level=min_pad_level,
+                                     lane_align=lane_align)
 
 
 def BratuProblem(config: MultigridConfig, lam: float = 1.0,

@@ -35,11 +35,18 @@ def build_quasilinear_hierarchy(config: MultigridConfig, a: Callable,
 
 
 def build_quasilinear_hierarchy3(config: MultigridConfig, a: Callable,
-                                 da: Callable) -> Hierarchy:
-    """3D quasilinear flux stack on cubic (S, S, S) = (n+1,)³ levels (the
-    FAS tier is jnp-only; see ``bratu.build_pointwise_hierarchy3``)."""
-    sizes = level_sizes(config)
-    levels = tuple(QuasilinearFluxOp3(n, S, a, da) for n, S in sizes)
+                                 da: Callable, *, align: int = 1,
+                                 min_pad_level: int = 99,
+                                 lane_align: int = 1) -> Hierarchy:
+    """3D quasilinear flux stack; default cubic (S, S, S) = (n+1,)³
+    levels (jnp tier) or lane-aligned (S, S, Sx) for the fused FAS
+    kernels (see ``bratu.build_pointwise_hierarchy3``)."""
+    sizes = level_sizes(config, align=align, min_pad_level=min_pad_level)
+    rup = lambda v, q: (v + q - 1) // q * q
+    levels = tuple(
+        QuasilinearFluxOp3(n, S, a, da,
+                           rup(n + 1, lane_align) if lane_align > 1 else S)
+        for n, S in sizes)
     return Hierarchy(levels, None)
 
 
@@ -55,6 +62,9 @@ class QuasilinearDiffusion3DProblem:
     a: Callable = None
     da: Callable = None
     forcing: Union[float, Callable] = 6.0
+    align: int = 1
+    min_pad_level: int = 99
+    lane_align: int = 1
 
     def __post_init__(self):
         if self.a is None:
@@ -62,7 +72,10 @@ class QuasilinearDiffusion3DProblem:
             self.a = lambda u: 1.0 + g * u * u
             self.da = lambda u: 2.0 * g * u
         self.hierarchy: Hierarchy = jax.device_put(
-            build_quasilinear_hierarchy3(self.config, self.a, self.da))
+            build_quasilinear_hierarchy3(self.config, self.a, self.da,
+                                         align=self.align,
+                                         min_pad_level=self.min_pad_level,
+                                         lane_align=self.lane_align))
 
     @property
     def finest(self):
