@@ -102,6 +102,11 @@ def main():
            ConvectionDiffusionProblem(ccfg, eps=0.001, bx=1.0, by=0.5),
            ccfg)
     report("mehrstellen order-4", Poisson4Problem(cfg), cfg)
+    mcfg = MultigridConfig(finest_level=lvl2d, coarsest_level=3,
+                           smoother="chebyshev", nu1=3, nu2=2,
+                           use_pallas=True)
+    report("mehrstellen fused (stencil9)",
+           Poisson4Problem(mcfg, align=256, min_pad_level=0), mcfg)
     report("periodic torus",
            PeriodicPoissonProblem(cfg, forcing=lambda x, y:
                                   8 * math.pi ** 2
