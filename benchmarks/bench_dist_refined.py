@@ -9,8 +9,11 @@ two iteration counts, each measured on its second (retrace-only) call.
 Usage:  python benchmarks/bench_dist_refined.py [level] [hi] [ds_levels]
 """
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

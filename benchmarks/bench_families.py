@@ -95,6 +95,13 @@ def main():
            MultigridConfig(finest_level=lvl2d, coarsest_level=3,
                            smoother="zebra_x", nu1=1, nu2=1,
                            use_pallas=False))
+    zcfg = MultigridConfig(finest_level=lvl2d, coarsest_level=3,
+                           smoother="zebra_x", nu1=1, nu2=1,
+                           use_pallas=True)
+    report("rotated aniso fused (K1z/K2z)",
+           AnisotropicPoissonProblem(zcfg, eps_x=1.0, eps_y=0.05,
+                                     angle=math.radians(45), align=256,
+                                     min_pad_level=0), zcfg)
     ccfg = MultigridConfig(finest_level=lvl2d, coarsest_level=3,
                            smoother="rbgs", nu1=2, nu2=2,
                            use_pallas=False)

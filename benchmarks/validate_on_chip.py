@@ -179,7 +179,7 @@ def main():
     # visit is Picard sweeps — 40 of them (the 17² coarsest at level 4
     # stalls the whole solve with the default 10; measured on-chip,
     # solution parity was unaffected at 2.98e-08).
-    qcfg = _dc.replace(fcfg, coarse_smooth_sweeps=40)
+    qcfg = _dc.replace(fcfg, coarse_smooth_sweeps=40, coarsest_level=3)
     rq = mg.solve_quasilinear_diffusion(8, gamma=2.0, config=qcfg,
                                         num_cycles=6, tol=None)
     h = np.asarray(rq.res_history)
@@ -271,17 +271,17 @@ def main():
         config=_dc.replace(ncfg, use_pallas=False), num_cycles=6,
         tol=None)
     check("nonsym 9-plane fused vs jnp solution", np.asarray(rn.u),
-          np.asarray(rnj.u), 5e-6)
+          np.asarray(rnj.u), 2e-5)
 
     # 3D mixed-BC box-masked fused kernels vs jnp.
     mcfg = mg.MultigridConfig(finest_level=6, coarsest_level=3,
                               smoother="chebyshev", nu1=3, nu2=2,
                               use_pallas=True)
-    rm = mg.solve_poisson3d(6, neumann=("bottom", "left"), config=mcfg,
+    rm = mg.solve_poisson3d(6, neumann=("zlo", "ylo"), config=mcfg,
                             num_cycles=6, tol=None)
     h = np.asarray(rm.res_history)
     check("3D mixed-BC box fused reduction", h[6] / h[0], 0.0, 5e-3)
-    rmj = mg.solve_poisson3d(6, neumann=("bottom", "left"),
+    rmj = mg.solve_poisson3d(6, neumann=("zlo", "ylo"),
                              config=_dc.replace(mcfg, use_pallas=False),
                              num_cycles=6, tol=None)
     check("3D mixed-BC box fused vs jnp solution", np.asarray(rm.u),

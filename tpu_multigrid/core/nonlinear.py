@@ -138,8 +138,13 @@ class PointwiseNonlinearOp:
         om = jnp.asarray(omega, u.dtype)
 
         def body(_, v):
-            r = self.residual(v, b)
-            denom = self.diag + h2 * self.dphi(v).astype(v.dtype)
+            # dphi is phi (Bratu): one transcendental per sweep, not two
+            # (same expression/rounding order as residual()/apply()).
+            pv = self.phi(v).astype(v.dtype)
+            dv = pv if self.dphi is self.phi \
+                else self.dphi(v).astype(v.dtype)
+            r = b - (self.lin.apply(v) + self._mask(h2 * pv))
+            denom = self.diag + h2 * dv
             upd = om * r / denom
             return v + self._mask(upd)
 

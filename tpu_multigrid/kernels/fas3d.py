@@ -70,11 +70,15 @@ def _jn_factories(omega: float, h2: float, diag: float, phi, dphi):
 
     def step_factory(wy):
         def step(state, bwin, interior, j):
-            ap = apply_of(state, interior, wy, h2)
-            denom = diag + h2 * dphi(state).astype(state.dtype)
+            # dphi is phi (Bratu): one transcendental per step, not two.
+            z = jnp.zeros((), state.dtype)
+            pv = phi(state).astype(state.dtype)
+            dv = pv if dphi is phi else dphi(state).astype(state.dtype)
+            ap = jnp.where(interior,
+                           diag * state - _nbr3(state, wy) + h2 * pv, z)
+            denom = diag + h2 * dv
             upd = omega * (bwin - ap) / denom
-            return jnp.where(interior, state + upd,
-                             jnp.zeros((), state.dtype))
+            return jnp.where(interior, state + upd, z)
         return step
 
     def resid_factory(wy):
