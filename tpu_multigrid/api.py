@@ -958,6 +958,7 @@ def solve_nonlinear_poisson(
     num_cycles: Optional[int] = None,
     use_fmg: bool = False,
     mesh=None,
+    dist_path: str = "jnp",
     jit: bool = True,
 ) -> SolveResult:
     """Solve -lap(u) + phi(u) = forcing by FAS multigrid (2D or 3D).
@@ -985,6 +986,13 @@ def solve_nonlinear_poisson(
         if use_fmg:
             raise ValueError("mesh= FAS does not support FMG yet (use "
                              "the single-device path)")
+        if dist_path == "pallas":
+            from .dist.fas_pallas import fas_sharded_solve_pallas
+            res, _ = fas_sharded_solve_pallas(
+                config, mesh, phi=phi, dphi=dphi, forcing=forcing,
+                tol=tol, max_cycles=max_cycles, num_cycles=num_cycles,
+                jit=jit)
+            return res
         from .dist.fas import fas_sharded_solve
         res, _ = fas_sharded_solve(
             config, mesh, phi=phi, dphi=dphi, forcing=forcing,
@@ -1020,6 +1028,7 @@ def solve_bratu(
     num_cycles: Optional[int] = None,
     use_fmg: bool = False,
     mesh=None,
+    dist_path: str = "jnp",
     jit: bool = True,
 ) -> SolveResult:
     """Solve the Bratu problem -lap(u) - lam * exp(u) = forcing (FAS).
@@ -1027,7 +1036,9 @@ def solve_bratu(
     Converges to the lower solution branch for lam below the critical
     value (~6.81 on the unit square, ~9.9 on the unit cube with
     ``ndim=3``); see problems/bratu.py.  ``mesh``: optional 2D device
-    mesh (distributed FAS, dist/fas.py; 2D, no FMG).
+    mesh (distributed FAS; 2D, no FMG) — ``dist_path="jnp"`` (dist/fas.py,
+    one halo ring per sweep) or ``"pallas"`` (dist/fas_pallas.py, fused
+    K1f/K2f extended-block kernels; one ghost exchange per half-visit).
     """
     if ndim not in (2, 3):
         raise ValueError(f"ndim must be 2 or 3, got {ndim}")
@@ -1041,6 +1052,13 @@ def solve_bratu(
                              "the single-device path)")
         lamf = float(lam)
         phi = lambda u: -lamf * jnp.exp(u)
+        if dist_path == "pallas":
+            from .dist.fas_pallas import fas_sharded_solve_pallas
+            res, _ = fas_sharded_solve_pallas(
+                config, mesh, phi=phi, dphi=phi, forcing=forcing,
+                tol=tol, max_cycles=max_cycles, num_cycles=num_cycles,
+                jit=jit)
+            return res
         from .dist.fas import fas_sharded_solve
         res, _ = fas_sharded_solve(
             config, mesh, phi=phi, dphi=phi, forcing=forcing,
@@ -1076,6 +1094,7 @@ def solve_quasilinear_diffusion(
     num_cycles: Optional[int] = None,
     use_fmg: bool = False,
     mesh=None,
+    dist_path: str = "jnp",
     jit: bool = True,
 ) -> SolveResult:
     """Solve -div(a(u) grad u) = forcing by FAS multigrid (2D or 3D).
@@ -1108,6 +1127,16 @@ def solve_quasilinear_diffusion(
         problem = QuasilinearDiffusionProblem(config, gamma=gamma, a=a,
                                               da=da, forcing=forcing,
                                               **_pad_kw(config))
+    if mesh is not None and ndim == 2 and dist_path == "pallas":
+        # Fused extended-block FAS (dist/fas_pallas.py): Picard-Jacobi
+        # windows, edge coefficients recomputed in-VMEM per sweep.
+        if use_fmg:
+            raise ValueError("mesh= FAS does not support FMG yet")
+        from .dist.fas_pallas import fas_sharded_solve_pallas
+        res, _ = fas_sharded_solve_pallas(
+            config, mesh, a=problem.a, forcing=forcing, tol=tol,
+            max_cycles=max_cycles, num_cycles=num_cycles, jit=jit)
+        return res
     if mesh is not None:
         return _run_fas_gspmd(problem, config, mesh, tol, max_cycles,
                               num_cycles, use_fmg, jit)

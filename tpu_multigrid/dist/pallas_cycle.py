@@ -181,6 +181,15 @@ def pallas_level_sizes(config: MultigridConfig, mesh_shape: Tuple[int, int],
     import math
     quantum = math.lcm(256, 16 * my, 256 * mx)
     S0 = round_up(n0 + 1, quantum)
+    # Deeper aligned halvings when the extra padding is nearly free: with
+    # the base quantum, S0/2 usually breaks the 256-column alignment after
+    # ONE level (e.g. 16640/2 = 8320), dropping every level below to the
+    # replicated jnp tail — whose parity-transpose transfers at 8320^2
+    # blow the 128 MB XLA vmem budget (measured OOM at 16385^2 on (1,1)).
+    # A 1024-multiple S0 keeps >= 3 levels shard-aligned.
+    S0_big = round_up(n0 + 1, math.lcm(quantum, 1024))
+    if S0_big <= 1.10 * S0:     # 8193^2 -> 9216 (1.091), 16385^2 -> 17408
+        S0 = S0_big
     mult = 2 if config.smoother == "rbgs" else 1
     steps = mult * max(config.nu1, config.nu2, 1) + 1
     sizes = []

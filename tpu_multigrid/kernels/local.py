@@ -54,11 +54,12 @@ HR = 16       # row halo (= GR; window = TR + 2*HR rows)
 
 # Full-width strips must fit VMEM.  The widest consumer is K1/K2: two
 # double-buffered (TR+2*HR, C) f32 windows plus one half-size coarse
-# buffer = 18*(TR+2*HR)*C bytes = 88 MB at C = 17408, inside the 110 MB
+# buffer = 18*(TR+2*HR)*C bytes = 93 MB at C = 17920, inside the 110 MB
 # vmem_limit — wide enough for a 16385^2 grid on a SINGLE device column
-# ((1, k) meshes / the one-real-chip refined runs): S0 = 16512 gives
-# C = lc + 2*GC = 17024.
-MAX_C = 17 * 1024
+# ((1, k) meshes / the one-real-chip refined runs): the 1024-quantum
+# layout (dist.pallas_cycle.pallas_level_sizes) gives S0 = 17408, so
+# C = lc + 2*GC = 17920.
+MAX_C = 18 * 1024
 
 
 def supported_local(R: int, C: int, steps: int, dtype) -> bool:
