@@ -125,6 +125,25 @@ def main():
     print(f"c. linear V-cycle fused K1/K2  : {ms:8.3f} ms (compile "
           f"{cs:.1f}s)", flush=True)
 
+    # Quasilinear flux family (polynomial a(u) = 1 + 2u^2 — NO
+    # transcendentals): isolates the fused tier's bandwidth win from the
+    # exp-bound Bratu rows above.
+    from tpu_multigrid.problems.nldiffusion import (
+        QuasilinearDiffusionProblem)
+    qj = QuasilinearDiffusionProblem(cfg, gamma=2.0)
+    qf = QuasilinearDiffusionProblem(cfg_f, gamma=2.0, align=256,
+                                     min_pad_level=0)
+    ms, cs = bench_cycle_fn(qj.hierarchy, cfg, qj.rhs(),
+                            qj.hierarchy.levels[0].S, fas_cycle,
+                            args.cycles, args.repeats)
+    print(f"q. FAS quasilinear V-cycle (jnp): {ms:8.3f} ms (compile "
+          f"{cs:.1f}s)", flush=True)
+    ms, cs = bench_cycle_fn(qf.hierarchy, cfg_f, qf.rhs(),
+                            qf.hierarchy.levels[0].S, fas_cycle,
+                            args.cycles, args.repeats)
+    print(f"q2. FAS quasilinear fused qK1f/qK2f: {ms:8.3f} ms (compile "
+          f"{cs:.1f}s)", flush=True)
+
     # Solve-level: full Bratu until-tol (bounds total FAS work)
     from tpu_multigrid import solve_bratu
     t0 = time.perf_counter()
