@@ -287,12 +287,66 @@ def main():
     check("3D mixed-BC box fused vs jnp solution", np.asarray(rm.u),
           np.asarray(rmj.u), 5e-6)
 
-    # 3D rotated anisotropic tensor (19-point Rotated3DOp).
+    # 3D rotated anisotropic tensor (19-point Rotated3DOp) — jnp and the
+    # fused static-stencil (stencil27) tiers.
     rr = mg.solve_anisotropic3d(5, eps_x=1.0, eps_y=0.05, eps_z=1.0,
                                 angle=math.radians(30), plane="xy",
                                 num_cycles=6, tol=None)
     h = np.asarray(rr.res_history)
     check("3D rotated tensor reduction", h[6] / h[0], 0.0, 5e-2)
+    r27cfg = mg.MultigridConfig(finest_level=7, coarsest_level=3,
+                                smoother="chebyshev", nu1=3, nu2=2,
+                                use_pallas=True)
+    rrf = mg.solve_anisotropic3d(7, eps_x=1.0, eps_y=0.05, eps_z=1.0,
+                                 angle=math.radians(30), plane="xy",
+                                 config=r27cfg, num_cycles=6, tol=None)
+    h = np.asarray(rrf.res_history)
+    check("3D rotated fused (stencil27) reduction", h[6] / h[0], 0.0,
+          5e-2)
+    rrj = mg.solve_anisotropic3d(7, eps_x=1.0, eps_y=0.05, eps_z=1.0,
+                                 angle=math.radians(30), plane="xy",
+                                 config=_dc.replace(r27cfg,
+                                                    use_pallas=False),
+                                 num_cycles=6, tol=None)
+    check("3D rotated fused vs jnp solution", np.asarray(rrf.u),
+          np.asarray(rrj.u), 2e-5)
+
+    # 3D constant-wind upwind convection on the fused stencil27 tier.
+    c27cfg = mg.MultigridConfig(finest_level=7, coarsest_level=3,
+                                smoother="rbgs", nu1=2, nu2=2,
+                                use_pallas=True)
+    c27 = mg.solve_convection_diffusion3d(7, eps=0.01, bx=1.0, by=0.5,
+                                          bz=0.25, config=c27cfg,
+                                          num_cycles=6, tol=None)
+    h = np.asarray(c27.res_history)
+    check("3D upwind fused (stencil27) reduction", h[6] / h[0], 0.0,
+          5e-3)
+    c27j = mg.solve_convection_diffusion3d(
+        7, eps=0.01, bx=1.0, by=0.5, bz=0.25,
+        config=_dc.replace(c27cfg, use_pallas=False), num_cycles=6,
+        tol=None)
+    check("3D upwind fused vs jnp solution", np.asarray(c27.u),
+          np.asarray(c27j.u), 2e-5)
+
+    # 3D Mehrstellen on the fused stencil27 tier.
+    m27 = mg.solve_poisson3d(7, order=4, config=r27cfg, num_cycles=6,
+                             tol=None,
+                             forcing=lambda x, y, z: 3 * math.pi ** 2
+                             * jnp.sin(math.pi * x) * jnp.sin(math.pi * y)
+                             * jnp.sin(math.pi * z))
+    h = np.asarray(m27.res_history)
+    check("3D mehrstellen fused (stencil27) reduction", h[6] / h[0],
+          0.0, 5e-3)
+    m27j = mg.solve_poisson3d(7, order=4,
+                              config=_dc.replace(r27cfg,
+                                                 use_pallas=False),
+                              num_cycles=6, tol=None,
+                              forcing=lambda x, y, z: 3 * math.pi ** 2
+                              * jnp.sin(math.pi * x)
+                              * jnp.sin(math.pi * y)
+                              * jnp.sin(math.pi * z))
+    check("3D mehrstellen fused vs jnp solution", np.asarray(m27.u),
+          np.asarray(m27j.u), 2e-5)
 
     # Distributed tiers on a (1,1) mesh — the real chip has one device;
     # this drives the actual dist code paths (padded layouts, halo

@@ -546,8 +546,11 @@ def solve_convection_diffusion3d(
     elif config.finest_level != finest_level:
         config = dataclasses.replace(config, finest_level=finest_level)
     from .problems.convection3d import ConvectionDiffusion3DProblem
+    # Constant winds put each level's (spatially constant) upwind stencil
+    # on the fused static-stencil kernels; lane-align when Pallas is on.
     problem = ConvectionDiffusion3DProblem(config, eps=eps, bx=bx, by=by,
-                                           bz=bz, forcing=forcing)
+                                           bz=bz, forcing=forcing,
+                                           **_pad_kw3(config))
     if mesh is not None:
         # Upwind 3D hierarchies distribute via the generic GSPMD vehicle
         # ((Sz, Sy) shard; coefficient volumes ride the same spec).
@@ -636,12 +639,12 @@ def solve_poisson3d(
         if bc != "dirichlet" or mesh is not None or refined:
             raise ValueError("order=4 (3D) supports the single-chip "
                              "Dirichlet unrefined path")
-        import dataclasses as _dc
-
         from .problems.poisson4_3d import Poisson4_3DProblem
-        pcfg = _dc.replace(config, use_pallas=False)  # 19-point is jnp
-        problem = Poisson4_3DProblem(pcfg, forcing=forcing)
-        return _run(problem, pcfg, tol, max_cycles, num_cycles, use_fmg,
+        # The 19-point operator rides the fused K1_3/K2_3 kernels via
+        # static stencil weights (kernels/stencil3d._off_app27, r4).
+        problem = Poisson4_3DProblem(config, forcing=forcing,
+                                     **_pad_kw3(config))
+        return _run(problem, config, tol, max_cycles, num_cycles, use_fmg,
                     jit, boundary=boundary)
     if order != 2:
         raise ValueError(f"order must be 2 or 4, got {order}")
@@ -800,7 +803,7 @@ def solve_anisotropic3d(
         from .problems.anisotropic3d import RotatedAnisotropic3DProblem
         problem = RotatedAnisotropic3DProblem(
             config, eps_x=eps_x, eps_y=eps_y, eps_z=eps_z, angle=angle,
-            plane=plane, forcing=forcing)
+            plane=plane, forcing=forcing, **_pad_kw3(config))
     else:
         from .problems.anisotropic3d import AnisotropicPoisson3DProblem
         problem = AnisotropicPoisson3DProblem(

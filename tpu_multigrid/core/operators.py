@@ -120,6 +120,16 @@ class Const19Op:
 
     ndim = 3
     DIAG = 4.0  # 24 / 6
+    # Static 3x3x3 weights for the fused Pallas super-kernels
+    # (kernels/stencil3d._off_app27): STENCIL27[dz+1][dy+1][dx+1]
+    # multiplies u[i+dz, j+dy, k+dx] — faces -1/3, edges -1/6, corners 0.
+    STENCIL27 = tuple(
+        tuple(tuple((4.0 if (dz, dy, dx) == (0, 0, 0) else
+                     -2.0 / 6.0 if abs(dz) + abs(dy) + abs(dx) == 1 else
+                     -1.0 / 6.0 if abs(dz) + abs(dy) + abs(dx) == 2 else
+                     0.0)
+                    for dx in (-1, 0, 1)) for dy in (-1, 0, 1))
+        for dz in (-1, 0, 1))
 
     def __init__(self, n: int, S: int, Sx: int = None):
         self.n = int(n)

@@ -320,9 +320,20 @@ def _fused_k2(op, cfg: MultigridConfig, u, b, ec, *, resnorm=False):
 
 
 def _use_super_kernels3(op, opc, cfg: MultigridConfig, dtype) -> bool:
-    """Whether the fused 3D super-kernels (K1₃/K2₃) apply at this level."""
-    if not (cfg.use_pallas and isinstance(op, ConstStencilOp3D)
-            and isinstance(opc, ConstStencilOp3D)):
+    """Whether the fused 3D super-kernels (K1₃/K2₃) apply at this level.
+
+    Covers the 7-point ``ConstStencilOp3D`` and (via static 3x3x3 stencil
+    weights, zero extra HBM traffic) any constant compact-stencil pair
+    exposing ``STENCIL27`` — the 19-point Mehrstellen ``Const19Op`` and
+    the rotated constant-tensor ``Rotated3DOp``."""
+    const7 = (isinstance(op, ConstStencilOp3D)
+              and isinstance(opc, ConstStencilOp3D))
+    const27 = (getattr(op, "STENCIL27", None) is not None
+               and getattr(opc, "STENCIL27", None) is not None
+               and getattr(op, "ndim", 2) == 3)
+    if not (cfg.use_pallas and (const7 or const27)):
+        return False
+    if const27 and jnp.dtype(dtype) != jnp.dtype(jnp.float32):
         return False
     if cfg.smoother not in ("jacobi", "rbgs", "chebyshev"):
         return False
@@ -340,16 +351,19 @@ def _fused_k1_3d(op, opc, cfg: MultigridConfig, u, b):
     from ..kernels import transfer3d as _t3
     smoother, omega = _sm(cfg, cfg.nu1)
     return _t3.smooth_restrict3(u, b, op.n, opc.grid_shape, cfg.nu1,
-                                smoother, omega)
+                                smoother, omega,
+                                stencil=getattr(op, "STENCIL27", None))
 
 
 def _fused_k2_3d(op, cfg: MultigridConfig, u, b, ec, *, resnorm=False):
     from ..kernels import transfer3d as _t3
     smoother, omega = _sm(cfg, cfg.nu2)
+    st = getattr(op, "STENCIL27", None)
     if resnorm:
         return _t3.prolong_smooth_resnorm3(u, b, ec, op.n, cfg.nu2,
-                                           smoother, omega)
-    return _t3.prolong_smooth3(u, b, ec, op.n, cfg.nu2, smoother, omega)
+                                           smoother, omega, stencil=st)
+    return _t3.prolong_smooth3(u, b, ec, op.n, cfg.nu2, smoother, omega,
+                               stencil=st)
 
 
 def _use_var_super_kernels3(op, opc, cfg: MultigridConfig, dtype) -> bool:

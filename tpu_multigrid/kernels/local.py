@@ -76,11 +76,22 @@ def supported_local(R: int, C: int, steps: int, dtype) -> bool:
     return steps + 2 <= HR
 
 
-def _row_geom(R: int):
-    """(tr, hr): row strip size and halo, clamped for small blocks."""
-    if R >= TR + 2 * HR:
-        return TR, HR
-    return R, 0
+def _row_geom(R: int, C: int = 0):
+    """(tr, hr): row strip size and halo, clamped for small blocks.
+
+    At wide C the Mosaic register allocator spills heavily on full-width
+    windows (measured 92.79 MB of spill slots for a (288, 17920) K1
+    window — 16385^2-scale single-column runs OOM'd the 128 MB program
+    vmem budget), so the window AREA is capped; spills scale with it.
+    Narrow blocks (C*288 under the cap) keep the full 256-row strips."""
+    if R < TR + 2 * HR:
+        return R, 0
+    if C:
+        max_cells = 2_600_000
+        wr = min(TR + 2 * HR, max(2 * HR + 16,
+                                  (max_cells // C) // 16 * 16))
+        return wr - 2 * HR, HR
+    return TR, HR
 
 
 # ---------------------------------------------------------------------------
@@ -91,7 +102,7 @@ def _streamed_local(u, b, origin, *, n, steps, step_fn, want_residual):
     """Like stencil._streamed but rectangular, full-width, origin-offset."""
     R, C = u.shape
     dtype = u.dtype
-    tr, hr = _row_geom(R)
+    tr, hr = _row_geom(R, C)
     WR = tr + 2 * hr
     nt = pl.cdiv(R, tr)
 
@@ -207,7 +218,7 @@ def _k1_local(u, b, origin, *, n, steps, smoother, omega):
     dtype = u.dtype
     # R = lr + 2*GR -> coarse extended rows = lr/2 + 2*GR = R//2 + GR.
     Rc, Cc = R // 2 + GR, C // 2 + GC
-    tr, hr = (TR, HR) if R >= TR + 2 * HR else (R, 0)
+    tr, hr = _row_geom(R, C)
     WFr = tr + 2 * hr
     nt = pl.cdiv(R, tr)
     step = _step_fn(smoother, omega)
@@ -333,7 +344,7 @@ def _k2_local(u, b, ec, origin, *, n, steps, smoother, omega,
     dtype = u.dtype
     Rc, Cc = R // 2 + GR, C // 2 + GC
     assert ec.shape == (Rc, Cc), (ec.shape, (Rc, Cc))
-    tr, hr = (TR, HR) if R >= TR + 2 * HR else (R, 0)
+    tr, hr = _row_geom(R, C)
     WFr = tr + 2 * hr
     Wrc, Wcc = WFr // 2, C // 2
     nt = pl.cdiv(R, tr)

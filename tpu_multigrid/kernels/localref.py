@@ -34,7 +34,15 @@ from .local import GR, GC, TR, HR
 from .transfer import (_bilinear_prolong, _bilinear_prolong_comp)
 
 
-_VMEM_BUDGET = 90 * 1024 * 1024
+# Strip-sizing budget for the double-buffered windows.  Deliberately far
+# below the 128 MB program limit: the TwoSum cascades keep dozens of
+# f32 temporaries live per element and Mosaic's register allocator
+# SPILLS them to vmem — measured 80.9 MB of spill slots for a
+# (272, 9728) ds_residual window (16385^2-scale runs OOM'd at
+# 141-181 MB of 128 MB).  Spills scale with window area, so capping the
+# buffer budget at ~32 MB leaves ~3x headroom for them; narrow grids
+# still reach the TR=256 cap.
+_VMEM_BUDGET = 32 * 1024 * 1024
 
 
 def _strip_rows(C: int, nbufs: int, hr: int, quantum: int = 8,

@@ -159,6 +159,74 @@ def _residual_of3(state, b, interior, Sy: int):
 
 
 # ---------------------------------------------------------------------------
+# Generic static 3x3x3 stencil (constant weights known at trace time)
+# ---------------------------------------------------------------------------
+#
+# ``stencil[dz+1][dy+1][dx+1]`` multiplies u[i+dz, j+dy, k+dx] in
+# (A u)[i, j, k] — compile-time floats, zero stored volumes, zero extra
+# HBM traffic vs the 7-point kernels.  Covers the 3D Mehrstellen 19-point
+# operator (core.operators.Const19Op) and the rotated constant-tensor
+# 19-point operator (problems.anisotropic3d.Rotated3DOp).  Zero entries
+# are skipped at trace time (a 19-point stencil costs 18 roll-FMA terms).
+
+def _off_app27(x, w, wy: int):
+    """Off-diagonal application sum_{d != 0} w[d] * x[i+d] on the fused
+    (WZ*wy, Sx) row view (z shift = dz*wy rows, y = dy rows, x = dx
+    cols)."""
+    R, C = x.shape
+    out = None
+    for dz in (-1, 0, 1):
+        plane = None
+        for dy in (-1, 0, 1):
+            row = None
+            for dx in (-1, 0, 1):
+                c = w[dz + 1][dy + 1][dx + 1]
+                if (dz == 0 and dy == 0 and dx == 0) or c == 0.0:
+                    continue
+                if plane is None:
+                    plane = x if dz == 0 else _roll(x, (-dz * wy) % R, 0)
+                if row is None:
+                    row = plane if dy == 0 else _roll(plane, (-dy) % R, 0)
+                t = row if dx == 0 else _roll(row, (-dx) % C, 1)
+                term = c * t
+                out = term if out is None else out + term
+    return out if out is not None else jnp.zeros_like(x)
+
+
+def _jacobi27_step(omega, w, wy: int):
+    """Weighted Jacobi on a static 3x3x3 stencil (fused-row view),
+    mirroring ``Const19Op.smooth`` / ``Rotated3DOp.smooth``:
+    v <- (1-om)v + (om/diag)(b - offapp(v))."""
+    inv_d = 1.0 / w[1][1][1]
+
+    def step(state, b, interior, parity, j):
+        om = omega[j % len(omega)] if isinstance(omega, tuple) else omega
+        upd = ((1.0 - om) * state
+               + (om * inv_d)
+               * (b - _off_app27(state, w, wy))).astype(state.dtype)
+        return jnp.where(interior, upd, jnp.zeros((), state.dtype))
+    return step
+
+
+def _rbgs27_step(w, wy: int):
+    """Parity-masked damped block relaxation (edge/corner terms couple
+    same-color nodes — same caveat as ``Const19Op.smooth``)."""
+    inv_d = 1.0 / w[1][1][1]
+
+    def step(state, b, interior, parity, j):
+        upd = (inv_d * (b - _off_app27(state, w, wy))).astype(state.dtype)
+        color = interior & (parity == (j % 2))
+        return jnp.where(color, upd, state)
+    return step
+
+
+def _residual27_of(state, b, interior, w, wy: int):
+    r = (b - w[1][1][1] * state
+         - _off_app27(state, w, wy)).astype(state.dtype)
+    return jnp.where(interior, r, jnp.zeros((), state.dtype))
+
+
+# ---------------------------------------------------------------------------
 # Streaming harness ((z, y)-tiled double-buffered DMA, fused-row compute)
 # ---------------------------------------------------------------------------
 

@@ -42,18 +42,31 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .stencil import _roll
-from .stencil3d import (WINDOW_BYTES, _jacobi_step3, _rbgs_step3,
+from .stencil3d import (WINDOW_BYTES, _jacobi27_step, _jacobi_step3,
+                        _rbgs27_step, _rbgs_step3, _residual27_of,
                         _residual_of3, _round_up, _row_bytes)
 from .transfer import _row_deinterleave
 
 
-def _step_fn3(smoother, omega, wy):
+def _step_fn3(smoother, omega, wy, stencil=None):
+    """``stencil``: optional static 3x3x3 weights
+    (stencil[dz+1][dy+1][dx+1] multiplies u[i+dz, j+dy, k+dx]) replacing
+    the hard-wired 7-point Poisson operator — zero extra HBM traffic
+    (kernels/stencil3d._off_app27; 3D Mehrstellen / rotated tensors)."""
+    om = omega if isinstance(omega, tuple) else float(omega)
     if smoother == "jacobi":
-        return _jacobi_step3(omega if isinstance(omega, tuple)
-                             else float(omega), wy)
+        return _jacobi27_step(om, stencil, wy) if stencil is not None \
+            else _jacobi_step3(om, wy)
     elif smoother == "rbgs":
-        return _rbgs_step3(wy)
+        return _rbgs27_step(stencil, wy) if stencil is not None \
+            else _rbgs_step3(wy)
     raise ValueError(smoother)
+
+
+def _resid_of3(state, b, interior, wy, stencil=None):
+    if stencil is not None:
+        return _residual27_of(state, b, interior, stencil, wy)
+    return _residual_of3(state, b, interior, wy)
 
 
 def _core_y(TY, WY, steps):
@@ -244,7 +257,7 @@ def _prolong3_vmem(c, Wzc: int, Wyc: int):
 # ---------------------------------------------------------------------------
 
 def _smooth_restrict3(u, b, *, n, shape_c, steps, smoother, omega,
-                      origin=None, ghost=(0, 0)):
+                      origin=None, ghost=(0, 0), stencil=None):
     """Returns (u', rc): u after ``steps`` smoothing steps and the
     restricted residual on the coarse grid.  ~3.3 HBM passes of the cube.
 
@@ -336,7 +349,7 @@ def _smooth_restrict3(u, b, *, n, shape_c, steps, smoother, omega,
                     jnp.clip((yo - y0) - CHY, 0, WY - KWY), 8)
                 ik, pk = _masks3(z0 + org_smem[0, 0],
                                  y0 + ky0 + org_smem[0, 1], WZ, KWY, Sx, n)
-                stepk = _step_fn3(smoother, omega, KWY)
+                stepk = _step_fn3(smoother, omega, KWY, stencil)
                 sk = u_buf[slot, :, pl.ds(ky0, KWY), :].reshape(
                     WZ * KWY, Sx)
                 bk = b_buf[slot, :, pl.ds(ky0, KWY), :].reshape(
@@ -353,13 +366,13 @@ def _smooth_restrict3(u, b, *, n, shape_c, steps, smoother, omega,
                 interior, parity = _masks3(z0 + org_smem[0, 0],
                                            y0 + org_smem[0, 1], WZ, WY,
                                            Sx, n)
-                step = _step_fn3(smoother, omega, WY)
+                step = _step_fn3(smoother, omega, WY, stencil)
                 state = u_buf[slot].reshape(WZ * WY, Sx)
                 bwin = b_buf[slot].reshape(WZ * WY, Sx)
                 for j in range(steps):
                     state = step(state, bwin, interior, parity, j)
                 u_buf[slot] = state.reshape(WZ, WY, Sx)
-            r = _residual_of3(state, bwin, interior, WY)
+            r = _resid_of3(state, bwin, interior, WY, stencil)
             # R = P^T/2: separable blur + even-even-even decimation, /2.
             rc = 0.5 * _decimate3(_blur3(r, WY), WZ, WY)
             # coarse mask in global coarse coordinates
@@ -465,7 +478,7 @@ def _tiles_k2(shape, H: int, dtype, budget=None):
 
 
 def _prolong_smooth3(u, b, ec, *, n, steps, smoother, omega,
-                     want_resnorm=False):
+                     want_resnorm=False, stencil=None):
     """u <- smooth(u + P e_c, b, steps); optionally also ||b - A u||²."""
     Sz, Sy, Sx = u.shape
     Szc, Syc, Scx = ec.shape
@@ -569,7 +582,7 @@ def _prolong_smooth3(u, b, ec, *, n, steps, smoother, omega,
                 ky0 = pl.multiple_of(
                     jnp.clip((yo - yf0) - CHY, 0, WY - KWY), 8)
                 ik, pk = _masks3(zf0, yf0 + ky0, WZ, KWY, Sx, n)
-                stepk = _step_fn3(smoother, omega, KWY)
+                stepk = _step_fn3(smoother, omega, KWY, stencil)
                 sk = u_buf[slot, :, pl.ds(ky0, KWY), :].reshape(
                     WZ * KWY, Sx)
                 bk = b_buf[slot, :, pl.ds(ky0, KWY), :].reshape(
@@ -580,7 +593,7 @@ def _prolong_smooth3(u, b, ec, *, n, steps, smoother, omega,
                     WZ, KWY, Sx)
                 state = u_buf[slot].reshape(WZ * WY, Sx)
             else:
-                step = _step_fn3(smoother, omega, WY)
+                step = _step_fn3(smoother, omega, WY, stencil)
                 for j in range(steps):
                     state = step(state, bwin, interior, parity, j)
                 u_buf[slot] = state.reshape(WZ, WY, Sx)
@@ -595,7 +608,7 @@ def _prolong_smooth3(u, b, ec, *, n, steps, smoother, omega,
                          & (gz >= tz * TZ) & (gz < (tz + 1) * TZ)
                          & (gy >= ty * TY) & (gy < (ty + 1) * TY))
                 r = jnp.where(claim,
-                              _residual_of3(state, bwin, interior, WY),
+                              _resid_of3(state, bwin, interior, WY, stencil),
                               jnp.zeros((), dtype)).astype(jnp.float32)
                 ss_acc[0, 0] = ss_acc[0, 0] + jnp.sum(r * r)
             out_dma(slot, t).start()
@@ -652,13 +665,19 @@ def _prolong_smooth3(u, b, ec, *, n, steps, smoother, omega,
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.jit, static_argnames=("n", "shape_c", "sweeps",
-                                             "smoother", "omega"))
+                                             "smoother", "omega",
+                                             "stencil"))
 def smooth_restrict3(u, b, n, shape_c, sweeps, smoother="jacobi",
-                     omega=2.0 / 3.0):
-    """``sweeps`` pre-smoothing sweeps, then residual + FW restriction."""
+                     omega=2.0 / 3.0, stencil=None):
+    """``sweeps`` pre-smoothing sweeps, then residual + FW restriction.
+
+    ``stencil``: optional static 3x3x3 weights (constant compact
+    operators — 3D Mehrstellen, rotated tensors) replacing the 7-point
+    Poisson stencil."""
     steps = 2 * sweeps if smoother == "rbgs" else sweeps
     un, rc = _smooth_restrict3(u, b, n=n, shape_c=tuple(shape_c),
-                               steps=steps, smoother=smoother, omega=omega)
+                               steps=steps, smoother=smoother, omega=omega,
+                               stencil=stencil)
     # The tile grid covers coarse indices [0, S/2) per axis; zero the
     # remaining (non-physical) tail so the zero-outside-interior invariant
     # holds for downstream ops (2D transfer.smooth_restrict does the same).
@@ -675,21 +694,22 @@ def smooth_restrict3(u, b, n, shape_c, sweeps, smoother="jacobi",
 
 
 @functools.partial(jax.jit, static_argnames=("n", "sweeps", "smoother",
-                                             "omega"))
+                                             "omega", "stencil"))
 def prolong_smooth3(u, b, ec, n, sweeps, smoother="jacobi",
-                    omega=2.0 / 3.0):
+                    omega=2.0 / 3.0, stencil=None):
     steps = 2 * sweeps if smoother == "rbgs" else sweeps
     return _prolong_smooth3(u, b, ec, n=n, steps=steps, smoother=smoother,
-                            omega=omega)
+                            omega=omega, stencil=stencil)
 
 
 @functools.partial(jax.jit, static_argnames=("n", "sweeps", "smoother",
-                                             "omega"))
+                                             "omega", "stencil"))
 def prolong_smooth_resnorm3(u, b, ec, n, sweeps, smoother="jacobi",
-                            omega=2.0 / 3.0):
+                            omega=2.0 / 3.0, stencil=None):
     steps = 2 * sweeps if smoother == "rbgs" else sweeps
     return _prolong_smooth3(u, b, ec, n=n, steps=steps, smoother=smoother,
-                            omega=omega, want_resnorm=True)
+                            omega=omega, want_resnorm=True,
+                            stencil=stencil)
 
 
 # ---------------------------------------------------------------------------

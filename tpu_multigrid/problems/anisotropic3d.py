@@ -73,13 +73,16 @@ class Rotated3DOp:
     # index order: x <-> axis 2 (lanes), y <-> axis 1, z <-> axis 0
     _AX = {0: 2, 1: 1, 2: 0}
 
-    def __init__(self, n: int, S: int, K):
+    def __init__(self, n: int, S: int, K, Sx: int = None):
         self.n = int(n)
         self.S = int(S)
         self.K = tuple(float(v) for v in np.asarray(K).reshape(-1))
+        # Optional lane-axis padding for the fused static-stencil kernels
+        # (same convention as ConstStencilOp3D / Const19Op).
+        self.Sx = int(Sx) if Sx is not None else int(S)
 
     def tree_flatten(self):
-        return (), (self.n, self.S, self.K)
+        return (), (self.n, self.S, self.K, self.Sx)
 
     @classmethod
     def tree_unflatten(cls, aux, _children):
@@ -87,7 +90,35 @@ class Rotated3DOp:
 
     @property
     def grid_shape(self):
-        return (self.S, self.S, self.S)
+        return (self.S, self.S, self.Sx)
+
+    @property
+    def STENCIL27(self):
+        """Static 3x3x3 weights for the fused super-kernels
+        (kernels/stencil3d._off_app27): w[dz+1][dy+1][dx+1] multiplies
+        u[i+dz, j+dy, k+dx] (array axes: z, y, x <-> coords 2, 1, 0)."""
+        K = self.Kmat
+        w = [[[0.0 for _ in range(3)] for _ in range(3)] for _ in range(3)]
+        w[1][1][1] = 2.0 * float(K[0, 0] + K[1, 1] + K[2, 2])
+        for d in range(3):
+            ax = self._AX[d]           # array axis of coordinate d
+            for s in (-1, 1):
+                idx = [1, 1, 1]
+                idx[ax] += s
+                w[idx[0]][idx[1]][idx[2]] += -float(K[d, d])
+        for a in range(3):
+            for b in range(a + 1, 3):
+                kab = float(K[a, b])
+                if kab == 0.0:
+                    continue
+                axa, axb = self._AX[a], self._AX[b]
+                for sa, sb in ((1, 1), (-1, -1), (1, -1), (-1, 1)):
+                    idx = [1, 1, 1]
+                    idx[axa] += sa
+                    idx[axb] += sb
+                    sign = -1.0 if sa == sb else +1.0
+                    w[idx[0]][idx[1]][idx[2]] += sign * 0.5 * kab
+        return tuple(tuple(tuple(r) for r in p) for p in w)
 
     @property
     def Kmat(self):
@@ -173,11 +204,17 @@ class Rotated3DOp:
         return f"Rotated3DOp(n={self.n}, S={self.S}, K={self.Kmat})"
 
 
-def build_rotated_hierarchy3(config: MultigridConfig, K) -> Hierarchy:
-    """Re-discretized constant-tensor hierarchy (h-independent stencil;
-    cubic unpadded levels — the jnp tier serves this family)."""
-    sizes = level_sizes(config)
-    levels = tuple(Rotated3DOp(n, S, K) for n, S in sizes)
+def build_rotated_hierarchy3(config: MultigridConfig, K, *, align: int = 1,
+                             min_pad_level: int = 99,
+                             lane_align: int = 1) -> Hierarchy:
+    """Re-discretized constant-tensor hierarchy (h-independent stencil).
+    Default: cubic unpadded levels (jnp tier); the fused static-stencil
+    kernels need ``align=16, min_pad_level=0, lane_align=128``."""
+    sizes = level_sizes(config, align=align, min_pad_level=min_pad_level)
+    rup = lambda v, q: (v + q - 1) // q * q
+    levels = tuple(
+        Rotated3DOp(n, S, K, rup(n + 1, lane_align) if lane_align > 1
+                    else S) for n, S in sizes)
     coarse_inv = None
     if config.coarse_solver == "direct":
         coarse_inv = _rotated_coarse_inverse(levels[-1], config.dtype)
@@ -240,12 +277,17 @@ class RotatedAnisotropic3DProblem:
     angle: float = 0.0
     plane: str = "xy"
     forcing: Union[float, Callable] = 6.0
+    align: int = 1
+    min_pad_level: int = 99
+    lane_align: int = 1
 
     def __post_init__(self):
         K = rotation_tensor3(self.eps_x, self.eps_y, self.eps_z,
                              self.angle, self.plane)
         self.hierarchy: Hierarchy = jax.device_put(
-            build_rotated_hierarchy3(self.config, K))
+            build_rotated_hierarchy3(self.config, K, align=self.align,
+                                     min_pad_level=self.min_pad_level,
+                                     lane_align=self.lane_align))
 
     @property
     def finest(self):

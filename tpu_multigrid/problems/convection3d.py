@@ -56,7 +56,8 @@ class Directional7Op:
 
     ndim = 3
 
-    def __init__(self, cp, cm, diag, inv_diag, n: int, S: int, Sx: int):
+    def __init__(self, cp, cm, diag, inv_diag, n: int, S: int, Sx: int,
+                 stencil27=None):
         self.cp = tuple(cp)
         self.cm = tuple(cm)
         self.diag = diag
@@ -64,6 +65,11 @@ class Directional7Op:
         self.n = int(n)
         self.S = int(S)
         self.Sx = int(Sx)
+        # Constant-wind case: the upwind couplings are spatially constant
+        # per level, so the operator rides the fused static-stencil
+        # kernels (kernels/stencil3d._off_app27) — set by
+        # convection_diffusion_op3 when eps and all winds are scalars.
+        self.STENCIL27 = stencil27
 
     @property
     def grid_shape(self):
@@ -71,7 +77,7 @@ class Directional7Op:
 
     def tree_flatten(self):
         return ((self.cp, self.cm, self.diag, self.inv_diag),
-                (self.n, self.S, self.Sx))
+                (self.n, self.S, self.Sx, self.STENCIL27))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -148,6 +154,22 @@ def convection_diffusion_op3(n: int, S: int, Sx: int, eps: float,
     inter = np.zeros(shape, bool)
     inter[1:n, 1:n, 1:n] = True
     dt = np.dtype(jnp.dtype(dtype).name)
+    # Constant winds: the stencil is spatially constant per level -> the
+    # fused static-stencil kernels apply (stencil27[dz+1][dy+1][dx+1]
+    # multiplies u[i+dz, j+dy, k+dx]; A u = diag u - sum(cp u_+ + cm u_-),
+    # so the face coefficients are -cp/-cm).
+    st27 = None
+    if not any(callable(v) for v in (bx, by, bz)):
+        w = [[[0.0] * 3 for _ in range(3)] for _ in range(3)]
+        w[1][1][1] = float(diag.reshape(-1)[0])
+        for ax in range(3):          # 0 = z, 1 = y, 2 = x array axes
+            idx_p = [1, 1, 1]
+            idx_p[ax] += 1
+            idx_m = [1, 1, 1]
+            idx_m[ax] -= 1
+            w[idx_p[0]][idx_p[1]][idx_p[2]] = -float(cp[ax].reshape(-1)[0])
+            w[idx_m[0]][idx_m[1]][idx_m[2]] = -float(cm[ax].reshape(-1)[0])
+        st27 = tuple(tuple(tuple(r) for r in p) for p in w)
     # Row-mask the couplings (apply() masks output anyway; masked planes
     # keep the dense oracle comparison exact).
     cp = [np.where(inter, c, 0.0).astype(dt) for c in cp]
@@ -155,15 +177,20 @@ def convection_diffusion_op3(n: int, S: int, Sx: int, eps: float,
     diag_m = np.where(inter, diag, 0.0).astype(dt)
     inv_diag = np.zeros(shape, np.float64)
     inv_diag[inter] = 1.0 / diag[inter]
-    return Directional7Op(cp, cm, diag_m, inv_diag.astype(dt), n, S, Sx)
+    return Directional7Op(cp, cm, diag_m, inv_diag.astype(dt), n, S, Sx,
+                          stencil27=st27)
 
 
 def build_convection3d_hierarchy(config: MultigridConfig, eps, bx, by, bz,
-                                 *, lane_align: int = 1) -> Hierarchy:
-    """Per-level re-discretized upwind hierarchy (M-matrix at every h)."""
+                                 *, align: int = 1, min_pad_level: int = 99,
+                                 lane_align: int = 1) -> Hierarchy:
+    """Per-level re-discretized upwind hierarchy (M-matrix at every h).
+
+    The fused static-stencil kernels (constant winds) need
+    ``align=16, min_pad_level=0, lane_align=128``."""
     from ..core.grids import round_up
 
-    sizes = level_sizes(config)
+    sizes = level_sizes(config, align=align, min_pad_level=min_pad_level)
     dt = np.dtype(jnp.dtype(config.dtype).name)
     levels = []
     for (n, S) in sizes:
@@ -186,10 +213,15 @@ class ConvectionDiffusion3DProblem:
     by: Union[float, Callable] = 0.0
     bz: Union[float, Callable] = 0.0
     forcing: Union[float, Callable] = 6.0
+    align: int = 1
+    min_pad_level: int = 99
+    lane_align: int = 1
 
     def __post_init__(self):
-        hier = build_convection3d_hierarchy(self.config, self.eps,
-                                            self.bx, self.by, self.bz)
+        hier = build_convection3d_hierarchy(
+            self.config, self.eps, self.bx, self.by, self.bz,
+            align=self.align, min_pad_level=self.min_pad_level,
+            lane_align=self.lane_align)
         self.hierarchy: Hierarchy = jax.device_put(hier)
 
     @property

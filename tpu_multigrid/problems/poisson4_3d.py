@@ -52,9 +52,17 @@ def mehrstellen_rhs3(n: int, grid_shape, forcing: Union[float, Callable],
     return ops3d.mask_interior3(vals, n)
 
 
-def build_mehrstellen3_hierarchy(config: MultigridConfig) -> Hierarchy:
-    sizes = level_sizes(config)
-    levels = tuple(Const19Op(n, S) for n, S in sizes)
+def build_mehrstellen3_hierarchy(config: MultigridConfig, *,
+                                 align: int = 1, min_pad_level: int = 99,
+                                 lane_align: int = 1) -> Hierarchy:
+    """Default cubic levels (jnp tier); the fused static-stencil kernels
+    (kernels/stencil3d._off_app27) need align=16, min_pad_level=0,
+    lane_align=128."""
+    sizes = level_sizes(config, align=align, min_pad_level=min_pad_level)
+    rup = lambda v, q: (v + q - 1) // q * q
+    levels = tuple(
+        Const19Op(n, S, rup(n + 1, lane_align) if lane_align > 1 else S)
+        for n, S in sizes)
     coarse_inv = None
     if config.coarse_solver == "direct":
         coarse_inv = coarse_dense_inverse(levels[-1])
@@ -67,10 +75,14 @@ class Poisson4_3DProblem:
 
     config: MultigridConfig
     forcing: Union[float, Callable] = 6.0
+    align: int = 1
+    min_pad_level: int = 99
+    lane_align: int = 1
 
     def __post_init__(self):
         self.hierarchy: Hierarchy = build_mehrstellen3_hierarchy(
-            self.config)
+            self.config, align=self.align,
+            min_pad_level=self.min_pad_level, lane_align=self.lane_align)
 
     @property
     def finest(self):
