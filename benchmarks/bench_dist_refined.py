@@ -24,20 +24,20 @@ from tpu_multigrid.dist.mesh import make_grid_mesh
 from tpu_multigrid.dist.refine_pallas import refined_sharded_solve_pallas
 
 
-def _solve(cfg, mesh, iters, ds_levels):
+def _solve(cfg, mesh, iters, ds_levels, ts):
     res, levels = refined_sharded_solve_pallas(
-        cfg, mesh, num_cycles=iters, ts=True, ds_levels=ds_levels,
+        cfg, mesh, num_cycles=iters, ts=ts, ds_levels=ds_levels,
         replicate_below=256)
     h = np.asarray(res.res_history)          # readback = sync
     return h, levels
 
 
-def _timed(cfg, mesh, iters, ds_levels):
+def _timed(cfg, mesh, iters, ds_levels, ts):
     t0 = time.time()
-    h, levels = _solve(cfg, mesh, iters, ds_levels)
+    h, levels = _solve(cfg, mesh, iters, ds_levels, ts)
     t1 = time.time()
     t2 = time.time()
-    h2, _ = _solve(cfg, mesh, iters, ds_levels)
+    h2, _ = _solve(cfg, mesh, iters, ds_levels, ts)
     t3 = time.time()
     return h, levels, t1 - t0, t3 - t2
 
@@ -46,6 +46,11 @@ def main():
     level = int(sys.argv[1]) if len(sys.argv) > 1 else 14
     hi = int(sys.argv[2]) if len(sys.argv) > 2 else 12
     ds_levels = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    # 4th arg: ts (default 1).  The ts triple iterate carries one more
+    # full-grid array; at 16385^2 extended blocks that is the difference
+    # between fitting v5e HBM and ResourceExhausted - ds-only still
+    # demonstrates compensated sub-f32-floor reductions.
+    ts = bool(int(sys.argv[4])) if len(sys.argv) > 4 else True
     lo = max(2, hi // 4)
     dev = jax.devices()[0]
     print("device:", dev, flush=True)
@@ -56,12 +61,12 @@ def main():
     cfg = MultigridConfig(finest_level=level, coarsest_level=5,
                           dtype=jnp.float32, use_pallas=True)
 
-    h_lo, levels, c_lo, t_lo = _timed(cfg, mesh, lo, ds_levels)
+    h_lo, levels, c_lo, t_lo = _timed(cfg, mesh, lo, ds_levels, ts)
     print(f"levels: {levels.sizes} ({levels.num_sharded} sharded)",
           flush=True)
     print(f"lo={lo}: compile+run {c_lo:.1f}s, rerun {t_lo:.2f}s",
           flush=True)
-    h_hi, _, c_hi, t_hi = _timed(cfg, mesh, hi, ds_levels)
+    h_hi, _, c_hi, t_hi = _timed(cfg, mesh, hi, ds_levels, ts)
     print(f"hi={hi}: compile+run {c_hi:.1f}s, rerun {t_hi:.2f}s",
           flush=True)
     per = (t_hi - t_lo) / (hi - lo) * 1000
