@@ -595,7 +595,9 @@ def solve_poisson3d(
 
     ``mesh``: optional 2D ``jax.sharding.Mesh`` — the cube decomposes
     (z, y) with the lane axis shard-local (``dist.shard_cycle3``;
-    constant forcing, no FMG/refined yet).
+    constant forcing, no FMG/refined yet).  ``bc="periodic"``,
+    ``order=4``, and ``neumann=`` also accept ``mesh=`` via the generic
+    GSPMD vehicle (``dist.mesh.gspmd_solve_hierarchy``, r4).
 
     3D extension beyond the strictly-2D reference; the 7-point hierarchy
     runs through the same V/W/F/FMG drivers (``core.ops3d``).  The
@@ -617,46 +619,84 @@ def solve_poisson3d(
     elif config.finest_level != finest_level:
         config = dataclasses.replace(config, finest_level=finest_level)
     if neumann:
-        if (bc != "dirichlet" or order != 2 or mesh is not None
+        if (bc != "dirichlet" or order != 2
                 or refined or boundary is not None or use_fmg):
             raise ValueError(
-                "neumann= (3D) supports the single-chip second-order "
-                "V/W-cycle path (no boundary lifting / refined / mesh / "
-                "fmg)")
+                "neumann= (3D) supports the second-order V/W-cycle path "
+                "(no boundary lifting / refined / fmg)")
         from .problems.mixedbc3d import MixedBC3DPoissonProblem
         # Box-masked K1v₃/K2v₃ engage on padded levels (r4): align 16 +
         # lane 128 like the diffusion3d tier; cycles gates fall back to
-        # the jnp flux boxes when the kernels don't apply.
+        # the jnp flux boxes when the kernels don't apply.  mesh= also
+        # pads: even (Sz, Sy) extents are what lets the GSPMD leaves
+        # actually shard (dist.mesh._shard_leaf divisibility).
         pad = (dict(align=16, min_pad_level=0, lane_align=128)
-               if config.use_pallas else {})
+               if (config.use_pallas or mesh is not None) else {})
         problem = MixedBC3DPoissonProblem(config, neumann=neumann,
                                           forcing=forcing,
                                           neumann_value=neumann_value,
                                           **pad)
+        if mesh is not None:
+            # Box-unknown jnp flux operators are rolls + masks: the
+            # generic GSPMD vehicle partitions them (Sz, Sy) like the
+            # 2D box shard path (dist/boxes) does explicitly.
+            from .dist.mesh import gspmd_solve_hierarchy
+            return gspmd_solve_hierarchy(
+                problem.hierarchy, config, problem.rhs(), mesh,
+                tol=tol if tol is not None else 0.0,
+                max_cycles=max_cycles, num_cycles=num_cycles, jit=jit,
+                grid_ndim=3)
         return _run(problem, config, tol, max_cycles, num_cycles, use_fmg,
                     jit)
     if order == 4:
-        if bc != "dirichlet" or mesh is not None or refined:
-            raise ValueError("order=4 (3D) supports the single-chip "
-                             "Dirichlet unrefined path")
+        if bc != "dirichlet" or refined:
+            raise ValueError("order=4 (3D) supports the Dirichlet "
+                             "unrefined path")
         from .problems.poisson4_3d import Poisson4_3DProblem
         # The 19-point operator rides the fused K1_3/K2_3 kernels via
         # static stencil weights (kernels/stencil3d._off_app27, r4).
-        problem = Poisson4_3DProblem(config, forcing=forcing,
-                                     **_pad_kw3(config))
+        pad = (dict(align=16, min_pad_level=0, lane_align=128)
+               if (config.use_pallas or mesh is not None) else {})
+        problem = Poisson4_3DProblem(config, forcing=forcing, **pad)
+        if mesh is not None:
+            # The 19-point Mehrstellen operator is a static-weight jnp
+            # stencil (rolls only): GSPMD partitions it (Sz, Sy) like
+            # the 7-point tier; the smoothed RHS is assembled host-side
+            # and sharded with b.
+            if boundary is not None:
+                raise ValueError("mesh= does not support boundary "
+                                 "lifting")
+            from .dist.mesh import gspmd_solve_hierarchy
+            return gspmd_solve_hierarchy(
+                problem.hierarchy, config, problem.rhs(), mesh,
+                tol=tol if tol is not None else 0.0,
+                max_cycles=max_cycles, num_cycles=num_cycles, jit=jit,
+                grid_ndim=3, use_fmg=use_fmg)
         return _run(problem, config, tol, max_cycles, num_cycles, use_fmg,
                     jit, boundary=boundary)
     if order != 2:
         raise ValueError(f"order must be 2 or 4, got {order}")
     if bc == "periodic":
-        if mesh is not None or refined or boundary is not None:
-            raise ValueError("bc='periodic' (3D) supports the single-chip "
-                             "unrefined path (and has no boundary)")
+        if refined or boundary is not None:
+            raise ValueError("bc='periodic' (3D) supports the unrefined "
+                             "path (and has no boundary)")
         import dataclasses as _dc
 
         from .problems.periodic3d import Periodic3DPoissonProblem
         pcfg = _dc.replace(config, use_pallas=False)  # torus ops are jnp
         problem = Periodic3DPoissonProblem(pcfg, forcing=forcing)
+        if mesh is not None:
+            # Torus grids are (n, n, n) with n = 2^l — every fine level
+            # divides small meshes, so GSPMD shards the wrap rolls
+            # directly (jnp.roll on a sharded axis lowers to collective
+            # permutes = the ring topology the torus wants; the 2D
+            # analogue is dist/periodic.py's explicit ppermute ring).
+            from .dist.mesh import gspmd_solve_hierarchy
+            return gspmd_solve_hierarchy(
+                problem.hierarchy, pcfg, problem.rhs(), mesh,
+                tol=tol if tol is not None else 0.0,
+                max_cycles=max_cycles, num_cycles=num_cycles, jit=jit,
+                grid_ndim=3, use_fmg=use_fmg)
         return _run(problem, pcfg, tol, max_cycles, num_cycles, use_fmg,
                     jit)
     if bc != "dirichlet":
@@ -712,7 +752,9 @@ def solve_diffusion3d(
     operators re-discretize
     from 2x2x2 cell-averaged coefficients.  ``mesh``: optional 2D device
     mesh — the cube decomposes (gz, gy) with the transmissibility planes
-    sharded alongside u/b (dist.local_var3; shift unsupported there).
+    sharded alongside u/b (dist.local_var3); with ``shift``, callable
+    forcing, or ``use_fmg`` the solve routes through the generic GSPMD
+    vehicle instead (r4).
     """
     if config is None:
         config = MultigridConfig(finest_level=finest_level,
@@ -720,25 +762,32 @@ def solve_diffusion3d(
     elif config.finest_level != finest_level:
         config = dataclasses.replace(config, finest_level=finest_level)
     if mesh is not None:
-        if callable(forcing):
-            raise ValueError("solve_diffusion3d(mesh=...) supports "
-                             "constant forcing only")
-        if use_fmg:
-            raise ValueError("solve_diffusion3d(mesh=...) has no "
-                             "distributed FMG (the 2D sharded path does)")
-        if callable(shift) or float(shift) != 0.0:
-            raise ValueError("solve_diffusion3d(mesh=...) does not "
-                             "support the reaction shift (the sharded "
-                             "path recomputes diagonals from t planes)")
         if boundary is not None:
             raise ValueError("mesh= does not support boundary lifting")
-        from .dist.shard_cycle3 import sharded_solve3
-        res, _ = sharded_solve3(config, mesh, forcing=float(forcing),
-                                coefficient=coefficient,
-                                tol=tol if tol is not None else 0.0,
-                                max_cycles=max_cycles,
-                                num_cycles=num_cycles, jit=jit)
-        return res
+        has_shift = callable(shift) or float(shift) != 0.0
+        if not (has_shift or callable(forcing) or use_fmg):
+            # Fast path: the explicit shard_map tier (ghost-extended
+            # K1v₃/K2v₃ on accelerators, lean ppermute halos).
+            from .dist.shard_cycle3 import sharded_solve3
+            res, _ = sharded_solve3(config, mesh, forcing=float(forcing),
+                                    coefficient=coefficient,
+                                    tol=tol if tol is not None else 0.0,
+                                    max_cycles=max_cycles,
+                                    num_cycles=num_cycles, jit=jit)
+            return res
+        # Reaction shift / callable forcing / FMG: the generic GSPMD
+        # vehicle partitions the jnp flux operators (the shift rides the
+        # per-level rediscretized diagonals inside the hierarchy leaves,
+        # which shard alongside u/b).
+        from .dist.mesh import gspmd_solve_hierarchy
+        from .problems import Diffusion3DProblem
+        problem = Diffusion3DProblem(config, coefficient=coefficient,
+                                     shift=shift, forcing=forcing)
+        return gspmd_solve_hierarchy(
+            problem.hierarchy, config, problem.rhs(), mesh,
+            tol=tol if tol is not None else 0.0,
+            max_cycles=max_cycles, num_cycles=num_cycles, jit=jit,
+            grid_ndim=3, use_fmg=use_fmg)
     from .problems import Diffusion3DProblem
     problem = Diffusion3DProblem(config, coefficient=coefficient,
                                  shift=shift, forcing=forcing)

@@ -149,7 +149,7 @@ def _shard_leaf(x, mesh: Mesh, grid_ndim: int = 2):
 def gspmd_solve_hierarchy(hier, config, b, mesh: Mesh, *,
                           tol: float = 1e-6, max_cycles: int = 100,
                           num_cycles=None, u0=None, jit: bool = True,
-                          grid_ndim=None):
+                          grid_ndim=None, use_fmg: bool = False):
     """GSPMD-partition ANY stock-jnp hierarchy solve over a 2D mesh.
 
     The generic distribution vehicle for families whose level geometry
@@ -160,23 +160,32 @@ def gspmd_solve_hierarchy(hier, config, b, mesh: Mesh, *,
     collectives for the plain jnp operators.  Leaves whose sharded axes
     don't divide the mesh stay replicated (coarse levels).
     ``grid_ndim`` (default: ``b.ndim``) picks which leaf axes shard —
-    see :func:`_shard_leaf`.  Returns a ``SolveResult``.
+    see :func:`_shard_leaf`.  ``use_fmg=True`` seeds the fixed/until-tol
+    iteration with a distributed FMG pass (the jnp transfers partition
+    like the cycle ops).  Returns a ``SolveResult``.
     """
     import dataclasses as _dc
 
-    from ..cycles import solve_fixed, solve_until_tol
+    from ..cycles import fmg, solve_fixed, solve_until_tol
 
     nd = int(b.ndim) if grid_ndim is None else int(grid_ndim)
     cfg = _dc.replace(config, use_pallas=False)
     hier_s = jax.tree.map(lambda x: _shard_leaf(x, mesh, nd), hier)
     b_s = _shard_leaf(b, mesh, nd)
     u0_s = None if u0 is None else _shard_leaf(u0, mesh, nd)
+
+    def _seed(h, bb, uu):
+        if use_fmg and uu is None:
+            return fmg(h, cfg, bb)
+        return uu
+
     if num_cycles is not None:
-        fn = lambda h, bb, uu: solve_fixed(h, cfg, bb, num_cycles, u0=uu)
+        fn = lambda h, bb, uu: solve_fixed(h, cfg, bb, num_cycles,
+                                           u0=_seed(h, bb, uu))
     else:
         fn = lambda h, bb, uu: solve_until_tol(h, cfg, bb, tol=tol,
                                                max_cycles=max_cycles,
-                                               u0=uu)
+                                               u0=_seed(h, bb, uu))
     if jit:
         fn = jax.jit(fn)
     return fn(hier_s, b_s, u0_s)
