@@ -286,7 +286,17 @@ def main():
         args.repeats = 1
 
     tpu_unavailable = False
-    if not tpu_alive():
+    alive = tpu_alive()
+    if not alive:
+        # One retry before forfeiting the TPU: the probe subprocess can
+        # blow its timeout under transient CPU contention (a concurrent
+        # test suite on this 1-core host) even when the tunnel is fine —
+        # observed r4: two spurious CPU fallbacks, both contended, with
+        # tpu_alive() True immediately after.
+        import time as _time
+        _time.sleep(20)
+        alive = tpu_alive(timeout_s=240)
+    if not alive:
         # Dead tunnel (or CPU-forced env): flip to CPU *before* any backend
         # initialization and shrink the config — level 13 unfused on this
         # 1-core host would take tens of minutes.  The JSON still appears,
