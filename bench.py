@@ -13,6 +13,7 @@ compares achieved DOF/s against the driver-defined north-star target:
 import argparse
 import json
 import math
+import os
 import time
 
 import jax
@@ -287,12 +288,14 @@ def main():
 
     tpu_unavailable = False
     alive = tpu_alive()
-    if not alive:
+    if not alive and os.environ.get("JAX_PLATFORMS", "") != "cpu":
         # One retry before forfeiting the TPU: the probe subprocess can
         # blow its timeout under transient CPU contention (a concurrent
         # test suite on this 1-core host) even when the tunnel is fine —
         # observed r4: two spurious CPU fallbacks, both contended, with
-        # tpu_alive() True immediately after.
+        # tpu_alive() True immediately after.  A deliberate CPU-forced
+        # run (JAX_PLATFORMS=cpu) returns False without a subprocess and
+        # skips the pointless sleep+retry.
         import time as _time
         _time.sleep(20)
         alive = tpu_alive(timeout_s=240)

@@ -652,6 +652,8 @@ def solve_poisson3d(
         if bc != "dirichlet" or refined:
             raise ValueError("order=4 (3D) supports the Dirichlet "
                              "unrefined path")
+        if mesh is not None and boundary is not None:
+            raise ValueError("mesh= does not support boundary lifting")
         from .problems.poisson4_3d import Poisson4_3DProblem
         # The 19-point operator rides the fused K1_3/K2_3 kernels via
         # static stencil weights (kernels/stencil3d._off_app27, r4).
@@ -663,9 +665,6 @@ def solve_poisson3d(
             # stencil (rolls only): GSPMD partitions it (Sz, Sy) like
             # the 7-point tier; the smoothed RHS is assembled host-side
             # and sharded with b.
-            if boundary is not None:
-                raise ValueError("mesh= does not support boundary "
-                                 "lifting")
             from .dist.mesh import gspmd_solve_hierarchy
             return gspmd_solve_hierarchy(
                 problem.hierarchy, config, problem.rhs(), mesh,

@@ -369,11 +369,20 @@ def _fused_k2_3d(op, cfg: MultigridConfig, u, b, ec, *, resnorm=False):
 def _use_var_super_kernels3(op, opc, cfg: MultigridConfig, dtype) -> bool:
     """Whether the fused 3D var-coefficient super-kernels (K1v₃/K2v₃)
     apply at this level.  ``VarStencilOp3D`` is always flux-symmetric
-    (minus couplings are rolls of the stored planes), so no
-    ``is_symmetric`` gate is needed; the nonsymmetric 3D family
-    (Directional7Op) is a different class."""
-    if not (cfg.use_pallas and isinstance(op, VarStencilOp3D)
-            and isinstance(opc, VarStencilOp3D)):
+    (minus couplings are rolls of the stored planes).  Nonsymmetric
+    VARIABLE-WIND upwind pairs (``Directional7Op`` with no static
+    stencil) also qualify: they stream the six directional planes
+    (kernels/vartransfer3d._expand_dir3); constant-wind pairs carry
+    ``STENCIL27`` and ride the static-stencil kernels instead."""
+    if not cfg.use_pallas:
+        return False
+    from ..problems.convection3d import Directional7Op
+    pair_var = (isinstance(op, VarStencilOp3D)
+                and isinstance(opc, VarStencilOp3D))
+    pair_dir = (isinstance(op, Directional7Op)
+                and isinstance(opc, Directional7Op)
+                and op.STENCIL27 is None and opc.STENCIL27 is None)
+    if not (pair_var or pair_dir):
         return False
     box = getattr(op, "box", None)
     if box is not None:
@@ -394,7 +403,7 @@ def _use_var_super_kernels3(op, opc, cfg: MultigridConfig, dtype) -> bool:
     from ..kernels import vartransfer3d as _vt3
     mult = 2 if cfg.smoother == "rbgs" else 1
     steps = mult * max(cfg.nu1, cfg.nu2)
-    nplanes = 3 if op.c2 is None else 4
+    nplanes = 6 if pair_dir else (3 if op.c2 is None else 4)
     return _vt3.supported_var3(op.grid_shape, opc.grid_shape, steps,
                                dtype, nplanes)
 

@@ -162,7 +162,9 @@ def gspmd_solve_hierarchy(hier, config, b, mesh: Mesh, *,
     ``grid_ndim`` (default: ``b.ndim``) picks which leaf axes shard —
     see :func:`_shard_leaf`.  ``use_fmg=True`` seeds the fixed/until-tol
     iteration with a distributed FMG pass (the jnp transfers partition
-    like the cycle ops).  Returns a ``SolveResult``.
+    like the cycle ops); an explicit ``u0`` takes precedence — when both
+    are given the caller's ``u0`` is used and the FMG seed is skipped.
+    Returns a ``SolveResult``.
     """
     import dataclasses as _dc
 

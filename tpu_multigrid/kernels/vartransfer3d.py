@@ -54,6 +54,14 @@ from .transfer3d import (_blur3, _decimate3, _masks3, _prolong3_vmem,
 # windows plus Mosaic's compute temporaries for the roll/FMA chains, so
 # the budget is ~half the constant-coefficient kernels' 10 MB.
 VAR_WINDOW_BYTES = 5 * 2 ** 20
+# Directional (6-plane) stacks hold two more slabs per tile than the
+# 4-plane worst case; a smaller per-slab budget keeps the total VMEM
+# bill (~18.5 windows + Mosaic temporaries) inside the 127 MB limit.
+DIR_WINDOW_BYTES = 7 * 2 ** 19
+
+
+def _var_budget(nplanes: int) -> int:
+    return VAR_WINDOW_BYTES if nplanes <= 4 else DIR_WINDOW_BYTES
 
 
 def supported_var3(shape, shape_c, steps: int, dtype,
@@ -61,13 +69,15 @@ def supported_var3(shape, shape_c, steps: int, dtype,
     """Whether K1v₃/K2v₃ apply for a fine/coarse level pair.
 
     Same quanta as ``transfer3d.supported3`` (f32, lane-aligned x, y
-    mult 16, even z) but under the var window budget.
+    mult 16, even z) but under the var window budget.  ``nplanes``:
+    3/4 flux-symmetric (``VarStencilOp3D``), 6 directional nonsymmetric
+    (``Directional7Op`` variable-wind upwind).
     """
     Sz, Sy, Sx = shape
     Szc, Syc, Scx = shape_c
     if jnp.dtype(dtype) != jnp.dtype(jnp.float32):
         return False
-    if nplanes not in (3, 4):
+    if nplanes not in (3, 4, 6):
         return False
     if Sx % 128 or Scx % 128 or Sx < 256:
         return False
@@ -77,9 +87,10 @@ def supported_var3(shape, shape_c, steps: int, dtype,
         return False
     if 2 * Szc < Sz or 2 * Syc < Sy or 2 * Scx < Sx:
         return False
-    if _tiles_k1(shape, steps + 2, dtype, budget=VAR_WINDOW_BYTES) is None:
+    budget = _var_budget(nplanes)
+    if _tiles_k1(shape, steps + 2, dtype, budget=budget) is None:
         return False
-    if _tiles_k2(shape, steps + 1, dtype, budget=VAR_WINDOW_BYTES) is None:
+    if _tiles_k2(shape, steps + 1, dtype, budget=budget) is None:
         return False
     return True
 
@@ -104,6 +115,8 @@ def _expand_t3(c_buf, WZ: int, WY: int, Sx: int, dtype, edge0=None):
     """
     C = c_buf.shape[0]
     R = WZ * WY
+    if C == 6:
+        return _expand_dir3(c_buf, WZ, WY, Sx, dtype)
     tz = c_buf[0].reshape(R, Sx)
     ty = c_buf[1].reshape(R, Sx)
     tx = c_buf[2].reshape(R, Sx)
@@ -128,6 +141,32 @@ def _expand_t3(c_buf, WZ: int, WY: int, Sx: int, dtype, edge0=None):
     planes = ((tx, Sx - 1, 1), (txm, 1, 1),
               (ty, R - 1, 0), (tym, 1, 0),
               (tz, (R - WY) % R, 0), (tzm, WY % R, 0))
+    return diag, invd, planes
+
+
+def _expand_dir3(c_buf, WZ: int, WY: int, Sx: int, dtype):
+    """(6, WZ, WY, Sx) directional window -> (diag, invd, planes).
+
+    Nonsymmetric 7-point storage [cp_z, cp_y, cp_x, cm_z, cm_y, cm_x]
+    (``Directional7Op``: cp couples a node to its +axis neighbor, cm to
+    its -axis one; problems/convection3d.py).  Unlike the flux-symmetric
+    layout NO coefficient plane is rolled — couplings are stored per
+    row, so there is no wrap-garbage concern on the slabs — and the
+    diagonal is the POINTWISE six-plane sum: upwind discretizations
+    satisfy diag == sum(cp + cm) exactly (6·eps + h·sum|b|,
+    ``convection_diffusion_op3``), so neither diag nor 1/diag is
+    streamed.  Six slab passes instead of the naive eight.
+    """
+    R = WZ * WY
+    cpz, cpy, cpx, cmz, cmy, cmx = (c_buf[k].reshape(R, Sx)
+                                    for k in range(6))
+    diag = (cpz + cmz) + (cpy + cmy) + (cpx + cmx)
+    nz = diag != 0.0
+    invd = jnp.where(nz, 1.0 / jnp.where(nz, diag, jnp.ones((), dtype)),
+                     jnp.zeros((), dtype))
+    planes = ((cpx, Sx - 1, 1), (cmx, 1, 1),
+              (cpy, R - 1, 0), (cmy, 1, 0),
+              (cpz, (R - WY) % R, 0), (cmz, WY % R, 0))
     return diag, invd, planes
 
 
@@ -186,7 +225,7 @@ def _var_smooth_restrict3(u, b, coef, *, n, shape_c, steps, smoother,
     dtype = u.dtype
     H = steps + 2                    # +1 residual ring, +1 blur ring
     TZ, HZ, TY, HY = _tiles_k1(u.shape, H, dtype,
-                               budget=VAR_WINDOW_BYTES)
+                               budget=_var_budget(C))
     WZ, WY = TZ + 2 * HZ, TY + 2 * HY
     ntz = pl.cdiv(Sz, TZ)
     nty = pl.cdiv(Sy, TY)
@@ -351,7 +390,7 @@ def _var_prolong_smooth3(u, b, ec, coef, *, n, steps, smoother, omega,
     dtype = u.dtype
     H = steps + (1 if want_resnorm else 0)
     TZ, TY, HZc, HYc = _tiles_k2(u.shape, H, dtype,
-                                 budget=VAR_WINDOW_BYTES)
+                                 budget=_var_budget(C))
     full_z, full_y = TZ == Sz, TY == Sy
     Wzc = Sz // 2 if full_z else TZ // 2 + 2 * HZc
     Wyc = Sy // 2 if full_y else TY // 2 + 2 * HYc
@@ -538,7 +577,7 @@ def supported_local_var3(shape, shape_c, steps: int, dtype,
     GZ, GY = ghost
     if jnp.dtype(dtype) != jnp.dtype(jnp.float32):
         return False
-    if nplanes not in (3, 4):
+    if nplanes not in (3, 4, 6):
         return False
     if Sx % 128 or Scx % 128 or Sx < 128 or 2 * Scx < Sx:
         return False
@@ -548,7 +587,8 @@ def supported_local_var3(shape, shape_c, steps: int, dtype,
         return False
     if Rzc != Rz // 2 + GZ or Ryc != Ry // 2 + GY:
         return False
-    if _tiles_k1(shape, steps + 2, dtype, budget=VAR_WINDOW_BYTES) is None:
+    if _tiles_k1(shape, steps + 2, dtype,
+                 budget=_var_budget(nplanes)) is None:
         return False
     return True
 
@@ -571,7 +611,7 @@ def _var_prolong_smooth_local3(u, b, ec, coef, origin, *, n, steps,
     C = coef.shape[0]
     dtype = u.dtype
     H = steps + (1 if want_resnorm else 0) + 1   # +1 prolong garbage ring
-    TZ, HZ, TY, HY = _tiles_k1(u.shape, H, dtype, budget=VAR_WINDOW_BYTES)
+    TZ, HZ, TY, HY = _tiles_k1(u.shape, H, dtype, budget=_var_budget(C))
     WZ, WY = TZ + 2 * HZ, TY + 2 * HY
     Wzc, Wyc = WZ // 2, WY // 2
     ntz = pl.cdiv(Rz, TZ)
@@ -758,15 +798,19 @@ def var_prolong_smooth_ext3(u, b, ec, coef, origin, n, sweeps,
 # ---------------------------------------------------------------------------
 
 def _flat_coef3(op):
-    """VarStencilOp3D -> (C, Sz, Sy, Sx) streaming planes.
+    """Operator -> (C, Sz, Sy, Sx) streaming planes.
 
-    [tz, ty, tx] (+ c2 when a reaction term is folded in).  Uses the
+    ``VarStencilOp3D``: [tz, ty, tx] (+ c2 when a reaction term is
+    folded in).  ``Directional7Op`` (nonsymmetric variable-wind upwind):
+    the (6, ...) [cp_z, cp_y, cp_x, cm_z, cm_y, cm_x] stack.  Uses the
     operator's setup-time ``coef_stack`` when present (uploaded with the
     hierarchy — no per-program restack; see kernels/varstencil.py::
     _flat_coef for the 2D precedent)."""
     st = getattr(op, "coef_stack", None)
     if st is not None:
         return jnp.asarray(st)
+    if hasattr(op, "cp"):                  # Directional7Op, no stack
+        return jnp.stack([jnp.asarray(a) for a in (*op.cp, *op.cm)])
     arrs = [op.tz, op.ty, op.tx]
     if op.c2 is not None:
         arrs.append(op.c2)

@@ -57,9 +57,17 @@ class Directional7Op:
     ndim = 3
 
     def __init__(self, cp, cm, diag, inv_diag, n: int, S: int, Sx: int,
-                 stencil27=None):
-        self.cp = tuple(cp)
-        self.cm = tuple(cm)
+                 stencil27=None, coef_stack=None):
+        # Variable-wind hierarchies store ONE (6, Sz, Sy, Sx) stack
+        # [cp_z, cp_y, cp_x, cm_z, cm_y, cm_x] (streamed whole by the
+        # fused K1v₃/K2v₃ kernels, kernels/vartransfer3d.py) and expose
+        # ``cp``/``cm`` as lazy leading-axis slices — no doubled HBM
+        # footprint, no per-program restack.  Constant-wind hierarchies
+        # keep the separate-plane layout (they ride the static-stencil
+        # kernels via ``STENCIL27`` and never stream coefficients).
+        self._cp = tuple(cp) if cp is not None else None
+        self._cm = tuple(cm) if cm is not None else None
+        self.coef_stack = coef_stack
         self.diag = diag
         self.inv_diag = inv_diag
         self.n = int(n)
@@ -72,16 +80,31 @@ class Directional7Op:
         self.STENCIL27 = stencil27
 
     @property
+    def cp(self):
+        if self._cp is not None:
+            return self._cp
+        return tuple(self.coef_stack[k] for k in range(3))
+
+    @property
+    def cm(self):
+        if self._cm is not None:
+            return self._cm
+        return tuple(self.coef_stack[k] for k in range(3, 6))
+
+    @property
     def grid_shape(self):
         return (self.S, self.S, self.Sx)
 
     def tree_flatten(self):
-        return ((self.cp, self.cm, self.diag, self.inv_diag),
+        return ((self._cp, self._cm, self.diag, self.inv_diag,
+                 self.coef_stack),
                 (self.n, self.S, self.Sx, self.STENCIL27))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, *aux)
+        cp, cm, diag, inv_diag, stack = children
+        return cls(cp, cm, diag, inv_diag, *aux[:3], stencil27=aux[3],
+                   coef_stack=stack)
 
     def _mask(self, u):
         return ops3d.mask_interior3(u, self.n)
@@ -177,6 +200,12 @@ def convection_diffusion_op3(n: int, S: int, Sx: int, eps: float,
     diag_m = np.where(inter, diag, 0.0).astype(dt)
     inv_diag = np.zeros(shape, np.float64)
     inv_diag[inter] = 1.0 / diag[inter]
+    if st27 is None:
+        # Variable winds: single-copy (6, S, S, Sx) directional stack for
+        # the fused K1v₃/K2v₃ coefficient streaming; cp/cm become views.
+        stack = np.stack(cp + cm)
+        return Directional7Op(None, None, diag_m, inv_diag.astype(dt), n,
+                              S, Sx, coef_stack=stack)
     return Directional7Op(cp, cm, diag_m, inv_diag.astype(dt), n, S, Sx,
                           stencil27=st27)
 
