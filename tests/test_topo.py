@@ -188,3 +188,56 @@ class TestSolve:
             jnp.zeros_like(b), b)))
         r1 = np.linalg.norm(np.asarray(hier.ops[0].residual(u, b)))
         assert r1 < 0.5 * r0
+
+
+class TestSparseBuilder:
+    """Vectorized production-size builder vs the dict/dense reference
+    implementations (structured_transfer_fast / _stencil5_coo /
+    build_structured_topo_hierarchy_sparse)."""
+
+    def test_transfer_tables_match_metadata_path(self, rng):
+        for nf in (4, 8, 16):
+            mf, mc = (nf - 1) ** 2, (nf // 2 - 1) ** 2
+            pf = rng.permutation(mf)
+            pc = rng.permutation(mc)
+            a = topo.structured_transfer(nf, perm_f=pf, perm_c=pc)
+            b = topo.structured_transfer_fast(nf, perm_f=pf, perm_c=pc)
+            # endpoint order within an edge pair is arbitrary (the
+            # metadata path canonicalizes by topo id; prolong averages
+            # both) — compare unordered pairs
+            pa = np.sort(np.stack([np.asarray(a.src0),
+                                   np.asarray(a.src1)]), axis=0)
+            pb = np.sort(np.stack([np.asarray(b.src0),
+                                   np.asarray(b.src1)]), axis=0)
+            np.testing.assert_array_equal(pa, pb)
+            np.testing.assert_array_equal(np.asarray(a.inj),
+                                          np.asarray(b.inj))
+
+    def test_coo_matches_element_assembly(self, rng):
+        from tpu_multigrid.core.fem import assemble_from_elements
+        n = 8
+        m = (n - 1) ** 2
+        perm = rng.permutation(m)
+        A, bref = assemble_from_elements(n, 4.0)
+        Ap = np.zeros_like(A)
+        Ap[np.ix_(perm, perm)] = A
+        r, c, v = topo._stencil5_coo(n, perm)
+        As = np.zeros((m, m))
+        As[r, c] = v
+        np.testing.assert_allclose(As, Ap, atol=1e-12)
+
+    def test_hierarchy_solves_like_dense_builder(self, rng):
+        mfs = [(2 ** l - 1) ** 2 for l in (4, 3, 2)]
+        perms = [rng.permutation(m) for m in mfs]
+        hd = topo.build_structured_topo_hierarchy(4, 2, perms=perms,
+                                                  dtype=jnp.float64)
+        hs = topo.build_structured_topo_hierarchy_sparse(
+            4, 2, perms=perms, dtype=jnp.float64)
+        b = hd.b_levels[0]
+        np.testing.assert_allclose(np.asarray(hs.b_levels[0]),
+                                   np.asarray(b), atol=1e-12)
+        ud, _ = topo.solve_topo(hd, b, num_cycles=12)
+        us, hist = topo.solve_topo(hs, b, num_cycles=12)
+        np.testing.assert_allclose(np.asarray(us), np.asarray(ud),
+                                   atol=1e-10)
+        assert float(hist[12]) / float(hist[0]) < 1e-9

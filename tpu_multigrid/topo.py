@@ -535,3 +535,144 @@ def build_structured_topo_hierarchy(
         A_c = Ap
     coarse_inv = jnp.asarray(np.linalg.inv(A_c), dtype)
     return TopoHierarchy(tuple(ops_), transfers, coarse_inv, tuple(bs))
+
+
+# ---------------------------------------------------------------------------
+# Scalable structured builder (vectorized; production sizes)
+# ---------------------------------------------------------------------------
+
+def _cnode_space(a, b, nc, perm_c, mc):
+    """Vectorized coarse node (a, b) -> space dof (or the zero slot mc)."""
+    interior = (a >= 1) & (a <= nc - 1) & (b >= 1) & (b <= nc - 1)
+    k = (np.clip(a, 1, nc - 1) - 1) * (nc - 1) + (np.clip(b, 1, nc - 1) - 1)
+    s = k if perm_c is None else perm_c[k]
+    return np.where(interior, s, mc).astype(np.int32)
+
+
+def structured_transfer_fast(nf: int, perm_f: Optional[np.ndarray] = None,
+                             perm_c: Optional[np.ndarray] = None,
+                             restrict_scale: float = 4.0) -> TopoTransfer:
+    """Vectorized twin of :func:`structured_transfer` (same tables, no
+    Python dict loops — production sizes; parity-tested against the
+    metadata path).  The parent cases follow ``structured_metadata``:
+    even-even fine nodes coincide with coarse vertices; odd-even /
+    even-odd sit on vertical / horizontal coarse edges; odd-odd on the
+    criss-cross diagonal from (i//2+1, j//2) to (i//2, j//2+1)."""
+    nc = nf // 2
+    if nc < 1 or nf % 2:
+        raise ValueError("nf must be even and >= 2")
+    mf, mc = (nf - 1) ** 2, (nc - 1) ** 2
+    pf = None if perm_f is None else np.asarray(perm_f, np.int64)
+    pc = None if perm_c is None else np.asarray(perm_c, np.int64)
+
+    i, j = np.meshgrid(np.arange(1, nf), np.arange(1, nf), indexing="ij")
+    fs = (i - 1) * (nf - 1) + (j - 1)
+    if pf is not None:
+        fs = pf[fs]
+    ei, ej = i % 2 == 0, j % 2 == 0
+    # endpoint 0: even-even/odd-even/even-odd -> (i//2, j//2); odd-odd
+    # -> (i//2 + 1, j//2)
+    a0 = np.where(~ei & ~ej, i // 2 + 1, i // 2)
+    b0 = j // 2
+    # endpoint 1: even-even -> same vertex; odd-even -> (i//2+1, j//2);
+    # even-odd / odd-odd -> (i//2, j//2+1)
+    a1 = np.where(~ei & ej, i // 2 + 1, i // 2)
+    b1 = np.where(ej, j // 2, j // 2 + 1)
+    s0 = _cnode_space(a0, b0, nc, pc, mc)
+    s1 = _cnode_space(a1, b1, nc, pc, mc)
+    src0 = np.full(mf, mc, np.int32)
+    src1 = np.full(mf, mc, np.int32)
+    src0[fs.ravel()] = s0.ravel()
+    src1[fs.ravel()] = s1.ravel()
+
+    ic, jc = np.meshgrid(np.arange(1, nc), np.arange(1, nc), indexing="ij")
+    cs = (ic - 1) * (nc - 1) + (jc - 1)
+    if pc is not None:
+        cs = pc[cs]
+    fk = (2 * ic - 1) * (nf - 1) + (2 * jc - 1)
+    if pf is not None:
+        fk = pf[fk]
+    inj = np.zeros(mc, np.int32)
+    inj[cs.ravel()] = fk.ravel().astype(np.int32)
+
+    return TopoTransfer(jnp.asarray(src0), jnp.asarray(src1),
+                        jnp.asarray(inj), restrict_scale)
+
+
+def _stencil5_coo(n: int, perm: Optional[np.ndarray]):
+    """COO triplets of the interior 5-point FEM stencil (h-independent
+    [[-0,-1,0],[-1,4,-1],[0,-1,0]]) on the unit square, space dofs
+    row-major (optionally renumbered by ``perm``).  Matches
+    ``assemble_from_elements`` exactly on the criss-cross mesh (the
+    diagonal couplings cancel) — vectorized for production sizes."""
+    m = (n - 1) ** 2
+    i, j = np.meshgrid(np.arange(1, n), np.arange(1, n), indexing="ij")
+    k = ((i - 1) * (n - 1) + (j - 1)).ravel()
+    p = np.arange(m, dtype=np.int64) if perm is None \
+        else np.asarray(perm, np.int64)
+    rows = [p[k]]
+    cols = [p[k]]
+    vals = [np.full(m, 4.0)]
+    for di, dj in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+        ni, nj = i + di, j + dj
+        mask = ((ni >= 1) & (ni <= n - 1) & (nj >= 1)
+                & (nj <= n - 1)).ravel()
+        kn = ((np.clip(ni, 1, n - 1) - 1) * (n - 1)
+              + (np.clip(nj, 1, n - 1) - 1)).ravel()
+        rows.append(p[k[mask]])
+        cols.append(p[kn[mask]])
+        vals.append(np.full(mask.sum(), -1.0))
+    return (np.concatenate(rows), np.concatenate(cols),
+            np.concatenate(vals))
+
+
+def build_structured_topo_hierarchy_sparse(
+    finest_level: int, coarsest_level: int = 5,
+    f: Union[float, Callable] = 4.0,
+    perms: Optional[Sequence[Optional[np.ndarray]]] = None,
+    restrict_scale: float = 4.0,
+    dtype=jnp.float32,
+) -> TopoHierarchy:
+    """Production-size twin of :func:`build_structured_topo_hierarchy`.
+
+    Same hierarchy semantics (re-assembled per level, optional per-level
+    DOF permutations, dense coarsest inverse) built from vectorized COO
+    assembly + :func:`structured_transfer_fast` instead of dense element
+    loops — O(m) setup, so 1025²+ finest levels are reachable.  RHS is
+    the vectorized ``f h²`` load (``problems.poisson.poisson_rhs``
+    semantics on space vectors)."""
+    levels = list(range(finest_level, coarsest_level - 1, -1))
+    if perms is None:
+        perms = [None] * len(levels)
+    ops_, bs = [], []
+    for lvl, perm in zip(levels, perms):
+        n = 2 ** lvl
+        m = (n - 1) ** 2
+        r, c, v = _stencil5_coo(n, perm)
+        ops_.append(ell_from_coo(r, c, v, m))
+        # Vectorized f·h² load (nodal quadrature; identical to the
+        # element-assembled load for constant f, O(h²)-equivalent for
+        # callable f evaluated at nodes instead of centroids).
+        h = 1.0 / n
+        i, j = np.meshgrid(np.arange(1, n), np.arange(1, n),
+                           indexing="ij")
+        fv = (np.full(m, float(f)) if not callable(f)
+              else np.asarray(f(j.ravel() * h, i.ravel() * h),
+                              np.float64).ravel())
+        b = np.zeros(m)
+        k = ((i - 1) * (n - 1) + (j - 1)).ravel()
+        p = np.arange(m, dtype=np.int64) if perm is None \
+            else np.asarray(perm, np.int64)
+        b[p[k]] = fv * h * h
+        bs.append(jnp.asarray(b, dtype))
+    transfers = tuple(
+        structured_transfer_fast(2 ** lvl, perm_f=pf, perm_c=pc,
+                                 restrict_scale=restrict_scale)
+        for lvl, pf, pc in zip(levels[:-1], perms[:-1], perms[1:]))
+    n_c = 2 ** coarsest_level
+    m_c = (n_c - 1) ** 2
+    r, c, v = _stencil5_coo(n_c, perms[-1])
+    A_c = np.zeros((m_c, m_c))
+    A_c[r, c] = v
+    coarse_inv = jnp.asarray(np.linalg.inv(A_c), dtype)
+    return TopoHierarchy(tuple(ops_), transfers, coarse_inv, tuple(bs))
