@@ -131,6 +131,27 @@ def solve_poisson(
                              "boundary/neumann/refined/order options")
         from .problems.periodic import PeriodicPoissonProblem
         problem = PeriodicPoissonProblem(config, forcing=forcing)
+        from .cycles.periodic_fused import fused_levels
+        if (tol is not None or num_cycles is not None) and fused_levels(
+                problem.hierarchy, config, config.dtype) > 0:
+            # Wrap-aware fused tier (cycles/periodic_fused.py): the
+            # ghost-extended K1/K2 kernels with wrap halo refreshes;
+            # state stays extended across the whole solve.
+            from .cycles.periodic_fused import (solve_fixed_periodic,
+                                                solve_until_tol_periodic)
+
+            def go(hier, b):
+                u0 = fmg(hier, config, b) if use_fmg else None
+                if num_cycles is not None:
+                    return solve_fixed_periodic(hier, config, b,
+                                                num_cycles, u0=u0)
+                return solve_until_tol_periodic(hier, config, b, tol=tol,
+                                                max_cycles=max_cycles,
+                                                u0=u0)
+
+            if jit:
+                go = jax.jit(go)
+            return go(problem.hierarchy, problem.rhs())
         return _run(problem, config, tol, max_cycles, num_cycles, use_fmg,
                     jit)
     if bc != "dirichlet":
