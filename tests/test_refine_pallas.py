@@ -135,3 +135,31 @@ def test_refined_pallas_single_device_mesh():
     h = np.asarray(res.res_history)
     assert np.isfinite(h).all()
     assert h[3] < 5e-3 * h[0], h
+
+
+@pytest.mark.parametrize("k,m", [(2, 1), (2, 2), (3, 1), (3, 2)])
+def test_comp_add_ext_matches_jnp(rng, k, m):
+    """Donated streamed add == the jnp ds/ts_add chain, bitwise."""
+    S = 64
+    R, C = S + 2 * GR, S + 2 * GC
+    comps = tuple(
+        jnp.asarray(rng.standard_normal((R, C)) * 10.0 ** (-7 * i),
+                    jnp.float32) for i in range(k))
+    ys = tuple(jnp.asarray(rng.standard_normal((R, C)), jnp.float32)
+               for _ in range(m))
+    with pltpu.force_tpu_interpret_mode():
+        got = KR.comp_add_ext(comps, ys)
+        jax.block_until_ready(got)
+    add = precision.ds_add if k == 2 else precision.ts_add
+    want = comps
+    for y in ys:
+        want = add(*want, y)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
+def test_divisor_strip():
+    from tpu_multigrid.kernels.localref import _divisor_strip
+    for R in (96, 17440, 544, 1090 * 16):
+        t = _divisor_strip(R, 256)
+        assert t % 8 == 0 and R % t == 0 and t <= 256

@@ -35,7 +35,6 @@ from ..core.grids import Hierarchy
 from ..cycles import SolveResult, _coarsest_solve, _sm
 from ..kernels import local as KL
 from ..kernels import localref as KR
-from ..precision import ds_add, ts_add
 from . import local_ops as L
 from .mesh import GRID_AXES
 from .pallas_cycle import (_ext_origin, _halo_depths, _replicated_cycle,
@@ -97,7 +96,7 @@ def _cycle_ds_pallas(levels: ShardedLevels, hier: Hierarchy,
     ec_hi = refresh_ghosts(ec_hi, n // 2, lr // 2, lc // 2, GR // 2, GC // 2)
     ec_lo = refresh_ghosts(ec_lo, n // 2, lr // 2, lc // 2, GR // 2, GC // 2)
     p_hi, p_lo = KR.prolong_pair_ext(ec_hi, ec_lo, origin, n)
-    e_hi, e_lo = ds_add(p_hi, p_lo, e0)
+    e_hi, e_lo = KR.comp_add_ext((p_hi, p_lo), (e0,))
 
     # Delta-form post-smooth against the compensated defect.  The residual
     # kernel needs 1 fresh ring on the pair (r_ext's ghosts are still
@@ -108,7 +107,7 @@ def _cycle_ds_pallas(levels: ShardedLevels, hier: Hierarchy,
     d0 = refresh_ghosts(d0, n, lr, lc, dru, dcu)
     delta = KL.smooth_ext(jnp.zeros_like(d0), d0, origin, n, cfg.nu2,
                           sm2, om2)
-    return ds_add(e_hi, e_lo, delta)
+    return KR.comp_add_ext((e_hi, e_lo), (delta,))
 
 
 def refined_sharded_solve_pallas(config: MultigridConfig, mesh: Mesh, *,
@@ -217,17 +216,19 @@ def refined_sharded_solve_pallas(config: MultigridConfig, mesh: Mesh, *,
 
         def body(carry):
             comps, r, i, rnorm, _, hist = carry
-            add = ts_add if ts else ds_add
+            # Donated streamed adds (KR.comp_add_ext): the jnp
+            # ds_add/ts_add chains materialize fresh component sets and
+            # at 16385^2 extended blocks (1.25 GB/array) the ts triple
+            # blew the one chip's HBM (r4 ResourceExhausted).
             if ds_levels > 0 and levels.num_sharded > 0:
                 e_hi, e_lo = _cycle_ds_pallas(levels, hier, cfg, (my, mx),
                                               0, r, ds_levels, halo)
-                comps = add(*comps, e_hi)
-                comps = add(*comps, e_lo)
+                comps = KR.comp_add_ext(comps, (e_hi, e_lo))
             else:
                 e = _vcycle_pallas(levels, hier, cfg, (my, mx), 0,
                                    jnp.zeros_like(r), r, halo=halo,
                                    u_ghosts_fresh=True)
-                comps = add(*comps, e)
+                comps = KR.comp_add_ext(comps, (e,))
             comps, r = resid(comps)
             # Next K1 launch reads r to smoothing depth.
             r = refresh_ghosts(r, n0, lr, lc, dru, dcu)

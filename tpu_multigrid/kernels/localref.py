@@ -299,3 +299,121 @@ def _prolong_pair_local(ec_hi, ec_lo, origin, *, nf: int):
 def prolong_pair_ext(ec_hi, ec_lo, origin, nf: int):
     """Exact-pair bilinear prolongation on extended blocks."""
     return _prolong_pair_local(ec_hi, ec_lo, origin, nf=nf)
+
+
+# ---------------------------------------------------------------------------
+# Donated compensated add: comps (+)= y [, y2], renormalized, IN PLACE
+# ---------------------------------------------------------------------------
+
+def _divisor_strip(R: int, cap: int) -> int:
+    """Largest strip height <= cap, multiple of 8, dividing R exactly.
+
+    Exact division matters here (unlike the clamped-window kernels): the
+    outputs ALIAS the inputs, so an overlapped tail strip would re-add
+    the correction to rows the previous strip already updated."""
+    t = min(cap, R) // 8 * 8
+    while t > 8 and R % t:
+        t -= 8
+    return max(t, 8)
+
+
+def _comp_add_local(comps, ys):
+    """Streamed renormalized add on extended blocks, outputs donated.
+
+    ``comps`` is the ds pair or ts triple; each y in ``ys`` (1 or 2 plain
+    f32 arrays) is folded in via the same two-sum cascades as
+    ``precision.ds_add``/``ts_add``.  ``input_output_aliases`` hands the
+    component buffers to the outputs, so the update is in place on HBM —
+    the jnp chain materializes 2*len(ys) fresh component sets per outer
+    iteration, which at 16385^2 extended blocks (1.25 GB per array) is
+    the difference between the ts iterate fitting the one chip or not.
+    Pure elementwise: no halos, ghost regions compute garbage-in/
+    garbage-out (refreshed by the caller as usual).
+    """
+    from ..precision import ds_add as _dsa, ts_add as _tsa
+
+    k, m = len(comps), len(ys)
+    arrays = (*comps, *ys)
+    R, C = arrays[0].shape
+    dtype = arrays[0].dtype
+    tot = k + m
+    tr = _divisor_strip(R, _strip_rows(C, tot, 0))
+    nt = R // tr
+
+    def kernel(*refs):
+        ins = refs[:tot]
+        outs = refs[tot: tot + k]
+        bufs = refs[tot + k: 2 * tot + k]
+        in_sem, out_sem = refs[2 * tot + k], refs[2 * tot + k + 1]
+
+        def in_dmas(slot, t):
+            return [pltpu.make_async_copy(
+                ins[i].at[pl.ds(t * tr, tr)], bufs[i].at[slot],
+                in_sem.at[slot, i]) for i in range(tot)]
+
+        def out_dmas(slot, t):
+            return [pltpu.make_async_copy(
+                bufs[i].at[slot], outs[i].at[pl.ds(t * tr, tr)],
+                out_sem.at[slot, i]) for i in range(k)]
+
+        for d in in_dmas(0, 0):
+            d.start()
+
+        def body(t, carry):
+            slot = t % 2
+            nxt = 1 - slot
+
+            @pl.when(t >= 1)
+            def _():
+                for d in out_dmas(nxt, t - 1):
+                    d.wait()
+
+            @pl.when(t + 1 < nt)
+            def _():
+                for d in in_dmas(nxt, t + 1):
+                    d.start()
+
+            for d in in_dmas(slot, t):
+                d.wait()
+
+            cs = tuple(bufs[i][slot] for i in range(k))
+            for j in range(m):
+                y = bufs[k + j][slot]
+                cs = _dsa(*cs, y) if k == 2 else _tsa(*cs, y)
+            for i in range(k):
+                bufs[i][slot] = cs[i]
+            for d in out_dmas(slot, t):
+                d.start()
+            return carry
+
+        jax.lax.fori_loop(0, nt, body, 0)
+        for d in out_dmas((nt - 1) % 2, nt - 1):
+            d.wait()
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=tuple(jax.ShapeDtypeStruct((R, C), dtype)
+                        for _ in range(k)),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * tot,
+        out_specs=tuple([pl.BlockSpec(memory_space=pl.ANY)] * k),
+        scratch_shapes=[pltpu.VMEM((2, tr, C), dtype)] * tot
+        + [pltpu.SemaphoreType.DMA((2, tot)),
+           pltpu.SemaphoreType.DMA((2, k))],
+        input_output_aliases={i: i for i in range(k)},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=int(R * C * 25 * k * m),
+            bytes_accessed=int(R * C * 4 * (tot + k)),
+            transcendentals=0,
+        ),
+    )(*arrays)
+
+
+@jax.jit
+def comp_add_ext(comps, ys):
+    """comps (ds pair / ts triple) += sum(ys), renormalized, donated.
+
+    One streamed launch replacing ``len(ys)`` chained jnp
+    ``ds_add``/``ts_add`` calls and their fresh full-size outputs."""
+    return _comp_add_local(tuple(comps), tuple(ys))
