@@ -82,3 +82,43 @@ def test_pallas_var3_lean_halo_bitwise_matches_full():
         jax.block_until_ready(full.u)
     np.testing.assert_array_equal(np.asarray(lean.res_history),
                                   np.asarray(full.res_history))
+
+
+class TestDirectionalConv3:
+    """Distributed fused DIRECTIONAL path (6-plane variable-wind upwind,
+    dist.pallas_cycle3.sharded_solve_pallas_conv3) — VERDICT r4 next #1's
+    dist story."""
+
+    WINDS = dict(
+        bx=lambda x, y, z: np.sin(2 * np.pi * x) * (0.5 + z),
+        by=lambda x, y, z: np.cos(2 * np.pi * y) - 0.3,
+        bz=lambda x, y, z: x - y,
+    )
+
+    def test_conv3_solve_matches_single_device(self):
+        from tpu_multigrid.dist.pallas_cycle3 import (
+            sharded_solve_pallas_conv3)
+        from tpu_multigrid.problems.convection3d import (
+            ConvectionDiffusion3DProblem)
+
+        cfg = MultigridConfig(finest_level=6, coarsest_level=3,
+                              smoother="rbgs", nu1=2, nu2=1,
+                              dtype=jnp.float32)
+        mesh = make_grid_mesh3(shape=(2, 1), devices=jax.devices()[:2])
+        with pltpu.force_tpu_interpret_mode():
+            res, levels = sharded_solve_pallas_conv3(
+                cfg, mesh, eps=0.1, **self.WINDS, num_cycles=2, tol=0.0,
+                replicate_below=16)
+            jax.block_until_ready(res.u)
+        assert levels.num_sharded >= 1
+        h = np.asarray(res.res_history)
+        assert np.isfinite(h[2]) and h[2] < 0.5 * h[0]
+
+        prob = ConvectionDiffusion3DProblem(
+            cfg, eps=0.1, **self.WINDS, align=16, min_pad_level=0,
+            lane_align=128)
+        ref = solve_fixed(prob.hierarchy, cfg, prob.rhs(), num_cycles=2)
+        n = 64
+        a = np.asarray(res.u)[1:n, 1:n, 1:n]
+        w = np.asarray(ref.u)[1:n, 1:n, 1:n]
+        assert np.abs(a - w).max() / np.abs(w).max() < 1e-4

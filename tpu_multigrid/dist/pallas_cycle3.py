@@ -487,8 +487,13 @@ def _split_pallas_var3(levels: PallasLevels3, hier: Hierarchy, mesh: Mesh):
     placed with the extended-block sharding, and the hierarchy with the
     sharded levels' arrays replaced by array-free placeholders (the
     replicated tail keeps its true var operators and coarse inverse —
-    passed into shard_map as a replicated argument, never a closure)."""
+    passed into shard_map as a replicated argument, never a closure).
+
+    Accepts flux-symmetric ``VarStencilOp3D`` (3/4-plane stacks) and
+    nonsymmetric ``Directional7Op`` (6-plane directional stacks) — the
+    kernels dispatch on the stack depth (vartransfer3d._expand_t3)."""
     from ..core.operators import VarStencilOp3D
+    from ..problems.convection3d import Directional7Op
 
     mz, my = mesh.devices.shape
     spec = NamedSharding(mesh, jax.sharding.PartitionSpec(
@@ -496,7 +501,8 @@ def _split_pallas_var3(levels: PallasLevels3, hier: Hierarchy, mesh: Mesh):
     coefs = []
     repl_ops = []
     for k, op in enumerate(hier.levels):
-        if k < levels.num_sharded and isinstance(op, VarStencilOp3D):
+        if k < levels.num_sharded and isinstance(
+                op, (VarStencilOp3D, Directional7Op)):
             coefs.append(jax.device_put(_ext_coef_layout3(op, mz, my),
                                         spec))
             repl_ops.append(ConstStencilOp3D(op.n, op.S, op.Sx))
@@ -524,10 +530,62 @@ def sharded_solve_pallas_var3(config: MultigridConfig, mesh: Mesh, *,
     are static, so they are never exchanged again), u/b ride the same
     ghost machinery as the Poisson path.
     """
-    mz, my = mesh.devices.shape
     levels, hier = build_pallas_diffusion3(
         config, mesh, coefficient, shift=shift,
         replicate_below=replicate_below)
+    return _sharded_solve_var3_from(config, mesh, levels, hier,
+                                    forcing=forcing, tol=tol,
+                                    max_cycles=max_cycles,
+                                    num_cycles=num_cycles, jit=jit,
+                                    halo=halo)
+
+
+def build_pallas_convection3(config: MultigridConfig, mesh: Mesh, *,
+                             eps, bx, by, bz, replicate_below: int = 32):
+    """Variable-wind upwind hierarchy (``Directional7Op`` per level) at
+    the fused-kernel distributed level sizes — the distributed twin of
+    ``problems.convection3d.build_convection3d_hierarchy`` with
+    ``pallas_var_level_sizes3``'s mesh-aligned (n, S, Sx) and 6-plane
+    window budgets."""
+    from ..problems.convection3d import convection_diffusion_op3
+
+    mz, my = mesh.devices.shape
+    levels = pallas_var_level_sizes3(config, (mz, my), nplanes=6,
+                                     replicate_below=replicate_below)
+    np_dt = np.dtype(jnp.dtype(config.dtype).name)
+    hops = [convection_diffusion_op3(n, S, Sx, eps, bx, by, bz,
+                                     dtype=np_dt)
+            for (n, S, Sx) in levels.sizes]
+    coarse_inv = None
+    if config.coarse_solver == "direct":
+        coarse_inv = coarse_dense_inverse(hops[-1])
+    return levels, Hierarchy(tuple(hops), coarse_inv)
+
+
+def sharded_solve_pallas_conv3(config: MultigridConfig, mesh: Mesh, *,
+                               eps, bx, by, bz, forcing: float = 6.0,
+                               tol: float = 1e-5, max_cycles: int = 100,
+                               num_cycles: Optional[int] = None,
+                               replicate_below: int = 32,
+                               jit: bool = True, halo: str = "lean"):
+    """Distributed 3D VARIABLE-WIND upwind convection-diffusion on the
+    fused directional K1v₃/K2v₃ path (6-plane streaming; VERDICT r4
+    next #1's dist story).  Same contract as
+    :func:`sharded_solve_pallas_var3`."""
+    levels, hier = build_pallas_convection3(
+        config, mesh, eps=eps, bx=bx, by=by, bz=bz,
+        replicate_below=replicate_below)
+    return _sharded_solve_var3_from(config, mesh, levels, hier,
+                                    forcing=forcing, tol=tol,
+                                    max_cycles=max_cycles,
+                                    num_cycles=num_cycles, jit=jit,
+                                    halo=halo)
+
+
+def _sharded_solve_var3_from(config: MultigridConfig, mesh: Mesh, levels,
+                             hier, *, forcing, tol, max_cycles,
+                             num_cycles, jit, halo):
+    mz, my = mesh.devices.shape
     if levels.num_sharded < 1:
         raise ValueError(
             f"no level satisfies the 3D var Pallas shard constraints for "
