@@ -19,6 +19,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+try:
+    from tpu_multigrid.utils.profiling import enable_compilation_cache
+    enable_compilation_cache()
+except Exception:
+    pass
+
 from tpu_multigrid import MultigridConfig
 from tpu_multigrid.dist.mesh import make_grid_mesh
 from tpu_multigrid.dist.refine_pallas import refined_sharded_solve_pallas

@@ -14,6 +14,12 @@ import time
 import jax
 import jax.numpy as jnp
 
+try:
+    from tpu_multigrid.utils.profiling import enable_compilation_cache
+    enable_compilation_cache()
+except Exception:
+    pass
+
 import os
 import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

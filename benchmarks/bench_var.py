@@ -13,6 +13,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+try:
+    from tpu_multigrid.utils.profiling import enable_compilation_cache
+    enable_compilation_cache()
+except Exception:
+    pass
+
 import os
 import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -19,6 +19,12 @@ import time
 
 import jax
 import jax.numpy as jnp
+
+try:
+    from tpu_multigrid.utils.profiling import enable_compilation_cache
+    enable_compilation_cache()
+except Exception:
+    pass
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 

@@ -19,6 +19,12 @@ if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
 import jax.numpy as jnp
 import numpy as np
 
+try:
+    from tpu_multigrid.utils.profiling import enable_compilation_cache
+    enable_compilation_cache()
+except Exception:
+    pass
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from tpu_multigrid import AnisotropicPoissonProblem, MultigridConfig
