@@ -110,4 +110,8 @@ def enable_compilation_cache(path: str = None):
                                os.path.expanduser("~/.cache/jax_comp"))
     os.makedirs(p, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", p)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # The axon remote compile is asynchronous: jax's own compile timer sees
+    # well under a second even for programs whose remote compile takes
+    # minutes (measured r5: a 1015 s bench compile wrote NO cache entries
+    # under the default 1.0 s floor).  Write everything.
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
