@@ -32,8 +32,8 @@ from .problems import (AnisotropicPoissonProblem,
                        Poisson3DProblem, Poisson4Problem, PoissonProblem,
                        poisson3d_rhs, poisson_rhs)
 from .topo import (EllOp, TopoHierarchy, TopoTransfer,
-                   build_structured_topo_hierarchy, fmg_topo, solve_topo,
-                   vcycle_topo)
+                   build_structured_topo_hierarchy, fmg_topo, solve_permuted,
+                   solve_topo, vcycle_topo)
 
 __version__ = "0.1.0"
 
@@ -58,5 +58,6 @@ __all__ = [
     "build_poisson_hierarchy", "build_galerkin_hierarchy", "ops",
     "TopoHierarchy", "TopoTransfer", "EllOp",
     "build_structured_topo_hierarchy", "vcycle_topo", "fmg_topo",
+    "solve_permuted",
     "solve_topo",
 ]

@@ -483,6 +483,64 @@ def solve_topo(hier: TopoHierarchy, b, *, num_cycles: int = 20,
     return u, hist
 
 
+def solve_permuted(finest_level: int, b, perm: Optional[np.ndarray] = None,
+                   *, coarsest_level: int = 5, num_cycles: int = 20,
+                   config=None):
+    """TPU-first route for permuted-structured topologies.
+
+    The v2 ``ProblemVar`` metadata (``Multigrid_functions.cpp:98-130``)
+    records, for every DOF, *where it sits on the grid* — so whenever a
+    topology is a renumbered structured grid the numbering is known and
+    invertible.  The general ELL tier pays the XLA:TPU gather pathology
+    on EVERY stencil application (measured r5, benchmarks/bench_topo.py:
+    376 ms/V-cycle at 1025² permuted vs 0.090 ms structured — 4200x, and
+    a 1525 s remote compile).  This route instead factors the operator as
+    ``A_topo = P A Pᵀ`` and pays the permutation exactly twice per solve:
+    ``b_struct = Pᵀ b`` at entry and ``u_topo = P u`` at exit — two O(m)
+    gathers amortized over the whole solve, with every cycle in between
+    on the structured (fused-Pallas) path.
+
+    ``b`` is a space vector in the *topo* numbering (``b[perm[k]]`` is
+    the RHS of row-major interior node ``k``); ``perm=None`` means
+    row-major already.  Returns ``(u_topo, res_history)`` like
+    :func:`solve_topo`.
+    """
+    from .config import MultigridConfig
+    from .problems.poisson import PoissonProblem
+    from .cycles import solve_fixed
+
+    n = 2 ** finest_level
+    m = (n - 1) ** 2
+    if b.shape != (m,):
+        raise ValueError(f"b must be a space vector of shape ({m},)")
+    coarsest_level = min(coarsest_level, finest_level - 1)
+    cfg = config or MultigridConfig(
+        finest_level=finest_level, coarsest_level=coarsest_level,
+        smoother="jacobi", nu1=3, nu2=3, dtype=b.dtype)
+    pad = dict(align=256, min_pad_level=0) if cfg.use_pallas else {}
+    prob = PoissonProblem(cfg, **pad)
+    hier = prob.hierarchy
+    op0 = hier.levels[0]
+    S = getattr(op0, "grid_shape", (op0.S, op0.S))
+    if not isinstance(S, tuple):
+        S = (S, S)
+
+    if perm is not None:
+        p = jnp.asarray(np.asarray(perm, np.int64), jnp.int32)
+        b_vec = b[p]
+    else:
+        b_vec = b
+    b_grid = jnp.zeros(S, b.dtype).at[1:n, 1:n].set(
+        b_vec.reshape(n - 1, n - 1))
+    res = solve_fixed(hier, cfg, b_grid, num_cycles)
+    u_int = res.u[1:n, 1:n].reshape(m)
+    if perm is not None:
+        u_topo = jnp.zeros((m,), u_int.dtype).at[p].set(u_int)
+    else:
+        u_topo = u_int
+    return u_topo, res.res_history
+
+
 # ---------------------------------------------------------------------------
 # Structured-mesh builder (the canonical instance)
 # ---------------------------------------------------------------------------
