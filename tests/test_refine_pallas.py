@@ -163,3 +163,31 @@ def test_divisor_strip():
     for R in (96, 17440, 544, 1090 * 16):
         t = _divisor_strip(R, 256)
         assert t % 8 == 0 and R % t == 0 and t <= 256
+
+
+@pytest.mark.slow
+def test_refined_pallas_prebuilt_runner_matches_default():
+    """prebuilt= reuses a build_pallas_poisson result; return_runner=
+    yields one jitted program whose repeated calls match the default
+    path bitwise (the clean-slope timing methodology, r5)."""
+    import dataclasses
+    from tpu_multigrid.dist.pallas_cycle import build_pallas_poisson
+
+    cfg = MultigridConfig(finest_level=9, coarsest_level=5,
+                          dtype=jnp.float32, use_pallas=True)
+    mesh = make_grid_mesh(shape=(2, 2), devices=jax.devices()[:4])
+    with pltpu.force_tpu_interpret_mode():
+        pre = build_pallas_poisson(dataclasses.replace(cfg, cycle="V"),
+                                   mesh, replicate_below=256)
+        run, b_glob, hier, levels = refined_sharded_solve_pallas(
+            cfg, mesh, num_cycles=3, ts=True, ds_levels=2,
+            prebuilt=pre, return_runner=True)
+        _, hist, _, _ = run(b_glob, hier)
+        _, hist_again, _, _ = run(b_glob, hier)    # reuse, no retrace
+        res, _ = refined_sharded_solve_pallas(
+            cfg, mesh, num_cycles=3, ts=True, ds_levels=2)
+    h, ha, hd = (np.asarray(x) for x in (hist, hist_again,
+                                         res.res_history))
+    np.testing.assert_array_equal(h, ha)
+    np.testing.assert_array_equal(h, hd)
+    assert h[3] < 5e-3 * h[0]

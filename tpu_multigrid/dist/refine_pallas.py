@@ -117,7 +117,9 @@ def refined_sharded_solve_pallas(config: MultigridConfig, mesh: Mesh, *,
                                  num_cycles: Optional[int] = None,
                                  ds_levels: int = 0, ts: bool = False,
                                  replicate_below: int = 256,
-                                 jit: bool = True, halo: str = "lean"):
+                                 jit: bool = True, halo: str = "lean",
+                                 prebuilt=None,
+                                 return_runner: bool = False):
     """Distributed compensated refinement on the fused-kernel tier.
 
     The ``dist.refine.refined_sharded_solve`` contract (ds pair or ts
@@ -125,13 +127,19 @@ def refined_sharded_solve_pallas(config: MultigridConfig, mesh: Mesh, *,
     fused K1/K2 inner cycle and the streamed compensated kernels.
     Returns ``(SolveResult, ShardedLevels)``; constant-coefficient
     Poisson only.
+
+    ``prebuilt=(levels, hier)``: reuse a ``build_pallas_poisson(cfg,
+    mesh, replicate_below=...)`` result across solves.  The hierarchy is
+    a jit ARGUMENT, so passing device-resident arrays skips the per-call
+    host rebuild and re-upload (~seconds at 8193²+) — the difference
+    between solve latency and iteration cost for repeated solves.
     """
     if tol is None and num_cycles is None:
         raise ValueError("refined solve needs tol or num_cycles")
     my, mx = mesh.devices.shape
     cfg = dataclasses.replace(config, cycle="V")
-    levels, hier = build_pallas_poisson(cfg, mesh,
-                                        replicate_below=replicate_below)
+    levels, hier = prebuilt if prebuilt is not None else \
+        build_pallas_poisson(cfg, mesh, replicate_below=replicate_below)
     if levels.num_sharded < 1:
         raise ValueError(
             f"no level satisfies the Pallas shard constraints for mesh "
@@ -245,6 +253,11 @@ def refined_sharded_solve_pallas(config: MultigridConfig, mesh: Mesh, *,
 
     if jit:
         run = jax.jit(run)
+    if return_runner:
+        # One traced/jitted program for reuse: runner(b_glob, hier) —
+        # repeated calls skip the per-call closure retrace (5-25 s of
+        # host time at 8193²+, the dominant latency for repeat solves).
+        return run, b_glob, hier, levels
     comps, hist, iters, conv = run(b_glob, hier)
     return SolveResult(u=comps[0], res_history=hist, iterations=iters,
                        converged=conv), levels
