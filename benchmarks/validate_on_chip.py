@@ -376,6 +376,53 @@ def main():
     check("dist topo rowpart reduction", th[6] / th[0], 0.0, 5e-3)
     check("dist topo rowpart vs single-chip", tu, np.asarray(tu1), 1e-5)
 
+    # --- r5 additions ---
+
+    # Wrap-aware fused periodic tier: identical reduction to the jnp
+    # torus cycle (cycles/periodic_fused.py).
+    import dataclasses as _dc
+    from tpu_multigrid.cycles import periodic_fused as _pf, solve_fixed
+    from tpu_multigrid.problems.periodic import PeriodicPoissonProblem
+    pcfg = mg.MultigridConfig(finest_level=8, coarsest_level=4,
+                              smoother="chebyshev", nu1=3, nu2=2,
+                              use_pallas=True)
+    pprob = PeriodicPoissonProblem(pcfg)
+    phier = jax.device_put(pprob.hierarchy)
+    pb = pprob.rhs()
+    pres = jax.jit(lambda h, bb: _pf.solve_fixed_periodic(
+        h, pcfg, bb, 6))(phier, pb)
+    presj = jax.jit(lambda h, bb: solve_fixed(
+        h, _dc.replace(pcfg, use_pallas=False), bb, 6))(phier, pb)
+    hp = np.asarray(pres.res_history)
+    hpj = np.asarray(presj.res_history)
+    check("periodic fused reduction", hp[6] / hp[0], 0.0, 5e-3)
+    check("periodic fused vs jnp reduction", hp[6] / hp[0],
+          hpj[6] / hpj[0], 1e-5)
+
+    # Numbering-normalization route (topo.solve_permuted) vs the ELL
+    # tier on the same permuted system.
+    prng = np.random.default_rng(7)
+    pperms = [prng.permutation((2 ** l - 1) ** 2) for l in (6, 5, 4)]
+    pth = _topo.build_structured_topo_hierarchy_sparse(6, 4, perms=pperms)
+    pbv = pth.b_levels[0]
+    pu_e, _ = _topo.solve_topo(pth, pbv, num_cycles=30)
+    pu_p, _ = _topo.solve_permuted(6, pbv, pperms[0], num_cycles=12)
+    check("solve_permuted vs ELL route", np.asarray(pu_p),
+          np.asarray(pu_e), 1e-4)
+
+    # Dist-refined runner reuse: one jitted program, repeated calls,
+    # bitwise-equal histories (the clean-timing methodology).
+    from tpu_multigrid.dist.pallas_cycle import build_pallas_poisson
+    pre = build_pallas_poisson(_dc.replace(rcfg, cycle="V"), m11,
+                               replicate_below=64)
+    rrun, rb, rh, _ = refined_sharded_solve_pallas(
+        rcfg, m11, num_cycles=4, ts=True, ds_levels=2,
+        replicate_below=64, prebuilt=pre, return_runner=True)
+    _, h1_, _, _ = rrun(rb, rh)
+    _, h2_, _, _ = rrun(rb, rh)
+    check("dist refined runner reuse bitwise", np.asarray(h1_),
+          np.asarray(h2_), 0.0)
+
     if FAILURES:
         print(f"\n{len(FAILURES)} FAILURES: {FAILURES}")
         sys.exit(1)

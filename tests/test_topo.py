@@ -293,3 +293,25 @@ class TestSolvePermuted:
         _, h_p = topo.solve_permuted(5, b, None, num_cycles=8)
         h = np.asarray(h_p)
         assert h[6] / h[0] < 0.3 ** 6
+
+    def test_prefer_structured_routing(self, rng):
+        mfs = [(2 ** l - 1) ** 2 for l in (5, 4, 3)]
+        perms = [rng.permutation(m) for m in mfs]
+        hier = topo.build_structured_topo_hierarchy_sparse(
+            5, 3, perms=perms, dtype=jnp.float64)
+        b = hier.b_levels[0]
+        u_r, h_r = topo.solve_topo(hier, b, num_cycles=12,
+                                   prefer_structured=True)
+        u_e, _ = topo.solve_topo(hier, b, num_cycles=40)
+        np.testing.assert_allclose(np.asarray(u_r), np.asarray(u_e),
+                                   atol=1e-8)
+        # the structured route's rate, not the ELL tier's
+        h = np.asarray(h_r)
+        assert h[6] / h[0] < 0.3 ** 6
+        # metadata survives the builder; device_put drops it gracefully
+        import jax as _jax
+        hd = _jax.device_put(hier)
+        assert getattr(hd, "perm_structure", None) is None
+        u_f, _ = topo.solve_topo(hd, b, num_cycles=3,
+                                 prefer_structured=True)
+        assert u_f.shape == u_e.shape

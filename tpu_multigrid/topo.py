@@ -448,14 +448,40 @@ def fmg_topo(hier: TopoHierarchy, *, nu0: int = 3, nu1: int = 3,
 def solve_topo(hier: TopoHierarchy, b, *, num_cycles: int = 20,
                nu1: int = 3, nu2: int = 3,
                omega: Union[float, Tuple[float, ...]] = 2.0 / 3.0,
-               use_fmg: bool = False, u0=None, mesh=None):
+               use_fmg: bool = False, u0=None, mesh=None,
+               prefer_structured: bool = False):
     """Fixed-count driver with residual history (the observability the
     reference lacks).  Returns ``(u, res_history)``; jit-compatible.
 
     ``mesh=``: distribute over a device mesh via 1D DOF-row GSPMD
     partitioning (``dist.topo.gspmd_solve_topo`` — padded levels, zero
     pad-slot invariant); covers structured-permuted, trimesh and tetmesh
-    hierarchies alike."""
+    hierarchies alike.
+
+    ``prefer_structured=True``: if the hierarchy was built by
+    ``build_structured_topo_hierarchy_sparse`` (which records its
+    structure on the object), route through :func:`solve_permuted` —
+    the numbering is factored out once per solve and the cycles run the
+    structured path (measured 4200x over the ELL gathers at 1025² on
+    chip, BENCH.md r5).  Falls back to the general tier when no
+    structure metadata is present (e.g. after ``jax.device_put``, whose
+    pytree round-trip drops plain attributes) or when ``u0``/``use_fmg``
+    /``mesh`` ask for general-tier semantics."""
+    struct = getattr(hier, "perm_structure", None)
+    if (prefer_structured and struct is not None and mesh is None
+            and u0 is None and not use_fmg):
+        from .config import MultigridConfig
+        finest, coarsest, perm0 = struct
+        coarsest = min(coarsest, finest - 1)
+        # Structured-path semantics: keep the sweep counts, take the
+        # structured solver's tuned omega (0.8) rather than the ELL
+        # tier's 2/3 default.
+        cfg = MultigridConfig(
+            finest_level=finest, coarsest_level=coarsest,
+            smoother="jacobi", nu1=nu1, nu2=nu2, dtype=b.dtype)
+        return solve_permuted(finest, b, perm0,
+                              coarsest_level=coarsest,
+                              num_cycles=num_cycles, config=cfg)
     if mesh is not None:
         from .dist.topo import gspmd_solve_topo
         return gspmd_solve_topo(hier, b, mesh, num_cycles=num_cycles,
@@ -733,4 +759,12 @@ def build_structured_topo_hierarchy_sparse(
     A_c = np.zeros((m_c, m_c))
     A_c[r, c] = v
     coarse_inv = jnp.asarray(np.linalg.inv(A_c), dtype)
-    return TopoHierarchy(tuple(ops_), transfers, coarse_inv, tuple(bs))
+    th = TopoHierarchy(tuple(ops_), transfers, coarse_inv, tuple(bs))
+    # Structure metadata for solve_topo(prefer_structured=True) /
+    # solve_permuted — a plain attribute, deliberately OUTSIDE the
+    # pytree (dropped by device_put/jit round-trips; the routing
+    # degrades gracefully to the general tier).
+    th.perm_structure = (finest_level, coarsest_level,
+                         None if perms[0] is None
+                         else np.asarray(perms[0], np.int64))
+    return th
