@@ -386,7 +386,9 @@ def main():
     pcfg = mg.MultigridConfig(finest_level=8, coarsest_level=4,
                               smoother="chebyshev", nu1=3, nu2=2,
                               use_pallas=True)
-    pprob = PeriodicPoissonProblem(pcfg)
+    pprob = PeriodicPoissonProblem(
+        pcfg, forcing=lambda x, y: 8 * math.pi ** 2
+        * jnp.sin(2 * math.pi * x) * jnp.cos(2 * math.pi * y))
     phier = jax.device_put(pprob.hierarchy)
     pb = pprob.rhs()
     pres = jax.jit(lambda h, bb: _pf.solve_fixed_periodic(

@@ -172,21 +172,28 @@ def _residual_of3(state, b, interior, Sy: int):
 def _off_app27(x, w, wy: int):
     """Off-diagonal application sum_{d != 0} w[d] * x[i+d] on the fused
     (WZ*wy, Sx) row view (z shift = dz*wy rows, y = dy rows, x = dx
-    cols)."""
+    cols).
+
+    The z and y shifts are BOTH axis-0 rolls of the fused view, so they
+    compose into ONE roll of (dz*wy + dy) rows per (dz, dy) pair — at
+    most 4 vector values live at a time (x, row, term, out).  The naive
+    nested form kept the plane/row pyramid live across the unrolled
+    sweep chain and blew Mosaic's scoped-vmem stack on the real chip
+    (r5: 119.8 MB vs the 112.4 MB limit for a 3-sweep 19-point K1₃)."""
     R, C = x.shape
     out = None
     for dz in (-1, 0, 1):
-        plane = None
         for dy in (-1, 0, 1):
-            row = None
-            for dx in (-1, 0, 1):
-                c = w[dz + 1][dy + 1][dx + 1]
-                if (dz == 0 and dy == 0 and dx == 0) or c == 0.0:
+            cs = [w[dz + 1][dy + 1][dx + 1] for dx in (-1, 0, 1)]
+            if dz == 0 and dy == 0:
+                cs[1] = 0.0                    # skip the center tap
+            if not any(c != 0.0 for c in cs):
+                continue
+            shift = (-(dz * wy + dy)) % R
+            row = x if shift == 0 else _roll(x, shift, 0)
+            for dx, c in zip((-1, 0, 1), cs):
+                if c == 0.0:
                     continue
-                if plane is None:
-                    plane = x if dz == 0 else _roll(x, (-dz * wy) % R, 0)
-                if row is None:
-                    row = plane if dy == 0 else _roll(plane, (-dy) % R, 0)
                 t = row if dx == 0 else _roll(row, (-dx) % C, 1)
                 term = c * t
                 out = term if out is None else out + term

@@ -63,6 +63,17 @@ def _step_fn3(smoother, omega, wy, stencil=None):
     raise ValueError(smoother)
 
 
+def _chain3(state, b, interior, parity, steps, smoother, omega, wy,
+            stencil):
+    """Python-unrolled sweep chain (an in-kernel fori_loop variant was
+    measured to GROW Mosaic's scoped-vmem stack, 12.5x -> 15x window
+    bytes — loop-carried state costs more than unrolled liveness)."""
+    step = _step_fn3(smoother, omega, wy, stencil)
+    for j in range(steps):
+        state = step(state, b, interior, parity, j)
+    return state
+
+
 def _resid_of3(state, b, interior, wy, stencil=None):
     if stencil is not None:
         return _residual27_of(state, b, interior, stencil, wy)
@@ -100,6 +111,15 @@ def _masks3(z0, y0, WZ, WY, Sx, n, box=None):
     interior = ((gz >= i0) & (gz <= i1) & (gy >= j0) & (gy <= j1)
                 & (gx >= k0) & (gx <= k1))
     return interior, (gz + gy + gx) % 2
+
+
+# 27-point static stencils run ~26 roll-FMA temporaries per application —
+# Mosaic's scoped-VMEM stack for the kernel body scales with the live
+# roll chain, not just the window arrays.  Measured on v5e (r5): the
+# 10 MB 7-point window budget put the 27-point K1₃ at 119.8 MB of
+# scoped vmem vs the 112.4 MB limit (compile-time OOM).  Half the
+# window halves the stack with ~6 % extra halo redundancy.
+S27_WINDOW_BYTES = 2 * 2 ** 20
 
 
 # ---------------------------------------------------------------------------
@@ -273,7 +293,9 @@ def _smooth_restrict3(u, b, *, n, shape_c, steps, smoother, omega,
     gz2, gy2 = ghost[0] // 2, ghost[1] // 2
     dtype = u.dtype
     H = steps + 2                            # +1 residual ring, +1 blur ring
-    TZ, HZ, TY, HY = _tiles_k1(u.shape, H, dtype)
+    TZ, HZ, TY, HY = _tiles_k1(u.shape, H, dtype,
+                               budget=None if stencil is None
+                               else S27_WINDOW_BYTES)
     WZ, WY = TZ + 2 * HZ, TY + 2 * HY
     CHY, KWY = _core_y(TY, WY, steps)
     ntz = pl.cdiv(Sz, TZ)
@@ -349,13 +371,12 @@ def _smooth_restrict3(u, b, *, n, shape_c, steps, smoother, omega,
                     jnp.clip((yo - y0) - CHY, 0, WY - KWY), 8)
                 ik, pk = _masks3(z0 + org_smem[0, 0],
                                  y0 + ky0 + org_smem[0, 1], WZ, KWY, Sx, n)
-                stepk = _step_fn3(smoother, omega, KWY, stencil)
                 sk = u_buf[slot, :, pl.ds(ky0, KWY), :].reshape(
                     WZ * KWY, Sx)
                 bk = b_buf[slot, :, pl.ds(ky0, KWY), :].reshape(
                     WZ * KWY, Sx)
-                for j in range(steps):
-                    sk = stepk(sk, bk, ik, pk, j)
+                sk = _chain3(sk, bk, ik, pk, steps, smoother, omega,
+                             KWY, stencil)
                 u_buf[slot, :, pl.ds(ky0, KWY), :] = sk.reshape(
                     WZ, KWY, Sx)
                 interior, _ = _masks3(z0 + org_smem[0, 0],
@@ -366,11 +387,10 @@ def _smooth_restrict3(u, b, *, n, shape_c, steps, smoother, omega,
                 interior, parity = _masks3(z0 + org_smem[0, 0],
                                            y0 + org_smem[0, 1], WZ, WY,
                                            Sx, n)
-                step = _step_fn3(smoother, omega, WY, stencil)
                 state = u_buf[slot].reshape(WZ * WY, Sx)
                 bwin = b_buf[slot].reshape(WZ * WY, Sx)
-                for j in range(steps):
-                    state = step(state, bwin, interior, parity, j)
+                state = _chain3(state, bwin, interior, parity, steps,
+                                smoother, omega, WY, stencil)
                 u_buf[slot] = state.reshape(WZ, WY, Sx)
             r = _resid_of3(state, bwin, interior, WY, stencil)
             # R = P^T/2: separable blur + even-even-even decimation, /2.
@@ -418,8 +438,9 @@ def _smooth_restrict3(u, b, *, n, shape_c, steps, smoother, omega,
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=min(int(10.5 * bytes_win) + 2 ** 21,
-                                 127 * 2 ** 20),
+            vmem_limit_bytes=min(
+                int((10.5 if stencil is None else 16.0) * bytes_win)
+                + 2 ** 21, 127 * 2 ** 20),
         ),
         cost_estimate=pl.CostEstimate(
             flops=int(nt * WZ * WY * Sx * (10 * steps + 20)),
@@ -484,7 +505,9 @@ def _prolong_smooth3(u, b, ec, *, n, steps, smoother, omega,
     Szc, Syc, Scx = ec.shape
     dtype = u.dtype
     H = steps + (1 if want_resnorm else 0)
-    TZ, TY, HZc, HYc = _tiles_k2(u.shape, H, dtype)
+    TZ, TY, HZc, HYc = _tiles_k2(u.shape, H, dtype,
+                                 budget=None if stencil is None
+                                 else S27_WINDOW_BYTES)
     full_z, full_y = TZ == Sz, TY == Sy
     Wzc = Sz // 2 if full_z else TZ // 2 + 2 * HZc
     Wyc = Sy // 2 if full_y else TY // 2 + 2 * HYc
@@ -582,20 +605,18 @@ def _prolong_smooth3(u, b, ec, *, n, steps, smoother, omega,
                 ky0 = pl.multiple_of(
                     jnp.clip((yo - yf0) - CHY, 0, WY - KWY), 8)
                 ik, pk = _masks3(zf0, yf0 + ky0, WZ, KWY, Sx, n)
-                stepk = _step_fn3(smoother, omega, KWY, stencil)
                 sk = u_buf[slot, :, pl.ds(ky0, KWY), :].reshape(
                     WZ * KWY, Sx)
                 bk = b_buf[slot, :, pl.ds(ky0, KWY), :].reshape(
                     WZ * KWY, Sx)
-                for j in range(steps):
-                    sk = stepk(sk, bk, ik, pk, j)
+                sk = _chain3(sk, bk, ik, pk, steps, smoother, omega,
+                             KWY, stencil)
                 u_buf[slot, :, pl.ds(ky0, KWY), :] = sk.reshape(
                     WZ, KWY, Sx)
                 state = u_buf[slot].reshape(WZ * WY, Sx)
             else:
-                step = _step_fn3(smoother, omega, WY, stencil)
-                for j in range(steps):
-                    state = step(state, bwin, interior, parity, j)
+                state = _chain3(state, bwin, interior, parity, steps,
+                                smoother, omega, WY, stencil)
                 u_buf[slot] = state.reshape(WZ, WY, Sx)
             if want_resnorm:
                 tz = t // nty
@@ -645,8 +666,9 @@ def _prolong_smooth3(u, b, ec, *, n, steps, smoother, omega,
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=min(int(11.5 * bytes_win) + 2 ** 21,
-                                 127 * 2 ** 20),
+            vmem_limit_bytes=min(
+                int((11.5 if stencil is None else 17.0) * bytes_win)
+                + 2 ** 21, 127 * 2 ** 20),
         ),
         cost_estimate=pl.CostEstimate(
             flops=int(nt * WZ * WY * Sx * (10 * steps + 16)),
